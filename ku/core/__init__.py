@@ -1,0 +1,4 @@
+"""Core primitives: PRNG key threading, config contract, train state."""
+
+from ku.core.rng import KeySeq
+from ku.core.config import load_config, Config

@@ -1,0 +1,110 @@
+"""Device-mesh helpers and data-parallel training steps.
+
+The reference has no working distribution (its ``multi_gpu``/``num_gpus``
+config keys are threaded into ``compose_gan_with_mode`` but never used —
+reference ku/backprop/gan.py:1002,1014-1178). Here parallelism is
+first-class and expressed the TPU way: a ``jax.sharding.Mesh`` over ICI,
+``shard_map`` for per-device code with explicit ``psum`` of statistics /
+gradients, and ``NamedSharding`` annotations for pjit-style tensor
+sharding. No custom transport — XLA lowers the collectives onto ICI.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``; the
+same code then spans slices (DCN) transparently.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax import shard_map
+
+
+def make_mesh(axis_shapes: Optional[dict] = None, devices=None) -> Mesh:
+    """Build a mesh; default is 1-D data parallelism over all devices.
+
+    ``make_mesh({'data': 4, 'model': 2})`` builds a 2-D DP×TP mesh.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if not axis_shapes:
+        axis_shapes = {"data": len(devices)}
+    names = tuple(axis_shapes)
+    shape = tuple(axis_shapes[n] for n in names)
+    n_needed = int(np.prod(shape))
+    if n_needed > len(devices):
+        raise ValueError(f"mesh needs {n_needed} devices, have {len(devices)}")
+    arr = np.array(devices[:n_needed]).reshape(shape)
+    return Mesh(arr, names)
+
+
+def data_parallel_sharding(mesh: Mesh, ndim: int, axis: int = 0,
+                           axis_name: str = "data") -> NamedSharding:
+    """Shard dimension ``axis`` of an ndim-array over ``axis_name``."""
+    spec = [None] * ndim
+    spec[axis] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis: int = 0, axis_name: str = "data"):
+    """Device-put a pytree with its ``axis`` dim sharded over the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, data_parallel_sharding(mesh, np.ndim(x), axis, axis_name)
+        ),
+        tree,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "lr", "k", "mode", "batch_size")
+)
+def cd_epoch_dp(mesh: Mesh, params, v_all, mask, key, lr: float, k: int,
+                mode: int, batch_size: int):
+    """Data-parallel CD epoch: batch rows sharded over the 'data' axis,
+    CD statistics ``psum``'d over ICI each step, params replicated.
+
+    TPU-native replacement for the reference's never-implemented multi-GPU
+    path (SURVEY §2.5). Requires ``batch_size % mesh.shape['data'] == 0``.
+    """
+    from ku.ebm.rbm import apply_stats, cd_stats
+
+    n_dev = mesh.shape["data"]
+    assert batch_size % n_dev == 0, "batch_size must divide over the data axis"
+    num_steps = v_all.shape[0] // batch_size
+    # (steps, dev_shard, local_batch, V): axis 1 is the sharded axis.
+    v_b = v_all.reshape(num_steps, n_dev, batch_size // n_dev, -1)
+    m_b = mask.reshape(num_steps, n_dev, batch_size // n_dev)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, "data"), P(None, "data"), P()),
+        out_specs=(P(), P()),
+    )
+    def epoch(params, v_shards, m_shards, key):
+        # Decorrelate sampling across shards.
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+        def step(carry, xs):
+            p, key = carry
+            v_s, m_s = xs
+            key, sub = jax.random.split(key)
+            stats = cd_stats(p, v_s[0], sub, k, mode, weight=m_s[0])
+            stats = jax.lax.psum(stats, "data")
+            p = apply_stats(p, stats, lr)
+            score = stats["score_sum"] / jnp.maximum(stats["count"], 1.0)
+            return (p, key), score
+
+        (params, _), scores = jax.lax.scan(step, (params, key), (v_shards, m_shards))
+        return params, scores
+
+    return epoch(params, v_b, m_b, key)

@@ -1,0 +1,16 @@
+"""Energy-based models (reference ku/ebm)."""
+
+from ku.ebm.rbm import (
+    RBM,
+    MODE_VISIBLE_BERNOULLI,
+    MODE_VISIBLE_GAUSSIAN,
+    MODE_COMPLEX,
+    init_rbm_params,
+    hidden_prob,
+    sample_hidden,
+    sample_visible,
+    free_energy,
+    cd_update,
+    cd_epoch_scan,
+)
+from ku.ebm.dbn import DBN

@@ -1,0 +1,324 @@
+"""Restricted Boltzmann machine trained by contrastive divergence — TPU-native.
+
+Reference: ku/ebm/rbm.py:19-242. Semantics reproduced exactly:
+
+- Params: ``rbm_weight`` (V×H), ``hidden_bias`` (H), ``visible_bias`` (V),
+  all initialized Uniform(−0.05, 0.05) (reference :30-40, Keras 'uniform').
+- Bernoulli mode (:43-54): h sampled via ``uniform < sigmoid(vW + b_h)``,
+  v sampled via ``uniform < sigmoid(hWᵀ + b_v)``.
+- Gaussian mode (:56-67): h sampled via ``uniform < relu(vW + b_h)``
+  (the reference's quirk, kept), v ~ Normal(hWᵀ + b_v, I).
+- Free energy (:73-76): ``−v·b_v − Σ log(1+exp(vW+b_h))`` (computed with
+  softplus for overflow stability — same function, stable form).
+- CD-k update (:121-134, k=1 in the reference): with h_pos *sampled* and
+  h_neg the *probabilities* at the chain end,
+  ``ΔW = lr·(v_posᵀ h_pos − v_negᵀ h_neg)``,
+  ``Δb_h = lr·Σ(h_pos − h_neg)``, ``Δb_v = lr·Σ(v_pos − v_neg)``
+  (raw sums over the batch, matching the reference's scaling).
+- Per-step score = mean |F(v_pos) − F(ṽ₁)| with ṽ₁ the first sampled
+  visible (reference :225-234).
+
+TPU-native design: where the reference dispatches 5 separate ``K.function``
+graphs per batch (reference :163-234 — the BASELINE.json hot loop), here an
+*entire epoch* is one device call. Two backends:
+
+- ``lax.scan`` oracle (:func:`cd_epoch_scan`) — reference semantics in pure
+  jittable JAX, used for correctness oracles and autodiff.
+- Fused Pallas kernel (:mod:`ku.pallas.cd_gibbs`) — weights resident in
+  VMEM across the whole epoch, Gibbs sampling via the on-chip TPU PRNG,
+  batches streamed HBM→VMEM by the Pallas pipeline (default on TPU).
+
+Data parallelism: ``fit(..., mesh=...)`` shards the batch axis over the
+mesh and ``psum``s the CD statistics — the TPU equivalent of the
+reference's vestigial ``multi_gpu`` flags (see SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ku.core.rng import KeySeq
+
+MODE_VISIBLE_BERNOULLI = 0
+MODE_VISIBLE_GAUSSIAN = 1
+MODE_COMPLEX = 2  # Reserved in the reference (:16), unimplemented there too.
+
+
+def init_rbm_params(key, input_dim: int, output_dim: int, dtype=jnp.float32):
+    """Uniform(−0.05, 0.05) init, matching Keras 'uniform' (reference :30-40)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    u = lambda k, shape: jax.random.uniform(k, shape, dtype, -0.05, 0.05)
+    return {
+        "rbm_weight": u(k1, (input_dim, output_dim)),
+        "hidden_bias": u(k2, (output_dim,)),
+        "visible_bias": u(k3, (input_dim,)),
+    }
+
+
+def hidden_prob(params, v, mode: int = MODE_VISIBLE_BERNOULLI):
+    """P(h|v): sigmoid (Bernoulli) or relu (Gaussian quirk, reference :58-59)."""
+    act = v @ params["rbm_weight"] + params["hidden_bias"]
+    return jax.nn.sigmoid(act) if mode == MODE_VISIBLE_BERNOULLI else jax.nn.relu(act)
+
+
+def visible_stat(params, h):
+    """Mean of P(v|h) pre-sampling: hWᵀ + b_v."""
+    return h @ params["rbm_weight"].T + params["visible_bias"]
+
+
+def sample_hidden(params, v, key, mode: int = MODE_VISIBLE_BERNOULLI):
+    """Sample h ~ Bernoulli(P(h|v)) as float (reference :46-48, :58-59)."""
+    p = hidden_prob(params, v, mode)
+    u = jax.random.uniform(key, p.shape, p.dtype)
+    return (u < p).astype(p.dtype)
+
+
+def sample_visible(params, h, key, mode: int = MODE_VISIBLE_BERNOULLI):
+    """Sample v: Bernoulli(sigmoid) or Normal(mean, I) (reference :52-54, :64-67)."""
+    stat = visible_stat(params, h)
+    if mode == MODE_VISIBLE_BERNOULLI:
+        p = jax.nn.sigmoid(stat)
+        u = jax.random.uniform(key, p.shape, p.dtype)
+        return (u < p).astype(p.dtype)
+    return stat + jax.random.normal(key, stat.shape, stat.dtype)
+
+
+def free_energy(params, v):
+    """F(v) = −v·b_v − Σ softplus(vW + b_h) (reference :73-76)."""
+    act = v @ params["rbm_weight"] + params["hidden_bias"]
+    return -(v @ params["visible_bias"] + jnp.sum(jax.nn.softplus(act), axis=-1))
+
+
+def cd_stats(params, v_pos, key, k: int = 1, mode: int = MODE_VISIBLE_BERNOULLI,
+             weight=None):
+    """CD-k sufficient statistics on a batch (no parameter update).
+
+    Returns ``{'d_w', 'd_bh', 'd_bv', 'score_sum', 'count'}``; statistics
+    are raw sums over rows so they add across data-parallel shards with a
+    plain ``psum``. ``weight``: optional per-row 0/1 mask for padded
+    batches; masked rows contribute nothing (the reference instead rebuilds
+    its graphs for the ragged last batch, :163-223).
+    """
+    keys = jax.random.split(key, 2 * k + 1)
+    h_pos = sample_hidden(params, v_pos, keys[0], mode)
+
+    h = h_pos
+    v_neg = None
+    v_neg_first = None
+    h_prob = None
+    for i in range(k):
+        v_neg = sample_visible(params, h, keys[1 + 2 * i], mode)
+        if v_neg_first is None:
+            v_neg_first = v_neg
+        h_prob = hidden_prob(params, v_neg, mode)
+        if i < k - 1:
+            u = jax.random.uniform(keys[2 + 2 * i], h_prob.shape, h_prob.dtype)
+            h = (u < h_prob).astype(h_prob.dtype)
+    h_neg = h_prob  # probabilities at chain end (reference :124)
+
+    if weight is None:
+        w_col = jnp.ones((v_pos.shape[0], 1), v_pos.dtype)
+    else:
+        w_col = weight[:, None]
+    v_pos_w, v_neg_w, h_pos_w, h_neg_w = (
+        v_pos * w_col, v_neg * w_col, h_pos * w_col, h_neg * w_col,
+    )
+
+    fe = free_energy(params, v_pos)
+    fe_p = free_energy(params, v_neg_first)
+    w_row = w_col[:, 0]
+    return {
+        "d_w": v_pos_w.T @ h_pos - v_neg_w.T @ h_neg,
+        "d_bh": jnp.sum(h_pos_w, axis=0) - jnp.sum(h_neg_w, axis=0),
+        "d_bv": jnp.sum(v_pos_w, axis=0) - jnp.sum(v_neg_w, axis=0),
+        "score_sum": jnp.sum(jnp.abs(fe - fe_p) * w_row),
+        "count": jnp.sum(w_row),
+    }
+
+
+def apply_stats(params, stats, lr):
+    lr = jnp.asarray(lr, params["rbm_weight"].dtype)
+    return {
+        "rbm_weight": params["rbm_weight"] + lr * stats["d_w"],
+        "hidden_bias": params["hidden_bias"] + lr * stats["d_bh"],
+        "visible_bias": params["visible_bias"] + lr * stats["d_bv"],
+    }
+
+
+def cd_update(params, v_pos, key, lr, k: int = 1, mode: int = MODE_VISIBLE_BERNOULLI,
+              weight=None):
+    """One CD-k parameter update on a batch. Returns (params, score)."""
+    stats = cd_stats(params, v_pos, key, k, mode, weight)
+    new_params = apply_stats(params, stats, lr)
+    score = stats["score_sum"] / jnp.maximum(stats["count"], 1.0)
+    return new_params, score
+
+
+@functools.partial(jax.jit, static_argnames=("lr", "k", "mode", "batch_size"))
+def cd_epoch_scan(params, v_all, mask, key, lr: float, k: int, mode: int,
+                  batch_size: int):
+    """One full CD epoch as a single jitted lax.scan over batches.
+
+    ``v_all``: (num_steps·batch_size, V) padded data; ``mask``: matching
+    0/1 row mask. Returns (params, per-step scores).
+    """
+    num_steps = v_all.shape[0] // batch_size
+    v_batches = v_all.reshape(num_steps, batch_size, -1)
+    m_batches = mask.reshape(num_steps, batch_size)
+
+    def step(carry, xs):
+        p, key = carry
+        v_b, m_b = xs
+        key, sub = jax.random.split(key)
+        p, score = cd_update(p, v_b, sub, lr, k, mode, weight=m_b)
+        return (p, key), score
+
+    (params, _), scores = jax.lax.scan(step, (params, key), (v_batches, m_batches))
+    return params, scores
+
+
+class RBM:
+    """RBM with the reference's surface: ``fit`` / ``transform`` /
+    ``inv_transform`` / ``cal_free_energy`` (reference ku/ebm/rbm.py:19-242).
+
+    ``hps``: dict with ``lr``, ``batch_size``, ``epochs`` (reference conf
+    contract, examples/rbm/rbm_softmax_mnist_conf.json). Extra keys
+    ``k`` (Gibbs steps, default 1) and ``backend`` ('pallas' on TPU,
+    'scan' elsewhere) extend the surface.
+    """
+
+    def __init__(self, hps, output_dim: int, input_dim: Optional[int] = None,
+                 name: Optional[str] = None, mode: int = MODE_VISIBLE_BERNOULLI,
+                 seed: int = 0):
+        self.hps = dict(hps)
+        self.output_dim = int(output_dim)
+        self.name = name
+        self.mode = mode
+        self._keys = KeySeq(seed)
+        self.params = None
+        if input_dim is not None:
+            self.build(input_dim)
+
+    # -- construction ------------------------------------------------------
+
+    def build(self, input_dim: int):
+        self.input_dim = int(input_dim)
+        self.params = init_rbm_params(self._keys(), self.input_dim, self.output_dim)
+        return self
+
+    def _ensure_built(self, v):
+        if self.params is None:
+            self.build(np.shape(v)[-1])
+
+    # -- inference surface (reference :80-98) ------------------------------
+
+    def __call__(self, v, key=None):
+        return self.transform(v, key)
+
+    def transform(self, v, key=None):
+        """Sample hidden units given visible (reference :88-89)."""
+        self._ensure_built(v)
+        key = self._keys() if key is None else key
+        return sample_hidden(self.params, jnp.asarray(v), key, self.mode)
+
+    def inv_transform(self, h, key=None):
+        """Sample visible units given hidden (reference :91-92)."""
+        key = self._keys() if key is None else key
+        return sample_visible(self.params, jnp.asarray(h), key, self.mode)
+
+    def cal_free_energy(self, v):
+        """Free energy of visible configurations (reference :97-98)."""
+        self._ensure_built(v)
+        return free_energy(self.params, jnp.asarray(v))
+
+    # -- training (reference :100-234) -------------------------------------
+
+    def fit(self, V, verbose: int = 1, mesh=None):
+        """Train with CD-k. One device call per epoch (vs the reference's
+        5 host dispatches per *batch*, :163-234).
+
+        ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis for
+        data-parallel training (batch sharded, statistics psum'd).
+        """
+        V = np.asarray(V, np.float32)
+        self._ensure_built(V)
+        batch_size = int(self.hps["batch_size"])
+        epochs = int(self.hps["epochs"])
+        lr = float(self.hps["lr"])
+        k = int(self.hps.get("k", 1))
+        backend = self.hps.get("backend")
+        if backend is None:
+            backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+        n = V.shape[0]
+        num_steps = -(-n // batch_size)
+        padded = num_steps * batch_size
+        v_all = np.zeros((padded, V.shape[1]), np.float32)
+        v_all[:n] = V
+        mask = np.zeros((padded,), np.float32)
+        mask[:n] = 1.0
+
+        if mesh is not None:
+            from ku.dist.mesh import cd_epoch_dp
+
+            v_all_d = jnp.asarray(v_all)
+            mask_d = jnp.asarray(mask)
+            for e in range(epochs):
+                self.params, scores = cd_epoch_dp(
+                    mesh, self.params, v_all_d, mask_d, self._keys(), lr, k,
+                    self.mode, batch_size,
+                )
+                if verbose:
+                    print(f"{e + 1}/{epochs} epochs, "
+                          f"score: {float(jnp.mean(scores)):f}")
+            return self
+
+        if backend == "pallas":
+            from ku.pallas.cd_gibbs import cd_epoch_pallas as epoch_fn
+        else:
+            epoch_fn = cd_epoch_scan
+
+        v_all_d = jnp.asarray(v_all)
+        mask_d = jnp.asarray(mask)
+        scores = None
+        for e in range(epochs):
+            self.params, scores = epoch_fn(
+                self.params, v_all_d, mask_d, self._keys(), lr, k, self.mode,
+                batch_size,
+            )
+            if verbose:
+                print(f"{e + 1}/{epochs} epochs, score: {float(jnp.mean(scores)):f}")
+        self.last_scores = None if scores is None else np.asarray(scores)
+        return self
+
+    # -- persistence -------------------------------------------------------
+
+    def get_config(self):
+        """Reference :236-242."""
+        return {
+            "hps": self.hps,
+            "output_dim": self.output_dim,
+            "name": self.name,
+            "mode": self.mode,
+        }
+
+    def save(self, name: str):
+        from ku.utility import save_model_jh5
+
+        save_model_jh5(self.get_config(), self.params, name)
+
+    @classmethod
+    def load(cls, name: str):
+        from ku.utility import load_model_jh5
+
+        spec, params = load_model_jh5(name)
+        rbm = cls(spec["hps"], spec["output_dim"], name=spec.get("name"),
+                  mode=spec.get("mode", MODE_VISIBLE_BERNOULLI))
+        rbm.params = params
+        rbm.input_dim = params["rbm_weight"].shape[0]
+        return rbm

@@ -1,0 +1,31 @@
+"""API-parity re-exports mirroring the reference ``ku.layer_ext``
+(reference ku/layer_ext/__init__.py:1-24)."""
+
+from ku.nn.core import EqualizedLRDense
+from ku.nn.convolution import (
+    EqualizedLRConv1D,
+    EqualizedLRConv2D,
+    EqualizedLRConv3D,
+    FusedEqualizedLRConv1D,
+    FusedEqualizedLRConv2D,
+    FusedEqualizedLRConv3D,
+    FusedEqualizedLRConv2DTranspose,
+    BlurDepthwiseConv2D,
+    DepthwiseConv3D,
+    SeparableConv3D,
+)
+from ku.nn.normalization import AdaptiveIN, AdaptiveINWithStyle, PixelNorm
+from ku.nn.style import (
+    StyleMixingRegularization,
+    TruncationTrick,
+    MinibatchStddevConcat,
+)
+from ku.nn.attention import (
+    MultiHeadAttention,
+    SIMILARITY_TYPE_DIFF_ABS,
+    SIMILARITY_TYPE_PLAIN,
+    SIMILARITY_TYPE_SCALED,
+    SIMILARITY_TYPE_GENERAL,
+    SIMILARITY_TYPE_ADDITIVE,
+)
+from ku.nn.position_encoding import OrdinalPositionEncoding, PeriodicPositionEncoding

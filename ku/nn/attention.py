@@ -1,0 +1,124 @@
+"""Multi-head attention with five similarity types.
+
+Reference: ku/layer_ext/attention.py:19-160. Similarity types (constants at
+:12-16): ``diff_abs``/``plain``/``scaled``/``general``/``additive``
+(:120-136). Per-head split at :115-117, output projection ``W_multi_head``
+at :87-90,144.
+
+Deviations from the reference, all documented intended-behavior fixes:
+- ``diff_abs`` (:121) and ``additive`` (:133-135) as written only
+  shape-check when seq_len == head_dim; we implement the intended pairwise
+  forms (mean-abs-difference kernel and Bahdanau-style additive scores).
+- The mask input M is accepted but its use is commented out in the
+  reference (:121-135); ``use_mask=True`` opts into the commented-out
+  ``softmax(scores)·M`` semantics, default False matches reference behavior.
+- ``dropout_rate`` is stored but unused in the reference call; we apply it
+  to attention probabilities when ``deterministic=False`` (set 0.0 for
+  exact parity).
+
+The scaled path is the standard softmax(QKᵀ/√d_k)V — on TPU, XLA fuses this
+chain; a Pallas flash-attention kernel for long sequences lives in
+``ku.pallas.flash_attention`` and can be enabled with ``use_flash=True``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+SIMILARITY_TYPE_DIFF_ABS = "diff_abs"
+SIMILARITY_TYPE_PLAIN = "plain"
+SIMILARITY_TYPE_SCALED = "scaled"
+SIMILARITY_TYPE_GENERAL = "general"
+SIMILARITY_TYPE_ADDITIVE = "additive"
+
+_SIMILARITY_TYPES = (
+    SIMILARITY_TYPE_DIFF_ABS,
+    SIMILARITY_TYPE_PLAIN,
+    SIMILARITY_TYPE_SCALED,
+    SIMILARITY_TYPE_GENERAL,
+    SIMILARITY_TYPE_ADDITIVE,
+)
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA over ``inputs = [Q, K, V, M]`` (reference attention.py:19-160)."""
+
+    num_head: int
+    d_output: int
+    dropout_rate: float = 0.0
+    similarity_type: str = SIMILARITY_TYPE_SCALED
+    use_mask: bool = False
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, inputs, deterministic: bool = True):
+        if self.similarity_type not in _SIMILARITY_TYPES:
+            raise ValueError(f"similarity_type {self.similarity_type!r} is not valid.")
+        q, k, v = inputs[0], inputs[1], inputs[2]
+        m = inputs[3] if len(inputs) > 3 else None
+
+        d_k, d_v = k.shape[-1], v.shape[-1]
+        h = self.num_head
+        assert d_k % h == 0 and d_v % h == 0
+        d_k_h, d_v_h = d_k // h, d_v // h
+
+        init = nn.initializers.truncated_normal(stddev=0.02)
+        w_q = self.param("W_Q", init, (d_k, d_k))
+        w_k = self.param("W_K", init, (d_k, d_k))
+        w_v = self.param("W_V", init, (d_v, d_v))
+        w_o = self.param("W_multi_head", init, (d_v, self.d_output))
+
+        def split_heads(x, dh):
+            b, n = x.shape[0], x.shape[1]
+            return jnp.transpose(jnp.reshape(x, (b, n, h, dh)), (0, 2, 1, 3))
+
+        q_h = split_heads(q @ w_q, d_k_h)
+        k_h = split_heads(k @ w_k, d_k_h)
+        v_h = split_heads(v @ w_v, d_v_h)
+
+        if (
+            self.use_flash
+            and self.similarity_type == SIMILARITY_TYPE_SCALED
+            and not self.use_mask
+            and (self.dropout_rate == 0.0 or deterministic)
+        ):
+            from ku.pallas.flash_attention import flash_attention
+
+            head = flash_attention(q_h, k_h, v_h, softmax_scale=1.0 / math.sqrt(d_k))
+        else:
+            if self.similarity_type == SIMILARITY_TYPE_PLAIN:
+                scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h)
+            elif self.similarity_type == SIMILARITY_TYPE_SCALED:
+                # Reference scales by √d_k (full model dim, :129), not √d_k_h.
+                scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h) / math.sqrt(d_k)
+            elif self.similarity_type == SIMILARITY_TYPE_GENERAL:
+                w_gen = self.param("W_gen_S", init, (d_k_h, d_k_h))
+                scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h @ w_gen)
+            elif self.similarity_type == SIMILARITY_TYPE_DIFF_ABS:
+                diff = jnp.abs(q_h[:, :, :, None, :] - k_h[:, :, None, :, :])
+                scores = jnp.exp(-jnp.mean(diff, axis=-1))
+            else:  # additive
+                w_aq = self.param("W_add_S_Q", init, (d_k_h, d_k_h))
+                w_ak = self.param("W_add_S_K", init, (d_k_h, d_k_h))
+                qa = q_h @ w_aq
+                ka = k_h @ w_ak
+                scores = jnp.sum(
+                    jnp.tanh(qa[:, :, :, None, :] + ka[:, :, None, :, :]), axis=-1
+                ) / math.sqrt(d_k_h)
+
+            probs = nn.softmax(scores, axis=-1)
+            if self.use_mask and m is not None:
+                probs = probs * m
+            if self.dropout_rate > 0.0 and not deterministic:
+                probs = nn.Dropout(rate=self.dropout_rate)(
+                    probs, deterministic=False
+                )
+            head = jnp.einsum("bhqk,bhkd->bhqd", probs, v_h)
+
+        b, n = q.shape[0], q.shape[1]
+        head = jnp.reshape(jnp.transpose(head, (0, 2, 1, 3)), (b, n, d_v))
+        return head @ w_o

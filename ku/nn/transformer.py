@@ -1,0 +1,106 @@
+"""Transformer composite layers.
+
+Reference: ku/composite_layer/transformer.py —
+- ``Transformer`` (:23-108): encoder block = 2× (MHA + dropout + residual +
+  LayerNorm) then FFN (4× width, swish → linear) + dropout + residual +
+  LayerNorm (:55-96). Input ``[x, mask]``. (The reference reuses
+  ``dropout_1`` for the second attention output at :85 — a latent bug; we
+  use an independent dropout as intended.)
+- ``InterferedTransformer`` (:111-200): takes ``[embedded, x, mask]``,
+  tiles the per-sample embedding across the sequence (:166-169) and
+  concatenates it before the FFN (:180). As written the reference's final
+  residual adds tensors of different widths (concat width vs d_output);
+  we apply the intended fix: the FFN maps the concatenated features back to
+  ``d_output`` and the residual uses the pre-concat branch.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ku.nn.attention import SIMILARITY_TYPE_SCALED, MultiHeadAttention
+
+
+class Transformer(nn.Module):
+    """Transformer encoder block (reference transformer.py:23-108)."""
+
+    num_head: int
+    d_output: int
+    dropout_rate: float = 0.0
+    similarity_type: str = SIMILARITY_TYPE_SCALED
+    layer_norm_f: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, deterministic: bool = True):
+        x, m = inputs[0], inputs[1] if len(inputs) > 1 else None
+
+        def attn_block(y):
+            y2 = MultiHeadAttention(
+                self.num_head,
+                self.d_output,
+                self.dropout_rate,
+                similarity_type=self.similarity_type,
+            )([y, y, y, m], deterministic=deterministic)
+            y2 = nn.Dropout(self.dropout_rate)(y2, deterministic=deterministic)
+            y2 = y + y2
+            if self.layer_norm_f:
+                y2 = nn.LayerNorm(epsilon=1e-6)(y2)
+            return y2
+
+        x2 = attn_block(x)
+        x3 = attn_block(x2)
+
+        x4 = nn.Dense(int(self.d_output * 4))(x3)
+        x4 = nn.swish(x4)
+        x4 = nn.Dense(self.d_output)(x4)
+        x4 = nn.Dropout(self.dropout_rate)(x4, deterministic=deterministic)
+        x4 = x3 + x4
+        if self.layer_norm_f:
+            x4 = nn.LayerNorm(epsilon=1e-6)(x4)
+        return x4
+
+
+class InterferedTransformer(nn.Module):
+    """Transformer block conditioned on a per-sample embedding
+    (reference transformer.py:111-200)."""
+
+    num_head: int
+    d_output: int
+    dropout_rate: float = 0.0
+    similarity_type: str = SIMILARITY_TYPE_SCALED
+    layer_norm_f: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, deterministic: bool = True):
+        embedded, x = inputs[0], inputs[1]
+        m = inputs[2] if len(inputs) > 2 else None
+
+        num_seq = x.shape[1]
+        emb = jnp.tile(embedded[:, None, :], (1, num_seq, 1))
+        if self.layer_norm_f:
+            emb = nn.LayerNorm()(emb)
+
+        def attn_block(y):
+            y2 = MultiHeadAttention(
+                self.num_head,
+                self.d_output,
+                self.dropout_rate,
+                similarity_type=self.similarity_type,
+            )([y, y, y, m], deterministic=deterministic)
+            y2 = y + y2
+            if self.layer_norm_f:
+                y2 = nn.LayerNorm()(y2)
+            return y2
+
+        x2 = attn_block(x)
+        x3 = attn_block(x2)
+        cat = jnp.concatenate([x3, emb], axis=-1)
+
+        x4 = nn.Dense(self.d_output)(cat)
+        x4 = nn.relu(x4)
+        x4 = nn.Dense(self.d_output)(x4)
+        x4 = x3 + x4
+        if self.layer_norm_f:
+            x4 = nn.LayerNorm()(x4)
+        return nn.Dropout(self.dropout_rate)(x4, deterministic=deterministic)

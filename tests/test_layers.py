@@ -1,0 +1,315 @@
+"""Numerical unit tests for the layer zoo vs numpy oracles (SURVEY §4a).
+
+Each oracle re-implements the reference formula cited in the layer's
+docstring, independently in numpy.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ku
+from ku.nn.convolution import _fuse_kernel
+
+
+def test_equalized_lr_dense_matches_formula(key, rng):
+    x = jnp.asarray(rng.normal(size=(4, 7)).astype(np.float32))
+    layer = ku.EqualizedLRDense(5, gain=math.sqrt(2), lrmul=0.5)
+    params = layer.init(key, x)
+    y = layer.apply(params, x)
+
+    kernel = np.asarray(params["params"]["kernel"])
+    bias = np.asarray(params["params"]["bias"])
+    he_std = math.sqrt(2) / math.sqrt(7)
+    expected = np.asarray(x) @ (kernel * he_std * 0.5) + bias
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-5)
+    # Init std should reflect 1/lrmul (truncated normal at ±2σ).
+    assert 1.0 < kernel.std() < 2.1
+
+
+def test_equalized_lr_conv2d_shapes_and_scale(key, rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    layer = ku.EqualizedLRConv2D(6, 3, padding="same", activation="leaky_relu")
+    params = layer.init(key, x)
+    y = layer.apply(params, x)
+    assert y.shape == (2, 8, 8, 6)
+
+    # Scale check: zero-bias linear path vs lax conv oracle.
+    layer_lin = ku.EqualizedLRConv2D(6, 3, padding="same", use_bias=False)
+    p = layer_lin.init(key, x)
+    y_lin = layer_lin.apply(p, x)
+    coeff = math.sqrt(2) / math.sqrt(8 * 8 * 3)
+    oracle = jax.lax.conv_general_dilated(
+        x, p["params"]["kernel"] * coeff, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(y_lin), np.asarray(oracle), rtol=1e-5)
+
+
+def test_fused_kernel_average_rank2():
+    k = jnp.asarray(np.arange(3 * 3, dtype=np.float32).reshape(3, 3, 1, 1))
+    fused = _fuse_kernel(k, 2, average=True)
+    assert fused.shape == (4, 4, 1, 1)
+    # Oracle: pad then average 4 shifted copies (reference convolution.py:324-329).
+    kp = np.pad(np.asarray(k), [(1, 1), (1, 1), (0, 0), (0, 0)])
+    expected = (kp[1:, 1:] + kp[:-1, 1:] + kp[1:, :-1] + kp[:-1, :-1]) / 4.0
+    np.testing.assert_allclose(np.asarray(fused), expected)
+
+
+def test_fused_conv2d_transpose_upsamples(key, rng):
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 3)).astype(np.float32))
+    layer = ku.FusedEqualizedLRConv2DTranspose(5, 3, strides=2, padding="same")
+    params = layer.init(key, x)
+    y = layer.apply(params, x)
+    assert y.shape == (2, 8, 8, 5)
+
+
+def test_blur_depthwise_is_121_blur(key):
+    x = jnp.zeros((1, 5, 5, 2)).at[0, 2, 2, :].set(1.0)
+    layer = ku.BlurDepthwiseConv2D(padding="same", use_bias=False)
+    params = layer.init(key, x)
+    y = np.asarray(layer.apply(params, x))
+    b = np.array([1.0, 2.0, 1.0])
+    f = np.outer(b, b) / 16.0
+    np.testing.assert_allclose(y[0, 1:4, 1:4, 0], f, rtol=1e-6)
+    np.testing.assert_allclose(y[0, 1:4, 1:4, 1], f, rtol=1e-6)
+    np.testing.assert_allclose(y.sum(), 2.0, rtol=1e-5)
+
+
+def test_depthwise_conv3d_groups(key, rng):
+    x = jnp.asarray(rng.normal(size=(2, 5, 6, 7, 4)).astype(np.float32))
+    layer = ku.DepthwiseConv3D(3, padding="same", depth_multiplier=2)
+    params = layer.init(key, x)
+    y = layer.apply(params, x)
+    assert y.shape == (2, 5, 6, 7, 8)
+
+
+def test_separable_conv3d(key, rng):
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 4, 3)).astype(np.float32))
+    layer = ku.SeparableConv3D(6, 3, padding="same", activation="relu")
+    params = layer.init(key, x)
+    y = layer.apply(params, x)
+    assert y.shape == (1, 4, 4, 4, 6)
+    assert np.all(np.asarray(y) >= 0)
+
+
+def test_adaptive_in_oracle(key, rng):
+    c = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    s = rng.normal(loc=2.0, scale=3.0, size=(2, 4, 4, 3)).astype(np.float32)
+    layer = ku.AdaptiveIN()
+    y = layer.apply({}, [jnp.asarray(c), jnp.asarray(s)])
+
+    eps = 1e-7
+    cm = c.mean(axis=(1, 2), keepdims=True)
+    cs = c.std(axis=(1, 2), keepdims=True) + eps
+    sm = s.mean(axis=(1, 2), keepdims=True)
+    ss = s.std(axis=(1, 2), keepdims=True)
+    np.testing.assert_allclose(np.asarray(y), ss * (c - cm) / cs + sm, rtol=2e-4,
+                               atol=1e-5)
+
+
+def test_adaptive_in_with_style_oracle(key, rng):
+    c = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    s = rng.normal(size=(2, 6)).astype(np.float32)
+    layer = ku.AdaptiveINWithStyle()
+    y = layer.apply({}, [jnp.asarray(c), jnp.asarray(s)])
+
+    eps = 1e-7
+    cm = c.mean(axis=(1, 2), keepdims=True)
+    cs = c.std(axis=(1, 2), keepdims=True) + eps
+    sr = s.reshape(-1, 2, 1, 1, 3)
+    expected = (sr[:, 0] + 1) * (c - cm) / cs + sr[:, 1]
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=2e-4, atol=1e-5)
+
+
+def test_pixel_norm(key, rng):
+    x = rng.normal(size=(2, 4, 4, 8)).astype(np.float32)
+    y = np.asarray(ku.PixelNorm().apply({}, jnp.asarray(x)))
+    norms = np.sqrt((y**2).mean(axis=-1))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_minibatch_stddev_concat(key, rng):
+    x = rng.normal(size=(8, 4, 4, 6)).astype(np.float32)
+    layer = ku.MinibatchStddevConcat(group_size=4)
+    y = np.asarray(layer.apply({}, jnp.asarray(x)))
+    assert y.shape == (8, 4, 4, 7)
+    # Oracle (reference style.py:146-165 / NVIDIA impl).
+    g = 4
+    yy = x.reshape(g, -1, 4, 4, 6, 1)
+    yy = yy - yy.mean(axis=0, keepdims=True)
+    yy = np.sqrt((yy**2).mean(axis=0) + 1e-8)
+    stat = yy.mean(axis=(1, 2, 3), keepdims=True).mean(axis=3)
+    expected = np.tile(stat, (g, 4, 4, 1))
+    np.testing.assert_allclose(y[..., 6:], expected, rtol=2e-4, atol=1e-6)
+
+
+def test_style_mixing_regularization(key, rng):
+    d1 = jnp.ones((2, 6, 8))
+    d2 = jnp.zeros((2, 6, 8))
+    layer = ku.StyleMixingRegularization(mixing_prob=1.0)
+    y = layer.apply(
+        {}, [d1, d2], deterministic=False,
+        rngs={"style": jax.random.key(3)},
+    )
+    y = np.asarray(y)
+    # With prob 1, some cutoff in [1, 6): prefix ones, suffix zeros.
+    col = y[0, :, 0]
+    cut = int(col.sum())
+    assert 1 <= cut < 6
+    np.testing.assert_allclose(col[:cut], 1.0)
+    np.testing.assert_allclose(col[cut:], 0.0)
+    # Deterministic: returns d1.
+    np.testing.assert_allclose(
+        np.asarray(layer.apply({}, [d1, d2], deterministic=True)), 1.0
+    )
+
+
+def test_truncation_trick_train_and_eval(key, rng):
+    x = jnp.asarray(rng.normal(size=(4, 6, 8)).astype(np.float32))
+    layer = ku.TruncationTrick(psi=0.5, cutoff=3, momentum=0.9)
+    variables = layer.init(key, x)
+    y, mutated = layer.apply(variables, x, deterministic=False,
+                             mutable=["batch_stats"])
+    mm = np.asarray(mutated["batch_stats"]["moving_mean"])
+    expected_mm = 0.1 * np.asarray(x[:, 0]).mean(axis=0)
+    np.testing.assert_allclose(mm, expected_mm, rtol=1e-5)
+
+    # Inference: layers < cutoff shrink toward moving mean by psi.
+    y_inf = layer.apply(
+        {"batch_stats": mutated["batch_stats"]}, x, deterministic=True
+    )
+    expected = mm + (np.asarray(x) - mm) * np.where(
+        np.arange(6)[None, :, None] < 3, 0.5, 1.0
+    )
+    np.testing.assert_allclose(np.asarray(y_inf), expected, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "sim", ["plain", "scaled", "general", "diff_abs", "additive"]
+)
+def test_multi_head_attention_types(key, rng, sim):
+    q = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    m = jnp.ones((2, 1, 5, 5))
+    layer = ku.MultiHeadAttention(2, 8, 0.0, similarity_type=sim)
+    params = layer.init(key, [q, q, q, m])
+    y = layer.apply(params, [q, q, q, m])
+    assert y.shape == (2, 5, 8)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_scaled_attention_oracle(key, rng):
+    """Scaled similarity vs a numpy softmax(QKᵀ/√d_k)V oracle."""
+    q = jnp.asarray(rng.normal(size=(1, 4, 8)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, 8, 0.0, similarity_type="scaled")
+    params = layer.init(key, [q, q, q, None])
+    y = np.asarray(layer.apply(params, [q, q, q, None]))
+
+    p = params["params"]
+    qn = np.asarray(q)
+
+    def split(x):
+        return np.transpose(x.reshape(1, 4, 2, 4), (0, 2, 1, 3))
+
+    qh = split(qn @ np.asarray(p["W_Q"]))
+    kh = split(qn @ np.asarray(p["W_K"]))
+    vh = split(qn @ np.asarray(p["W_V"]))
+    scores = qh @ np.transpose(kh, (0, 1, 3, 2)) / np.sqrt(8)
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    head = probs @ vh
+    head = np.transpose(head, (0, 2, 1, 3)).reshape(1, 4, 8)
+    expected = head @ np.asarray(p["W_multi_head"])
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_matches_dense(rng):
+    from ku.pallas.flash_attention import flash_attention
+
+    q = jnp.asarray(rng.normal(size=(2, 2, 33, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 2, 57, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 2, 57, 16)).astype(np.float32))
+    out = flash_attention(q, k, v, softmax_scale=0.25, block_size=16)
+    scores = np.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+    e = np.exp(scores - scores.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    expected = np.einsum("bhqk,bhkd->bhqd", probs, v)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_position_encodings(key, rng):
+    x = jnp.zeros((2, 5, 4))
+    y = np.asarray(ku.OrdinalPositionEncoding(10).apply({}, x))
+    np.testing.assert_allclose(y[0, :, 0], (np.arange(1, 6)) / 10.0, rtol=1e-6)
+
+    y2 = np.asarray(ku.PeriodicPositionEncoding(8, 4, 10000.0).apply({}, x))
+    pos = np.arange(8)[:, None]
+    pf = np.arange(4)[None, :]
+    angle = pos / np.power(10000.0, 2 * (pf // 2) / 4.0)
+    table = np.zeros((8, 4), np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    np.testing.assert_allclose(y2[0], table[:5], rtol=1e-5, atol=1e-6)
+
+
+def test_transformer_block(key, rng):
+    x = jnp.asarray(rng.normal(size=(2, 5, 8)).astype(np.float32))
+    m = jnp.ones((2, 1, 5, 5))
+    layer = ku.Transformer(2, 8, 0.1)
+    params = layer.init(key, [x, m])
+    y = layer.apply(params, [x, m])
+    assert y.shape == (2, 5, 8)
+
+    emb = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+    it = ku.InterferedTransformer(2, 8, 0.1)
+    p2 = it.init(key, [emb, x, m])
+    y2 = it.apply(p2, [emb, x, m])
+    assert y2.shape == (2, 5, 8)
+
+
+def test_dense_batch_normalization(key, rng):
+    x = jnp.asarray(rng.normal(size=(4, 7)).astype(np.float32))
+    layer = ku.DenseBatchNormalization(5, activation="relu", dropout_rate=0.1)
+    variables = layer.init(key, x)
+    y = layer.apply(variables, x, deterministic=True)
+    assert y.shape == (4, 5)
+    y2, _ = layer.apply(
+        variables, x, deterministic=False,
+        rngs={"dropout": jax.random.key(1)}, mutable=["batch_stats"],
+    )
+    assert y2.shape == (4, 5)
+
+
+def test_gcn_oracle(key, rng):
+    n = 5
+    x = rng.normal(size=(2, n, 3)).astype(np.float32)
+    a = (rng.uniform(size=(2, n, n)) < 0.4).astype(np.float32)
+    a = np.maximum(a, np.transpose(a, (0, 2, 1)))
+    layer = ku.GraphConvolutionNetwork(n, 4, activation="relu")
+    params = layer.init(key, [jnp.asarray(x), jnp.asarray(a)])
+    y = np.asarray(layer.apply(params, [jnp.asarray(x), jnp.asarray(a)]))
+
+    w = np.asarray(params["params"]["gcn_weight"])
+    at = a + np.eye(n)
+    deg = at.sum(-1)
+    dis = 1.0 / np.sqrt(deg)
+    ahat = at * dis[..., :, None] * dis[..., None, :]
+    expected = np.maximum(ahat @ x @ w, 0.0)
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+    out = layer.apply(params, [jnp.asarray(x), jnp.asarray(a)],
+                      method=None)
+    assert out.shape == (2, n, 4)
+
+
+def test_he_normal_initializer(key):
+    from ku.initializers_ext import he_normal
+
+    init = he_normal(scale=2.0)
+    w = init(key, (1000, 100))
+    std = float(jnp.std(w))
+    # Truncated-normal variance scaling: std ≈ sqrt(2/1000) within tolerance.
+    assert 0.7 * np.sqrt(2 / 1000) < std < 1.1 * np.sqrt(2 / 1000)
