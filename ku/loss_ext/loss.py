@@ -1,0 +1,169 @@
+"""GAN and classification losses — functional, jit-native.
+
+Reference: ku/loss_ext/loss.py. The reference's gradient-penalty losses
+pull ∂D/∂x out of a *persistent GradientTape smuggled through the model*
+(``model.tape_handler.gradient(...)``, reference loss.py:124-130,:150-153 +
+engine_ext/training.py:62-65), which forces ``run_eagerly=True`` on the
+whole GAN (reference gan.py:180,192). The TPU-native design instead
+computes input gradients with ``jax.grad`` *inside* the jitted train step
+and feeds them to the penalty functions explicitly — no eager mode, no
+hidden state, fully fused by XLA.
+
+Formulas (verified against the reference):
+- ``wgan_loss`` (:111-114): mean(y_pred) — the ±1 sign comes from loss
+  weights (reference gan.py:72-74).
+- ``wgan_gp_loss`` (:116-131): λ/target²·(‖∇ₓΣD‖₂ − target)².
+- ``softplus_loss``/``softplus_inverse_loss`` (:133-141):
+  softplus(±y_pred) — the non-saturating StyleGAN logistic pair.
+- ``r_penalty_loss`` (:143-153): γ/2·‖∇ₓΣD(x)‖².
+- ``categorical_crossentropy_with_label_gt`` (:97-109): one-hots integer
+  labels, optional label smoothing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+EPSILON = 1e-7
+
+
+# -- pure loss functions ----------------------------------------------------
+
+
+def wgan_loss(y_true, y_pred):
+    """mean(y_pred) per sample (reference :111-114)."""
+    return jnp.mean(y_pred, axis=-1)
+
+
+def softplus_loss(y_true, y_pred):
+    """softplus(y_pred) (reference :133-136... :139-141)."""
+    return jax.nn.softplus(y_pred)
+
+
+def softplus_inverse_loss(y_true, y_pred):
+    """softplus(−y_pred) (reference :133-137)."""
+    return jax.nn.softplus(-1.0 * y_pred)
+
+
+def lsgan_loss(y_true, y_pred):
+    """Least-squares GAN: MSE (reference uses stock MSE, gan.py:84-88)."""
+    return jnp.mean(jnp.square(y_pred - y_true), axis=-1)
+
+
+def categorical_crossentropy_with_label_gt(
+    y_true, y_pred, num_classes: int = 2, from_logits: bool = False,
+    label_smoothing: float = 0.0,
+):
+    """CCE taking integer labels, with smoothing (reference :97-109)."""
+    y_true = jax.nn.one_hot(jnp.asarray(y_true, jnp.int32), num_classes,
+                            dtype=y_pred.dtype)
+    if label_smoothing:
+        y_true = y_true * (1.0 - label_smoothing) + label_smoothing / num_classes
+    if from_logits:
+        log_p = jax.nn.log_softmax(y_pred, axis=-1)
+    else:
+        log_p = jnp.log(jnp.clip(y_pred, EPSILON, 1.0 - EPSILON))
+    return -jnp.sum(y_true * log_p, axis=-1)
+
+
+# -- gradient penalties -----------------------------------------------------
+
+
+def _grad_sq_norm(grads):
+    """Σ over non-batch axes of grad² (reference sums axes [1,2,3])."""
+    axes = tuple(range(1, grads.ndim))
+    return jnp.sum(jnp.square(grads), axis=axes)
+
+
+def wgan_gp_loss(grads, wgan_lambda: float = 10.0, wgan_target: float = 1.0):
+    """λ/target²·(‖∇‖−target)² from explicit input gradients
+    (reference :116-131, tape replaced by a jax.grad argument)."""
+    norm = jnp.sqrt(_grad_sq_norm(grads) + EPSILON)
+    return (wgan_lambda / (wgan_target**2)) * jnp.square(norm - wgan_target)
+
+
+def r_penalty_loss(grads, r_gamma: float = 10.0):
+    """R1 penalty γ/2·‖∇ₓD(x)‖² from explicit input gradients
+    (reference :143-153)."""
+    return r_gamma * 0.5 * _grad_sq_norm(grads)
+
+
+def r1_penalty(disc_fn, x, r_gamma: float = 10.0):
+    """Compute the R1 penalty end-to-end: ∇ₓ ΣD(x) via jax.grad.
+
+    ``disc_fn(x) -> logits``; differentiable, so grad-of-grad through the
+    whole train step works (the reference needed eager persistent tapes).
+    """
+    grads = jax.grad(lambda xx: jnp.sum(disc_fn(xx)))(x)
+    return r_penalty_loss(grads, r_gamma)
+
+
+def gradient_penalty(disc_fn, x_interp, wgan_lambda: float = 10.0,
+                     wgan_target: float = 1.0):
+    """WGAN-GP on interpolated inputs via jax.grad (reference gan.py
+    interpolation head :1070-1075 + loss.py:116-131)."""
+    grads = jax.grad(lambda xx: jnp.sum(disc_fn(xx)))(x_interp)
+    return wgan_gp_loss(grads, wgan_lambda, wgan_target)
+
+
+# -- class wrappers (API parity with reference loss.py:30-95) ---------------
+
+
+class _LossWrapper:
+    reduction_mean = True
+
+    def __call__(self, y_true, y_pred):
+        out = self.fn(y_true, y_pred)
+        return jnp.mean(out) if self.reduction_mean else out
+
+
+class WGANLoss(_LossWrapper):
+    fn = staticmethod(wgan_loss)
+
+
+class SoftPlusLoss(_LossWrapper):
+    fn = staticmethod(softplus_loss)
+
+
+class SoftPlusInverseLoss(_LossWrapper):
+    fn = staticmethod(softplus_inverse_loss)
+
+
+class CategoricalCrossentropyWithLabelGT(_LossWrapper):
+    def __init__(self, num_classes: int = 2, from_logits: bool = False,
+                 label_smoothing: float = 0.0):
+        self.num_classes = num_classes
+        self.from_logits = from_logits
+        self.label_smoothing = label_smoothing
+
+    def __call__(self, y_true, y_pred):
+        return jnp.mean(
+            categorical_crossentropy_with_label_gt(
+                y_true, y_pred, self.num_classes, self.from_logits,
+                self.label_smoothing,
+            )
+        )
+
+
+class WGANGPLoss:
+    """Penalty wrapper taking explicit input gradients (reference :51-65)."""
+
+    def __init__(self, wgan_lambda: float = 10.0, wgan_target: float = 1.0):
+        self.wgan_lambda = wgan_lambda
+        self.wgan_target = wgan_target
+
+    def __call__(self, grads):
+        return jnp.mean(wgan_gp_loss(grads, self.wgan_lambda, self.wgan_target))
+
+
+class RPenaltyLoss:
+    """R1 penalty wrapper taking explicit input gradients (reference :81-95)."""
+
+    def __init__(self, r_gamma: float = 10.0):
+        self.r_gamma = r_gamma
+
+    def __call__(self, grads):
+        return jnp.mean(r_penalty_loss(grads, self.r_gamma))
