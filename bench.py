@@ -1,0 +1,113 @@
+"""Benchmark: MNIST-scale RBM CD-1 epoch throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Target (BASELINE.json north star): the reference's CD-1 hot loop
+(ku/ebm/rbm.py:163-234 — 5 host→device K.function dispatches per batch)
+rebuilt as a single fused Pallas epoch kernel, ≥20× the reference CPU
+epoch throughput. The reference publishes no numbers (BASELINE.md), so the
+baseline here is a faithful numpy re-implementation of its per-batch CD-1
+update loop, measured on this host's CPU and extrapolated to the full
+epoch. ``vs_baseline`` = TPU samples/sec ÷ reference-equivalent CPU
+samples/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N, V_DIM, H_DIM = 60032, 784, 128  # MNIST-scale (60000 rounded to batch)
+BATCH = 128
+EPOCHS_TIMED = 10
+
+
+def _data():
+    rng = np.random.default_rng(0)
+    # MNIST-like sparse binary visibles.
+    return (rng.random((N, V_DIM)) < 0.13).astype(np.float32)
+
+
+def numpy_reference_throughput(V, max_batches: int = 20) -> float:
+    """The reference's CD-1 math (rbm.py:121-134) in numpy, per batch —
+    the same 5-pass structure (weight update, 2 bias updates, free-energy
+    scoring ×2) it dispatches per step."""
+    rng = np.random.default_rng(1)
+    w = rng.uniform(-0.05, 0.05, (V_DIM, H_DIM)).astype(np.float32)
+    bh = rng.uniform(-0.05, 0.05, H_DIM).astype(np.float32)
+    bv = rng.uniform(-0.05, 0.05, V_DIM).astype(np.float32)
+    lr = 1e-3
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    start = time.perf_counter()
+    n_done = 0
+    for i in range(max_batches):
+        v = V[i * BATCH:(i + 1) * BATCH]
+        h_pos = (rng.random((BATCH, H_DIM)) < sigmoid(v @ w + bh)).astype(
+            np.float32
+        )
+        v_neg = (rng.random((BATCH, V_DIM)) < sigmoid(h_pos @ w.T + bv)).astype(
+            np.float32
+        )
+        h_neg = sigmoid(v_neg @ w + bh)
+        w += lr * (v.T @ h_pos - v_neg.T @ h_neg)
+        bh += lr * (h_pos.sum(0) - h_neg.sum(0))
+        bv += lr * (v.sum(0) - v_neg.sum(0))
+        fe = -(v @ bv + np.log1p(np.exp(v @ w + bh)).sum(-1))
+        fe_p = -(v_neg @ bv + np.log1p(np.exp(v_neg @ w + bh)).sum(-1))
+        _ = np.abs(fe - fe_p).mean()
+        n_done += BATCH
+    return n_done / (time.perf_counter() - start)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    from ku.ebm.rbm import MODE_VISIBLE_BERNOULLI, init_rbm_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from ku.pallas.cd_gibbs import cd_epoch_pallas as epoch_fn
+    else:
+        from ku.ebm.rbm import cd_epoch_scan as epoch_fn
+
+    V = _data()
+    cpu_sps = numpy_reference_throughput(V)
+
+    params = init_rbm_params(jax.random.key(0), V_DIM, H_DIM)
+    v_all = jnp.asarray(V)
+    mask = jnp.ones((N,), jnp.float32)
+
+    # Warmup / compile.
+    p, s = epoch_fn(params, v_all, mask, jax.random.key(1), 1e-3, 1,
+                    MODE_VISIBLE_BERNOULLI, BATCH)
+    jax.block_until_ready((p, s))
+
+    start = time.perf_counter()
+    for e in range(EPOCHS_TIMED):
+        p, s = epoch_fn(p, v_all, mask, jax.random.key(2 + e), 1e-3, 1,
+                        MODE_VISIBLE_BERNOULLI, BATCH)
+    jax.block_until_ready((p, s))
+    elapsed = time.perf_counter() - start
+    sps = N * EPOCHS_TIMED / elapsed
+
+    print(json.dumps({
+        "metric": "rbm_cd1_mnist_samples_per_sec",
+        "value": round(sps, 1),
+        "unit": "samples/sec",
+        "vs_baseline": round(sps / cpu_sps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

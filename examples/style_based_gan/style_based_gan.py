@@ -1,0 +1,266 @@
+"""Style-based GAN on FFHQ thumbnails — example application.
+
+Reference: examples/style_based_gan/style_based_gan.py:73-1588. This
+example wires the ku StyleGAN model family (ku/models/stylegan.py — the
+mapping/synthesis/discriminator topology documented there) into the GAN
+engine (ku/backprop/gan.py) in the reference's default softplus-R1 mode
+(reference :108, gan_mode 2), with:
+
+- FFHQ thumbnail pipeline (``TrainingSequenceFFHQ``, reference
+  :1373-1480): 128×128 PNGs from ``raw_data_path``, labels = filename
+  index clamped to ``num_classes``; falls back to a synthetic dataset when
+  the directory is absent so the example runs offline.
+- per-epoch sample-image dump to ``results/`` (reference :825-835) and
+  model saves each epoch (reference :822-823).
+- progressive training via resolution-staged models
+  (``fit_progressively``; replaces the reference's layer-index
+  ``create_prog_model`` schedule with resolution stages — flax params
+  transfer between stages by layer name).
+
+Config contract: style_based_gan_conf.json (reference
+style_based_gan_conf.json:1-64).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import common  # noqa: E402  (bootstraps repo root)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from ku.backprop import STYLE_GAN_SOFTPLUS_INVERSE_R1_GP, AbstractGAN  # noqa: E402
+from ku.core.config import load_config  # noqa: E402
+from ku.models import StyleGANDiscriminator, StyleGANGenerator  # noqa: E402
+
+
+class TrainingSequenceFFHQ:
+    """FFHQ thumbnail batch iterator (reference :1373-1480).
+
+    Yields the engine's dict batches: real images in [-1, 1] (generator
+    outputs tanh), labels = file index % num_classes, latents z1/z2.
+    """
+
+    def __init__(self, raw_data_path, hps, nn_arch, map_nn_arch,
+                 batch_shuffle=True, seed=0):
+        self.batch_size = int(hps["batch_size"])
+        self.latent_dim = int(map_nn_arch["latent_dim"])
+        self.num_classes = int(map_nn_arch["num_classes"])
+        self.resolution = int(nn_arch["resolution"])
+        self.label_usage = bool(nn_arch.get("label_usage", True))
+        self.rng = np.random.default_rng(seed)
+        self.batch_shuffle = batch_shuffle
+
+        self.files = sorted(glob.glob(os.path.join(raw_data_path, "**", "*.png"),
+                                      recursive=True))
+        self.synthetic = not self.files
+        if self.synthetic:
+            print(f"[style_based_gan] no images under {raw_data_path!r}; "
+                  "using a synthetic dataset")
+
+    def _load_image(self, path):
+        import matplotlib.image as mpimg
+
+        img = np.asarray(mpimg.imread(path), np.float32)
+        if img.max() > 1.5:  # uint8-ranged
+            img = img / 255.0
+        if img.shape[0] != self.resolution:
+            from ku.image_utils import resize
+
+            img = np.asarray(resize(img[..., :3],
+                                    (self.resolution, self.resolution)))
+        return img[..., :3] * 2.0 - 1.0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        b = self.batch_size
+        if self.synthetic:
+            # Smooth random blobs in [-1, 1].
+            base = self.rng.normal(size=(b, 8, 8, 3)).astype(np.float32)
+            x = np.asarray(
+                jax.image.resize(base, (b, self.resolution, self.resolution, 3),
+                                 "linear")
+            )
+            x = np.tanh(x)
+            labels = self.rng.integers(0, self.num_classes, size=(b, 1))
+        else:
+            idx = self.rng.integers(0, len(self.files), size=b) \
+                if self.batch_shuffle else np.arange(b) % len(self.files)
+            x = np.stack([self._load_image(self.files[i]) for i in idx])
+            labels = (idx % self.num_classes).reshape(-1, 1)
+
+        z1 = self.rng.normal(size=(b, self.latent_dim)).astype(np.float32)
+        z2 = self.rng.normal(size=(b, self.latent_dim)).astype(np.float32)
+        batch = {"x": x.astype(np.float32)}
+        if self.label_usage:
+            batch["z"] = (z1, labels.astype(np.int32), z2)
+            batch["label"] = labels.astype(np.float32)
+        else:
+            batch["z"] = (z1, z2)
+        return batch
+
+
+class StyleGAN(AbstractGAN):
+    """Reference class surface (:73-1371)."""
+
+    def __init__(self, conf):
+        self.map_nn_arch = conf["map_nn_arch"]
+        self.disc_nn_arch = conf.get("disc_nn_arch", {})
+        self._nn_arch = conf["nn_arch"]
+        self._hps = conf["hps"]
+        conf.setdefault("hps", {})["composing_mode"] = int(
+            conf.get("gan_mode", STYLE_GAN_SOFTPLUS_INVERSE_R1_GP)
+        )
+        conf["nn_arch"]["gen_rng_streams"] = ["noise", "style"]
+        self.raw_data_path = conf.get("raw_data_path", "")
+        super().__init__(conf)
+
+    def _modules_at(self, resolution: int):
+        n = self._nn_arch
+        h = self._hps
+        m = self.map_nn_arch
+        gen = StyleGANGenerator(
+            resolution=resolution,
+            ch_base=int(h["ch_base"]), max_ch=int(h["max_ch"]),
+            latent_dim=int(m["latent_dim"]), dlatent_dim=int(m["dlatent_dim"]),
+            dense1_dim=int(m["dense1_dim"]),
+            num_mapping_layers=int(m["num_layers"]),
+            num_classes=int(m["num_classes"]),
+            label_usage=bool(n["label_usage"]),
+            mixing_prob=h.get("mixing_prob"),
+            trunc_psi=float(h.get("trunc_psi", 0.0)),
+            trunc_cutoff=h.get("trunc_cutoff"),
+            trunc_momentum=float(h.get("trunc_momentum", 0.99)),
+        )
+        disc = StyleGANDiscriminator(
+            resolution=resolution,
+            ch_base=int(h["ch_base"]), max_ch=int(h["max_ch"]),
+            dropout_rate=float(self.disc_nn_arch.get("dropout_rate", 0.0)),
+            label_usage=bool(n["label_usage"]),
+        )
+        return gen, disc
+
+    def _create_generator(self):
+        return self._modules_at(int(self._nn_arch["resolution"]))[0]
+
+    def _create_discriminator(self):
+        return self._modules_at(int(self._nn_arch["resolution"]))[1]
+
+    # -- training ----------------------------------------------------------
+
+    def train(self, sample_dir: str = "results", save_dir: str = "."):
+        """Alternating training with per-epoch sampling + saves
+        (reference :556-849)."""
+        os.makedirs(sample_dir, exist_ok=True)
+        seq = TrainingSequenceFFHQ(self.raw_data_path, self._hps,
+                                   self._nn_arch, self.map_nn_arch)
+        self.compile()
+        epochs = int(self._hps["epochs"])
+        hist = {"disc_ext_loss": [], "gen_disc_loss": []}
+        for e in range(epochs):
+            sub = dict(self.hps)
+            sub["epochs"] = 1
+            old, self.hps = self.hps, sub
+            try:
+                h = self.fit_generator(seq, verbose=1, seed=e)
+            finally:
+                self.hps = old
+            hist["disc_ext_loss"] += h["disc_ext_loss"]
+            hist["gen_disc_loss"] += h["gen_disc_loss"]
+            self.save_gan_model(save_dir)
+            self._dump_samples(os.path.join(sample_dir, f"epoch_{e + 1}.npy"))
+        return hist
+
+    def fit_progressively(self, sample_dir: str = "results"):
+        """Progressive resolution schedule (reference
+        ``fit_generator_progressively``, :851-1159): one stage per entry of
+        ``nn_arch.gen_prog_resolutions``; weights transfer by name."""
+        os.makedirs(sample_dir, exist_ok=True)
+        self.compile()
+        resolutions = self._nn_arch.get(
+            "gen_prog_resolutions", [int(self._nn_arch["resolution"])]
+        )
+        prev_state = None
+        for stage, res in enumerate(resolutions):
+            print(f"[progressive] stage {stage}: resolution {res}")
+            self.gen, self.disc = self._modules_at(int(res))
+            nn_arch_stage = dict(self._nn_arch)
+            nn_arch_stage["resolution"] = int(res)
+            seq = TrainingSequenceFFHQ(self.raw_data_path, self._hps,
+                                       nn_arch_stage, self.map_nn_arch)
+            self.state = None
+            sub = dict(self.hps)
+            sub["epochs"] = 1
+            old, self.hps = self.hps, sub
+            try:
+                self.fit_generator(seq, verbose=1, seed=100 + stage)
+            finally:
+                self.hps = old
+            if prev_state is not None:
+                from ku.backprop.gan import _merge_shared
+
+                self.state["gen_params"] = _merge_shared(
+                    self.state["gen_params"], prev_state["gen_params"]
+                )
+                self.state["disc_params"] = _merge_shared(
+                    self.state["disc_params"], prev_state["disc_params"]
+                )
+            prev_state = self.state
+
+    def _dump_samples(self, path, n: int = 4):
+        imgs = np.asarray(self.generate_samples(n))
+        np.save(path, imgs)
+
+    # -- inference ---------------------------------------------------------
+
+    def generate_samples(self, n: int, labels=None, seed: int = 0):
+        """Sample n images in [0, 1] (reference ``generate``, :1361-1371)."""
+        rng = np.random.default_rng(seed)
+        m = self.map_nn_arch
+        z1 = rng.normal(size=(n, int(m["latent_dim"]))).astype(np.float32)
+        z2 = rng.normal(size=(n, int(m["latent_dim"]))).astype(np.float32)
+        if self._nn_arch.get("label_usage", True):
+            if labels is None:
+                labels = rng.integers(0, int(m["num_classes"]), size=(n, 1))
+            z = (jnp.asarray(z1), jnp.asarray(labels), jnp.asarray(z2))
+        else:
+            z = (jnp.asarray(z1), jnp.asarray(z2))
+        img = self.generate(z, key=jax.random.key(seed))
+        return (np.asarray(img) + 1.0) / 2.0
+
+    def evaluate(self, result_dir: str = "results", num_per_class: int = 1,
+                 classes=(0,)):
+        """Per-class sample dump (reference :1337-1359)."""
+        os.makedirs(result_dir, exist_ok=True)
+        for c in classes:
+            labels = np.full((num_per_class, 1), c)
+            imgs = self.generate_samples(num_per_class, labels=labels, seed=c)
+            np.save(os.path.join(result_dir, f"class_{c}.npy"), imgs)
+
+
+def main():
+    conf_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "style_based_gan_conf.json"
+    )
+    conf = load_config(conf_path)
+    s_gan = StyleGAN(conf)
+    start = time.time()
+    if conf["mode"] == "train":
+        s_gan.train()
+    elif conf["mode"] == "train_progressively":
+        s_gan.fit_progressively()
+    elif conf["mode"] == "evaluate":
+        s_gan.evaluate()
+    print(f"Elasped time: {time.time() - start:f}s")
+
+
+if __name__ == "__main__":
+    main()

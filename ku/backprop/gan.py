@@ -195,8 +195,14 @@ class AbstractGAN:
             self.loss_conf = loss_conf or get_loss_conf(
                 self.hps, _MODE_TO_LC[self.composing_mode]
             )
-        d_hps = self.hps.get("disc_ext_hps", self.hps)
-        g_hps = self.hps.get("gen_disc_hps", self.hps)
+        # The reference conf puts disc_ext_hps/gen_disc_hps at the top level
+        # (style_based_gan_conf.json:50-63); accept them under hps too.
+        d_hps = self.hps.get(
+            "disc_ext_hps", self.conf.get("disc_ext_hps", self.hps)
+        )
+        g_hps = self.hps.get(
+            "gen_disc_hps", self.conf.get("gen_disc_hps", self.hps)
+        )
         self.disc_opt = disc_ext_opt if disc_ext_opt is not None else optax.adam(
             d_hps.get("lr", 1e-4), b1=d_hps.get("beta_1", 0.0),
             b2=d_hps.get("beta_2", 0.99),
@@ -216,10 +222,11 @@ class AbstractGAN:
         for i, s in enumerate(self.gen_rng_streams):
             gen_rngs[s] = jax.random.fold_in(kg, i + 1)
         gen_vars = self.gen.init(gen_rngs, sample_batch["z"])
-        fake = self.gen.apply(
+        fake, _ = self.gen.apply(
             gen_vars, sample_batch["z"],
             rngs={s: jax.random.fold_in(kg, 99 + i)
                   for i, s in enumerate(self.gen_rng_streams)},
+            mutable=True,
         )
         disc_in = self._disc_input(sample_batch, self._gen_output_image(fake))
         disc_vars = self.disc.init({"params": kd}, disc_in)
@@ -252,7 +259,6 @@ class AbstractGAN:
                 deterministic=False,
             )
             return out, mut["batch_stats"]
-        kwargs = {} if not self.gen_rng_streams and not stats else {}
         out = self.gen.apply(variables, z, rngs=rngs,
                              deterministic=not train)
         return out, stats
