@@ -88,16 +88,18 @@ def main():
     v_all = jnp.asarray(V)
     mask = jnp.ones((N,), jnp.float32)
 
-    # Warmup / compile.
+    # Warmup / compile, with a full host readback as the fence —
+    # block_until_ready alone is not a reliable completion barrier over
+    # remote-dispatch TPU tunnels.
     p, s = epoch_fn(params, v_all, mask, jax.random.key(1), 1e-3, 1,
                     MODE_VISIBLE_BERNOULLI, BATCH)
-    jax.block_until_ready((p, s))
+    _ = np.asarray(p["rbm_weight"]).sum()
 
     start = time.perf_counter()
     for e in range(EPOCHS_TIMED):
         p, s = epoch_fn(p, v_all, mask, jax.random.key(2 + e), 1e-3, 1,
                         MODE_VISIBLE_BERNOULLI, BATCH)
-    jax.block_until_ready((p, s))
+    _ = np.asarray(p["rbm_weight"]).sum()  # hard fence: device→host readback
     elapsed = time.perf_counter() - start
     sps = N * EPOCHS_TIMED / elapsed
 
