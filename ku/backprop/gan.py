@@ -390,12 +390,20 @@ class AbstractGAN:
 
     # -- training loops -----------------------------------------------------
 
-    def fit_generator(self, generator, verbose: int = 1, seed: int = 0):
+    def fit_generator(self, generator, verbose: int = 1, seed: int = 0,
+                      mesh=None, callbacks=()):
         """Alternating training from a batch iterator (reference :225-506).
 
         ``generator`` yields dict batches; ``hps``: ``epochs``,
         ``batch_step`` (steps per epoch), ``disc_k_step`` (D steps per G
         step, reference conf key).
+
+        ``mesh``: optional ``jax.sharding.Mesh``. With a ``'data'`` axis
+        the batch is sharded over it (gradients all-reduce over ICI via
+        GSPMD); with a ``'model'`` axis, mapping/style matmuls are
+        tensor-parallel (see ku/dist/mesh.py:shard_gan_state). This is the
+        working replacement for the reference's dead ``multi_gpu`` flag
+        (:1002).
         """
         epochs = int(self.hps.get("epochs", 1))
         batch_step = int(self.hps.get("batch_step", 1))
@@ -404,8 +412,13 @@ class AbstractGAN:
             self.compile()
         key = jax.random.key(seed)
         it = iter(generator)
+        if mesh is not None:
+            from ku.dist import shard_gan_state, shard_stacked_batches
 
+        for cb in callbacks:
+            cb.on_train_begin(self)
         history = {"disc_ext_loss": [], "gen_disc_loss": []}
+        self.stop_training = False
         for e in range(epochs):
             d_losses, g_losses = [], []
             for s in range(batch_step):
@@ -416,6 +429,10 @@ class AbstractGAN:
                 if self.state is None:
                     self.init_state(jax.tree.map(lambda x: x[0], batches),
                                     seed=seed)
+                    if mesh is not None:
+                        self.state = shard_gan_state(self.state, mesh)
+                if mesh is not None:
+                    batches = shard_stacked_batches(batches, mesh)
                 key = jax.random.fold_in(key, e * batch_step + s)
                 self.state, d_loss, g_loss = self._train_step(
                     self.state, batches, disc_k_step, key
@@ -430,6 +447,14 @@ class AbstractGAN:
                     f"{history['disc_ext_loss'][-1]:f}, gen_disc loss: "
                     f"{history['gen_disc_loss'][-1]:f}"
                 )
+            logs = {"disc_ext_loss": history["disc_ext_loss"][-1],
+                    "gen_disc_loss": history["gen_disc_loss"][-1]}
+            for cb in callbacks:
+                cb.on_epoch_end(self, e, logs)
+            if self.stop_training:  # reference stop flag (gan.py:396-397)
+                break
+        for cb in callbacks:
+            cb.on_train_end(self, history)
         return history
 
     def fit_generator_progressively(self, generator_factory,

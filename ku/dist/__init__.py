@@ -7,4 +7,7 @@ from ku.dist.mesh import (
     data_parallel_sharding,
     replicate,
     cd_epoch_dp,
+    shard_gan_state,
+    shard_stacked_batches,
+    shard_batch,
 )

@@ -64,6 +64,47 @@ def shard_batch(mesh: Mesh, tree, axis: int = 0, axis_name: str = "data"):
     )
 
 
+def shard_gan_state(state, mesh, model_axis: str = "model",
+                    tp_patterns: Sequence[str] = ("map_dense", "style_dense",
+                                                  "dense_1")):
+    """Place a GAN train state on the mesh: matmul kernels matching
+    ``tp_patterns`` tensor-parallel over ``model_axis`` (column-sharded),
+    everything else replicated. GSPMD propagates the rest of the sharding
+    through the jitted train step."""
+    from jax.sharding import NamedSharding
+
+    def spec_for(path, leaf):
+        names = "/".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path
+        )
+        if (
+            getattr(leaf, "ndim", 0) == 2
+            and "kernel" in names
+            and any(pat in names for pat in tp_patterns)
+            and model_axis in mesh.shape
+            and leaf.shape[1] % mesh.shape[model_axis] == 0
+        ):
+            return NamedSharding(mesh, P(None, model_axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(leaf, spec_for(path, leaf))
+        if hasattr(leaf, "ndim") else leaf,
+        state,
+    )
+
+
+def shard_stacked_batches(batches, mesh, axis_name: str = "data"):
+    """Shard the engine's k-stacked batch dict (leading axis = disc step,
+    axis 1 = batch) over the data axis."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(None, axis_name))),
+        batches,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("mesh", "lr", "k", "mode", "batch_size")
 )
