@@ -64,6 +64,21 @@ class TrainingSequenceFFHQ:
             print(f"[style_based_gan] no images under {raw_data_path!r}; "
                   "using a synthetic dataset")
 
+        # Prefer the native C++ resize+normalize+prefetch pipeline
+        # (ku/native/loader.cpp); fall back to per-image Python/JAX.
+        self._native = None
+        if not self.synthetic:
+            try:
+                from ku.native import NativeImagePipeline
+
+                if NativeImagePipeline.available():
+                    self._native = NativeImagePipeline(
+                        out_h=self.resolution, out_w=self.resolution,
+                        n_threads=4, capacity=4 * self.batch_size,
+                    )
+            except Exception:
+                self._native = None
+
     def _load_image(self, path):
         import matplotlib.image as mpimg
 
@@ -94,7 +109,17 @@ class TrainingSequenceFFHQ:
         else:
             idx = self.rng.integers(0, len(self.files), size=b) \
                 if self.batch_shuffle else np.arange(b) % len(self.files)
-            x = np.stack([self._load_image(self.files[i]) for i in idx])
+            if self._native is not None:
+                import matplotlib.image as mpimg
+
+                for i in idx:
+                    raw = np.asarray(mpimg.imread(self.files[i]))
+                    if raw.dtype != np.uint8:
+                        raw = (raw * 255).astype(np.uint8)
+                    self._native.submit(np.ascontiguousarray(raw[..., :3]))
+                x = self._native.get_batch(b)
+            else:
+                x = np.stack([self._load_image(self.files[i]) for i in idx])
             labels = (idx % self.num_classes).reshape(-1, 1)
 
         z1 = self.rng.normal(size=(b, self.latent_dim)).astype(np.float32)

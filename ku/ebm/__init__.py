@@ -2,6 +2,7 @@
 
 from ku.ebm.rbm import (
     RBM,
+    RBMLayer,
     MODE_VISIBLE_BERNOULLI,
     MODE_VISIBLE_GAUSSIAN,
     MODE_COMPLEX,

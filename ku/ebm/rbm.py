@@ -182,6 +182,59 @@ def cd_epoch_scan(params, v_all, mask, key, lr: float, k: int, mode: int,
     return params, scores
 
 
+class RBMLayer:
+    """Flax-style module wrapper so an RBM can sit inside a larger model
+    (the reference embeds RBM as a Keras layer: Input → /255 → RBM →
+    Dense(10), examples/rbm/rbm_softmax_mnist.py:53-64; RBM.call at
+    rbm.py:80-86 forwards a *sampled*, gradient-less Bernoulli draw, so
+    RBM weights receive no supervised gradient — reproduced here with
+    ``stop_gradient`` + optional deterministic probabilities).
+
+    Usage::
+
+        import flax.linen as nn
+
+        class Classifier(nn.Module):
+            @nn.compact
+            def __call__(self, x, deterministic=True):
+                h = RBMLayer.as_flax(output_dim=128)(x)
+                return nn.Dense(10)(h)
+    """
+
+    @staticmethod
+    def as_flax(output_dim: int, mode: int = MODE_VISIBLE_BERNOULLI,
+                sample: bool = False, trainable: bool = False):
+        import flax.linen as nn
+
+        class _RBMLayer(nn.Module):
+            features: int = output_dim
+
+            @nn.compact
+            def __call__(self, v, deterministic: bool = True):
+                w = self.param(
+                    "rbm_weight",
+                    jax.nn.initializers.uniform(0.05),
+                    (v.shape[-1], self.features),
+                )
+                bh = self.param(
+                    "hidden_bias", jax.nn.initializers.uniform(0.05),
+                    (self.features,),
+                )
+                if not trainable:
+                    w = jax.lax.stop_gradient(w)
+                    bh = jax.lax.stop_gradient(bh)
+                act = v @ w + bh
+                p = (jax.nn.sigmoid(act) if mode == MODE_VISIBLE_BERNOULLI
+                     else jax.nn.relu(act))
+                if sample and not deterministic:
+                    u = jax.random.uniform(self.make_rng("sample"), p.shape,
+                                           p.dtype)
+                    return jax.lax.stop_gradient((u < p).astype(p.dtype))
+                return p
+
+        return _RBMLayer()
+
+
 class RBM:
     """RBM with the reference's surface: ``fit`` / ``transform`` /
     ``inv_transform`` / ``cal_free_energy`` (reference ku/ebm/rbm.py:19-242).

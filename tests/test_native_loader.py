@@ -1,0 +1,88 @@
+"""Native C++ preprocessing pipeline: build, correctness vs numpy oracle,
+concurrency, throughput sanity."""
+
+import numpy as np
+import pytest
+
+from ku.native import NativeImagePipeline
+
+pytestmark = pytest.mark.skipif(
+    not NativeImagePipeline.available(), reason="no C++ toolchain"
+)
+
+
+def _bilinear_oracle(img, oh, ow):
+    """Half-pixel-centered bilinear resize (matches the kernel's math)."""
+    ih, iw, c = img.shape
+    out = np.zeros((oh, ow, c), np.float32)
+    for y in range(oh):
+        sy = max((y + 0.5) * ih / oh - 0.5, 0.0)
+        y0 = int(sy)
+        y1 = min(y0 + 1, ih - 1)
+        fy = sy - y0
+        for x in range(ow):
+            sx = max((x + 0.5) * iw / ow - 0.5, 0.0)
+            x0 = int(sx)
+            x1 = min(x0 + 1, iw - 1)
+            fx = sx - x0
+            top = img[y0, x0] + (img[y0, x1] - img[y0, x0]) * fx
+            bot = img[y1, x0] + (img[y1, x1] - img[y1, x0]) * fx
+            out[y, x] = top + (bot - top) * fy
+    return out
+
+
+def test_native_resize_matches_oracle(rng):
+    img = rng.integers(0, 256, size=(37, 53, 3)).astype(np.uint8)
+    pipe = NativeImagePipeline(out_h=32, out_w=32, n_threads=1)
+    pipe.submit(img)
+    out = pipe.get()
+    pipe.close()
+    assert out.shape == (32, 32, 3)
+    # Aspect preserved: 53→32 wide ⇒ height ≈ 37*32/53 = 22, letterboxed.
+    scale = min(32 / 37, 32 / 53)
+    rh, rw = int(37 * scale), int(53 * scale)
+    pad_t, pad_l = (32 - rh) // 2, (32 - rw) // 2
+    oracle = _bilinear_oracle(img.astype(np.float32), rh, rw)
+    oracle = oracle * (2.0 / 255.0) - 1.0
+    np.testing.assert_allclose(
+        out[pad_t:pad_t + rh, pad_l:pad_l + rw], oracle, rtol=1e-4, atol=1e-4
+    )
+    # Letterbox rows are zero.
+    assert np.abs(out[:pad_t]).max() == 0.0
+
+
+def test_native_pipeline_concurrent(rng):
+    pipe = NativeImagePipeline(out_h=16, out_w=16, n_threads=4, capacity=32)
+    imgs = [rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+            for _ in range(20)]
+    for img in imgs:
+        pipe.submit(img)
+    batch = pipe.get_batch(20)
+    assert batch.shape == (20, 16, 16, 3)
+    assert pipe.pending() == 0
+    assert np.isfinite(batch).all()
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
+    pipe.close()
+
+
+def test_native_faster_than_python(rng):
+    """4-thread native pipeline should beat the single-threaded numpy
+    oracle comfortably on a real workload."""
+    import time
+
+    imgs = [rng.integers(0, 256, size=(256, 256, 3)).astype(np.uint8)
+            for _ in range(32)]
+
+    pipe = NativeImagePipeline(out_h=128, out_w=128, n_threads=4, capacity=64)
+    start = time.perf_counter()
+    for img in imgs:
+        pipe.submit(img)
+    _ = pipe.get_batch(len(imgs))
+    native_t = time.perf_counter() - start
+    pipe.close()
+
+    start = time.perf_counter()
+    for img in imgs[:4]:
+        _bilinear_oracle(img.astype(np.float32), 128, 128)
+    python_t = (time.perf_counter() - start) * len(imgs) / 4
+    assert native_t < python_t, (native_t, python_t)
