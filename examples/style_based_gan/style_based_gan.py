@@ -152,6 +152,9 @@ class StyleGAN(AbstractGAN):
         n = self._nn_arch
         h = self._hps
         m = self.map_nn_arch
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
+            n.get("dtype"), None
+        )
         gen = StyleGANGenerator(
             resolution=resolution,
             ch_base=int(h["ch_base"]), max_ch=int(h["max_ch"]),
@@ -164,12 +167,14 @@ class StyleGAN(AbstractGAN):
             trunc_psi=float(h.get("trunc_psi", 0.0)),
             trunc_cutoff=h.get("trunc_cutoff"),
             trunc_momentum=float(h.get("trunc_momentum", 0.99)),
+            dtype=dtype,
         )
         disc = StyleGANDiscriminator(
             resolution=resolution,
             ch_base=int(h["ch_base"]), max_ch=int(h["max_ch"]),
             dropout_rate=float(self.disc_nn_arch.get("dropout_rate", 0.0)),
             label_usage=bool(n["label_usage"]),
+            dtype=dtype,
         )
         return gen, disc
 

@@ -499,16 +499,51 @@ class AbstractGAN:
             history.append(h)
         return history
 
+    # -- evaluation ---------------------------------------------------------
+
+    def evaluate(self, generator, steps: int = 1, seed: int = 0):
+        """Loss evaluation without updates (reference ``_evaluate_disc_ext``
+        / ``_evaluate_gen_disc`` — dead code at gan.py:806-980, working
+        copies in the StyleGAN example :1161-1335). Returns mean disc_ext
+        and gen_disc losses over ``steps`` batches."""
+        it = iter(generator)
+        key = jax.random.key(seed)
+        d_losses, g_losses = [], []
+        for s in range(steps):
+            batch = jax.tree.map(jnp.asarray, next(it))
+            if self.state is None:
+                self.init_state(batch, seed=seed)
+            k = jax.random.fold_in(key, s)
+            d_losses.append(float(
+                self._disc_loss(self.state["disc_params"], self.state, batch, k)
+            ))
+            g_loss, _ = self._gen_loss(
+                self.state["gen_params"], self.state, batch,
+                jax.random.fold_in(k, 1),
+            )
+            g_losses.append(float(g_loss))
+        return {
+            "disc_ext_loss": float(np.mean(d_losses)),
+            "gen_disc_loss": float(np.mean(g_losses)),
+        }
+
     # -- inference / persistence -------------------------------------------
 
+    def _generate_jit(self):
+        if not hasattr(self, "_gen_jit_fn"):
+            def fn(params, stats, z, key):
+                out, _ = self._gen_apply(params, stats, z, key, train=False)
+                return self._gen_output_image(out)
+
+            self._gen_jit_fn = jax.jit(fn)
+        return self._gen_jit_fn
+
     def generate(self, z, key=None):
-        """Generate samples (reference :990-999)."""
+        """Generate samples (reference :990-999); jitted and cached."""
         key = key if key is not None else jax.random.key(0)
-        out, _ = self._gen_apply(
-            self.state["gen_params"], self.state["gen_stats"], z, key,
-            train=False,
+        return self._generate_jit()(
+            self.state["gen_params"], self.state["gen_stats"], z, key
         )
-        return self._gen_output_image(out)
 
     def save_gan_model(self, path: str = "."):
         """Persist both param trees (reference :982-988 saves

@@ -2,3 +2,4 @@
 
 from ku.core.rng import KeySeq
 from ku.core.config import load_config, Config
+from ku.core.state import TrainState

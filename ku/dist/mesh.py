@@ -10,6 +10,13 @@ sharding. No custom transport — XLA lowers the collectives onto ICI.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``; the
 same code then spans slices (DCN) transparently.
+
+Scope (SURVEY §2.5): data parallelism and tensor/FSDP-style sharding are
+implemented; sequence parallelism is covered by
+:func:`ku.pallas.flash_attention.ring_attention`. Pipeline (PP) and expert
+(EP) parallelism are explicitly out of scope for this capability set —
+the model families here (RBM/DBN, StyleGAN-scale GANs) have no pipeline
+stages or experts to shard.
 """
 
 from __future__ import annotations

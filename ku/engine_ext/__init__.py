@@ -9,4 +9,6 @@ from ku.engine_ext.training import (
     create_prog_specs,
     select_params,
     merge_params,
+    train_on_batch_forward_prog_model,
+    train_on_batch_backward_prog_model,
 )

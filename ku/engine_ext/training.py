@@ -102,6 +102,45 @@ def merge_params(full_params, partial_params):
     return out
 
 
+def train_on_batch_forward_prog_model(specs, full_params, x, y, loss_fn,
+                                      prog_depth: int,
+                                      fixed_layer_names: Sequence[str] = (),
+                                      lr: float = 1e-3):
+    """One SGD step on the FORWARD-truncated sub-model, weights shared
+    with the full model (reference ModelExt.train_on_batch_forward_
+    prog_model, training.py:335-388). Returns (updated_full_params, loss).
+    """
+    return _train_on_batch_prog(
+        specs, full_params, x, y, loss_fn,
+        create_prog_specs(specs, PROGRESSIVE_MODE_FORWARD, prog_depth,
+                          fixed_layer_names), lr,
+    )
+
+
+def train_on_batch_backward_prog_model(specs, full_params, x, y, loss_fn,
+                                       prog_depth: int,
+                                       fixed_layer_names: Sequence[str] = (),
+                                       lr: float = 1e-3):
+    """BACKWARD-truncated counterpart (reference training.py:389-443)."""
+    return _train_on_batch_prog(
+        specs, full_params, x, y, loss_fn,
+        create_prog_specs(specs, PROGRESSIVE_MODE_BACKWARD, prog_depth,
+                          fixed_layer_names), lr,
+    )
+
+
+def _train_on_batch_prog(specs, full_params, x, y, loss_fn, sub_specs, lr):
+    sub = Stack(specs=sub_specs)
+    sub_params = select_params(full_params, sub_specs)
+
+    def loss_of(p):
+        return jnp.mean(loss_fn(y, sub.apply({"params": p}, x)))
+
+    loss, grads = jax.value_and_grad(loss_of)(sub_params)
+    new_sub = jax.tree.map(lambda p, g: p - lr * g, sub_params, grads)
+    return merge_params(full_params, new_sub), float(loss)
+
+
 # -- Trainer ---------------------------------------------------------------
 
 

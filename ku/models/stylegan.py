@@ -83,21 +83,26 @@ class MappingNetwork(nn.Module):
     num_broadcast_layers: int = 12
     num_classes: int = 0
     label_usage: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, z, label=None):
-        x = z
+        x = z if self.dtype is None else z.astype(self.dtype)
         if self.label_usage:
-            emb = nn.Embed(self.num_classes, self.latent_dim, name="label_embed")(
+            emb = nn.Embed(self.num_classes, self.latent_dim, name="label_embed",
+                           dtype=self.dtype)(
                 jnp.asarray(label, jnp.int32).reshape(-1)
             )
             x = jnp.concatenate([x, emb], axis=-1)
         x = _pixel_norm(x)
         for i in range(self.num_mapping_layers - 1):
-            x = nn.leaky_relu(nn.Dense(self.dense1_dim, name=f"map_dense_{i}")(x),
-                              0.2)
+            x = nn.leaky_relu(
+                nn.Dense(self.dense1_dim, name=f"map_dense_{i}",
+                         dtype=self.dtype)(x), 0.2
+            )
         x = nn.leaky_relu(
-            nn.Dense(self.dlatent_dim, name="map_output")(x), 0.2
+            nn.Dense(self.dlatent_dim, name="map_output", dtype=self.dtype)(x),
+            0.2,
         )
         return jnp.repeat(x[:, None, :], self.num_broadcast_layers, axis=1)
 
@@ -116,7 +121,7 @@ class SynthesisNetwork(nn.Module):
         x = nn.leaky_relu(x, 0.2)
         x = _pixel_norm(x)
         style = EqualizedLRDense(
-            x.shape[-1] * 2, name=f"style_dense_{layer_idx}"
+            x.shape[-1] * 2, name=f"style_dense_{layer_idx}", dtype=self.dtype
         )(dlatents[:, layer_idx])
         return AdaptiveINWithStyle(epsilon=1e-8, name=f"adain_{layer_idx}")(
             [x, style]
@@ -134,9 +139,11 @@ class SynthesisNetwork(nn.Module):
             "const_input", nn.initializers.ones, (1, 4, 4, nch(1))
         )
         batch = dlatents.shape[0]
+        dlatents = dlatents.astype(dtype)
         x = jnp.tile(const.astype(dtype), (batch, 1, 1, 1))
         x = self._style_block(x, dlatents, 0, deterministic)
-        x = EqualizedLRConv2D(nch(1), 3, padding="same", name="conv_4x4")(x)
+        x = EqualizedLRConv2D(nch(1), 3, padding="same", name="conv_4x4",
+                              dtype=self.dtype)(x)
         x = self._style_block(x, dlatents, 1, deterministic)
 
         for res in range(3, res_log2 + 1):
@@ -146,7 +153,7 @@ class SynthesisNetwork(nn.Module):
                 # Fused upsample+conv for large maps (reference :268-271).
                 x = FusedEqualizedLRConv2DTranspose(
                     nch(res - 1), 3, strides=2, padding="same",
-                    name=f"up_fused_{res}",
+                    name=f"up_fused_{res}", dtype=self.dtype,
                 )(x)
             else:
                 x = jax.image.resize(
@@ -154,19 +161,23 @@ class SynthesisNetwork(nn.Module):
                     method="bilinear",
                 )
                 x = EqualizedLRConv2D(
-                    nch(res - 1), 3, padding="same", name=f"up_conv_{res}"
+                    nch(res - 1), 3, padding="same", name=f"up_conv_{res}",
+                    dtype=self.dtype,
                 )(x)
             x = BlurDepthwiseConv2D(padding="same", name=f"blur_{res}")(x)
             x = self._style_block(x, dlatents, layer_idx, deterministic)
             x = EqualizedLRConv2D(
-                nch(res - 1), 3, padding="same", name=f"conv_{res}"
+                nch(res - 1), 3, padding="same", name=f"conv_{res}",
+                dtype=self.dtype,
             )(x)
             x = self._style_block(x, dlatents, layer_idx + 1, deterministic)
 
-        # to-RGB (reference :289-293) — the fixed tail for progressive mode.
+        # to-RGB (reference :289-293) — the fixed tail for progressive
+        # mode; computed and returned in f32 for a stable tanh output.
         return EqualizedLRConv2D(
-            3, 1, activation="tanh", padding="same", name="to_rgb"
-        )(x)
+            3, 1, activation="tanh", padding="same", name="to_rgb",
+            dtype=jnp.float32,
+        )(x.astype(jnp.float32))
 
 
 class StyleGANGenerator(nn.Module):
@@ -191,6 +202,7 @@ class StyleGANGenerator(nn.Module):
     trunc_psi: float = 0.7
     trunc_cutoff: Optional[int] = 8
     trunc_momentum: float = 0.99
+    dtype: Optional[jnp.dtype] = None  # bf16 compute, f32 params/output
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = False):
@@ -208,6 +220,7 @@ class StyleGANGenerator(nn.Module):
             num_broadcast_layers=num_layers,
             num_classes=self.num_classes,
             label_usage=self.label_usage,
+            dtype=self.dtype,
             name="map",
         )
         d1 = mapping(z1, label)
@@ -222,7 +235,7 @@ class StyleGANGenerator(nn.Module):
         )(d, deterministic=deterministic)
         return SynthesisNetwork(
             resolution=self.resolution, ch_base=self.ch_base,
-            max_ch=self.max_ch, name="synthesis",
+            max_ch=self.max_ch, dtype=self.dtype, name="synthesis",
         )(d, deterministic=deterministic)
 
 
@@ -235,6 +248,7 @@ class StyleGANDiscriminator(nn.Module):
     max_ch: int = 512
     dropout_rate: float = 0.0
     label_usage: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True):
@@ -244,15 +258,19 @@ class StyleGANDiscriminator(nn.Module):
             images, labels = inputs, None
         res_log2 = int(math.log2(self.resolution))
         nch = lambda i: cal_num_chs(i, self.ch_base, self.max_ch)
+        if self.dtype is not None:
+            images = images.astype(self.dtype)
 
         x = EqualizedLRConv2D(
-            nch(res_log2 - 1), 1, padding="same", name="from_rgb"
+            nch(res_log2 - 1), 1, padding="same", name="from_rgb",
+            dtype=self.dtype,
         )(images)
         x = nn.leaky_relu(x, 0.2)
 
         for res in range(res_log2, 2, -1):
             x = EqualizedLRConv2D(
-                nch(res - 1), 3, padding="same", name=f"conv_{res}_a"
+                nch(res - 1), 3, padding="same", name=f"conv_{res}_a",
+                dtype=self.dtype,
             )(x)
             x = nn.leaky_relu(x, 0.2)
             x = BlurDepthwiseConv2D(padding="same", name=f"blur_{res}")(x)
@@ -263,24 +281,29 @@ class StyleGANDiscriminator(nn.Module):
                 # stride 2 here.
                 x = FusedEqualizedLRConv2D(
                     nch(res - 2), 3, strides=2, padding="same",
-                    name=f"conv_{res}_b",
+                    name=f"conv_{res}_b", dtype=self.dtype,
                 )(x)
             else:
                 x = EqualizedLRConv2D(
-                    nch(res - 2), 3, padding="same", name=f"conv_{res}_b"
+                    nch(res - 2), 3, padding="same", name=f"conv_{res}_b",
+                    dtype=self.dtype,
                 )(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
             x = nn.leaky_relu(x, 0.2)
 
         x = MinibatchStddevConcat(name="mbstd")(x)
-        x = EqualizedLRConv2D(nch(1), 3, padding="same", name="conv_4x4")(x)
+        x = EqualizedLRConv2D(nch(1), 3, padding="same", name="conv_4x4",
+                              dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
-        x = EqualizedLRDense(nch(0), name="dense_1")(x)
+        x = EqualizedLRDense(nch(0), name="dense_1", dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
         if self.dropout_rate:
             x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        x = EqualizedLRDense(1, name="dense_out")(x)
+        # Final logit in f32 for loss stability.
+        x = EqualizedLRDense(1, name="dense_out", dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
         if self.label_usage:
             # Label projection (reference :426-430).
             x = jnp.sum(

@@ -171,3 +171,61 @@ def test_trainer_fits_regression(rng):
     assert history[-1] < history[0] * 0.1
     pred = tr.predict(X[:8])
     assert pred.shape == (8, 1)
+
+
+def test_train_on_batch_prog_models(key, rng):
+    """Progressive per-batch training on truncated sub-models with weight
+    sharing (reference training.py:335-443)."""
+    import optax
+    from ku.engine_ext import (
+        train_on_batch_backward_prog_model,
+        train_on_batch_forward_prog_model,
+    )
+
+    specs = _dense_encoder()
+    full = Stack(specs=specs)
+    x32 = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    params = dict(full.init(key, x32)["params"])
+    loss_fn = lambda y, p: jnp.mean((y - p) ** 2, axis=-1)
+
+    # FORWARD: train layers [0, 1) + fixed tail 'enc3' on 32-dim input.
+    y8 = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+    # sub-model enc1 (32→16) + enc3 (16→4)? enc3 expects 8-dim — use depth 2.
+    new_params, loss = train_on_batch_forward_prog_model(
+        specs, params, x32, jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32)),
+        loss_fn, prog_depth=2, lr=1e-2,
+    )
+    assert np.isfinite(loss)
+    assert not np.allclose(np.asarray(new_params["enc1"]["kernel"]),
+                           np.asarray(params["enc1"]["kernel"]))
+    # Untouched layer keeps its weights.
+    np.testing.assert_allclose(np.asarray(new_params["enc3"]["kernel"]),
+                               np.asarray(params["enc3"]["kernel"]))
+
+    # BACKWARD: train layers [1, end) on 16-dim input.
+    x16 = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    y4 = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32))
+    new_params2, loss2 = train_on_batch_backward_prog_model(
+        specs, params, x16, y4, loss_fn, prog_depth=1, lr=1e-2,
+    )
+    assert np.isfinite(loss2)
+    np.testing.assert_allclose(np.asarray(new_params2["enc1"]["kernel"]),
+                               np.asarray(params["enc1"]["kernel"]))
+    assert not np.allclose(np.asarray(new_params2["enc2"]["kernel"]),
+                           np.asarray(params["enc2"]["kernel"]))
+
+
+def test_train_state(key):
+    import optax
+    from ku.core import TrainState
+
+    tx = optax.sgd(0.1)
+    params = {"w": jnp.ones((3,))}
+    state = TrainState.create(params, tx, key)
+    grads = {"w": jnp.ones((3,))}
+    state2 = state.apply_gradients(grads, tx)
+    np.testing.assert_allclose(np.asarray(state2.params["w"]), 0.9)
+    assert int(state2.step) == 1
+    # pytree-registered: works under tree_map / jit.
+    leaves = jax.tree.leaves(state2)
+    assert len(leaves) >= 2

@@ -136,3 +136,18 @@ def test_get_loss_conf_shapes():
     assert get_loss_conf(hps, 1)["disc_ext_loss_weights"] == [-1.0, 1.0, 1.0]
     with pytest.raises(ValueError):
         get_loss_conf(hps, 99)
+
+
+def test_evaluate_no_updates(rng):
+    conf = {"hps": {"composing_mode": LSGAN, "epochs": 1, "batch_step": 1,
+                    "disc_k_step": 1}}
+    engine = GAN(conf, ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    engine.fit_generator(_data_iter(rng, LSGAN), verbose=0)
+    before = np.asarray(
+        jax.tree.leaves(engine.state["gen_params"])[0]
+    ).copy()
+    metrics = engine.evaluate(_data_iter(rng, LSGAN), steps=3)
+    assert np.isfinite(metrics["disc_ext_loss"])
+    assert np.isfinite(metrics["gen_disc_loss"])
+    after = np.asarray(jax.tree.leaves(engine.state["gen_params"])[0])
+    np.testing.assert_allclose(before, after)  # no parameter updates

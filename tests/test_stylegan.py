@@ -154,3 +154,24 @@ def test_stylegan_with_gan_engine(rng):
     )
     img = engine.generate(z)
     assert img.shape == (2, res, res, 3)
+
+
+def test_bf16_generator_matches_f32_roughly(key, rng):
+    """bf16 compute path: f32 params, f32 output, values close to the
+    f32 path (mixed precision, not quantization)."""
+    inputs = _gen_inputs(rng)
+    gen32 = _gen(res=16)
+    gen16 = StyleGANGenerator(
+        resolution=16, ch_base=64, max_ch=32, latent_dim=16,
+        dlatent_dim=32, dense1_dim=32, num_mapping_layers=3,
+        num_classes=10, label_usage=True, mixing_prob=0.9,
+        trunc_psi=0.7, trunc_cutoff=4, dtype=jnp.bfloat16,
+    )
+    rngs = {"params": key, "noise": jax.random.key(1), "style": jax.random.key(2)}
+    v32 = gen32.init(rngs, inputs)
+    out32 = gen32.apply(v32, inputs, deterministic=True)
+    out16 = gen16.apply(v32, inputs, deterministic=True)
+    assert out16.dtype == jnp.float32
+    assert jax.tree.leaves(v32["params"])[0].dtype == jnp.float32
+    # tanh outputs in [-1,1]; bf16 rounding keeps them within ~2e-2.
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32), atol=4e-2)
