@@ -13,5 +13,7 @@ from ku.ebm.rbm import (
     free_energy,
     cd_update,
     cd_epoch_scan,
+    cd_epoch_scan_pcd,
+    gibbs_chain,
 )
 from ku.ebm.dbn import DBN

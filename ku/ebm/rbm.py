@@ -159,6 +159,63 @@ def cd_update(params, v_pos, key, lr, k: int = 1, mode: int = MODE_VISIBLE_BERNO
     return new_params, score
 
 
+def gibbs_chain(params, v0, k: int, key, mode: int = MODE_VISIBLE_BERNOULLI):
+    """Run k full Gibbs sweeps v→h→v from ``v0``; returns v_k.
+
+    Chain state stays on device across the whole scan (the "chains
+    resident in HBM" sampler; no reference analogue — the reference can
+    only draw single v→h→v round trips via its K.functions)."""
+
+    def sweep(v, sub):
+        kh, kv = jax.random.split(sub)
+        h = sample_hidden(params, v, kh, mode)
+        return sample_visible(params, h, kv, mode), None
+
+    v_k, _ = jax.lax.scan(sweep, v0, jax.random.split(key, k))
+    return v_k
+
+
+@functools.partial(jax.jit, static_argnames=("lr", "k", "mode", "batch_size"))
+def cd_epoch_scan_pcd(params, v_all, mask, chain, key, lr: float, k: int,
+                      mode: int, batch_size: int):
+    """Persistent CD (PCD) epoch: the negative phase continues a
+    persistent fantasy chain instead of restarting from the data
+    (Tieleman 2008; an extension beyond the reference's CD-1 — see
+    PAPERS.md). Returns (params, scores, updated_chain)."""
+    num_steps = v_all.shape[0] // batch_size
+    v_batches = v_all.reshape(num_steps, batch_size, -1)
+    m_batches = mask.reshape(num_steps, batch_size)
+
+    def step(carry, xs):
+        p, key, chain = carry
+        v_b, m_b = xs
+        key, k_pos, k_chain = jax.random.split(key, 3)
+
+        h_pos = sample_hidden(p, v_b, k_pos, mode)
+        # Negative phase from the persistent chain.
+        chain_new = gibbs_chain(p, chain, k, k_chain, mode)
+        h_neg = hidden_prob(p, chain_new, mode)
+
+        w = m_b[:, None]
+        stats = {
+            "d_w": (v_b * w).T @ h_pos - (chain_new * w).T @ (h_neg * w),
+            "d_bh": jnp.sum(h_pos * w, axis=0) - jnp.sum(h_neg * w, axis=0),
+            "d_bv": jnp.sum(v_b * w, axis=0) - jnp.sum(chain_new * w, axis=0),
+        }
+        p = apply_stats(p, stats, lr)
+        fe = free_energy(p, v_b)
+        fe_p = free_energy(p, chain_new)
+        score = jnp.sum(jnp.abs(fe - fe_p) * m_b) / jnp.maximum(
+            jnp.sum(m_b), 1.0
+        )
+        return (p, key, chain_new), score
+
+    (params, _, chain), scores = jax.lax.scan(
+        step, (params, key, chain), (v_batches, m_batches)
+    )
+    return params, scores, chain
+
+
 @functools.partial(jax.jit, static_argnames=("lr", "k", "mode", "batch_size"))
 def cd_epoch_scan(params, v_all, mask, key, lr: float, k: int, mode: int,
                   batch_size: int):
@@ -289,6 +346,18 @@ class RBM:
         self._ensure_built(v)
         return free_energy(self.params, jnp.asarray(v))
 
+    def sample(self, num_samples: int, num_steps: int = 100, v0=None,
+               key=None):
+        """Draw samples by running a Gibbs chain for ``num_steps`` sweeps
+        (no reference analogue; chain state device-resident throughout)."""
+        key = self._keys() if key is None else key
+        k0, k1 = jax.random.split(key)
+        if v0 is None:
+            v0 = (jax.random.uniform(k0, (num_samples, self.input_dim))
+                  < 0.5).astype(jnp.float32)
+        return gibbs_chain(self.params, jnp.asarray(v0), num_steps, k1,
+                           self.mode)
+
     # -- training (reference :100-234) -------------------------------------
 
     def fit(self, V, verbose: int = 1, mesh=None):
@@ -307,6 +376,18 @@ class RBM:
         backend = self.hps.get("backend")
         if backend is None:
             backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        if backend == "pallas":
+            # VMEM guard: the fused kernel keeps W (Vp×Hp), the batch
+            # block, and chain activations resident in VMEM (~16 MB/core).
+            vp = -(-V.shape[1] // 128) * 128
+            hp = -(-self.output_dim // 128) * 128
+            vmem_bytes = 4 * (
+                vp * hp            # weights
+                + 2 * batch_size * vp  # v blocks (pipeline double-buffer)
+                + 2 * batch_size * hp  # h activations
+            )
+            if vmem_bytes > 12 * 1024 * 1024:
+                backend = "scan"  # XLA will tile HBM-resident matmuls
 
         n = V.shape[0]
         num_steps = -(-n // batch_size)
@@ -331,14 +412,29 @@ class RBM:
                           f"score: {float(jnp.mean(scores)):f}")
             return self
 
+        v_all_d = jnp.asarray(v_all)
+        mask_d = jnp.asarray(mask)
+        scores = None
+
+        if self.hps.get("persistent"):
+            # PCD: persistent fantasy chain across batches AND epochs.
+            chain = jnp.asarray(v_all[:batch_size])
+            for e in range(epochs):
+                self.params, scores, chain = cd_epoch_scan_pcd(
+                    self.params, v_all_d, mask_d, chain, self._keys(), lr, k,
+                    self.mode, batch_size,
+                )
+                if verbose:
+                    print(f"{e + 1}/{epochs} epochs, "
+                          f"score: {float(jnp.mean(scores)):f}")
+            self.last_scores = np.asarray(scores)
+            return self
+
         if backend == "pallas":
             from ku.pallas.cd_gibbs import cd_epoch_pallas as epoch_fn
         else:
             epoch_fn = cd_epoch_scan
 
-        v_all_d = jnp.asarray(v_all)
-        mask_d = jnp.asarray(mask)
-        scores = None
         for e in range(epochs):
             self.params, scores = epoch_fn(
                 self.params, v_all_d, mask_d, self._keys(), lr, k, self.mode,

@@ -188,3 +188,25 @@ def test_cd_epoch_dp_matches_single_device(rng):
     dw_1 = np.abs(np.asarray(p_1["rbm_weight"]) - np.asarray(params["rbm_weight"]))
     assert np.isfinite(dw_dp).all()
     assert 0.2 < dw_dp.mean() / max(dw_1.mean(), 1e-9) < 5.0
+
+
+def test_pcd_training_and_sampling(rng):
+    """Persistent CD + the Gibbs sampling API (extensions beyond the
+    reference's CD-1; PAPERS.md)."""
+    protos = np.array(
+        [[1, 1, 1, 0, 0, 0, 1, 1], [0, 0, 0, 1, 1, 1, 0, 0]], np.float32
+    )
+    data = protos[rng.integers(0, 2, size=256)]
+    rbm = RBM({"lr": 0.01, "batch_size": 32, "epochs": 10,
+               "persistent": True, "backend": "scan"}, 16, seed=2)
+    rbm.fit(data, verbose=0)
+    assert np.isfinite(np.asarray(rbm.params["rbm_weight"])).all()
+
+    samples = rbm.sample(num_samples=64, num_steps=50, key=jax.random.key(5))
+    assert samples.shape == (64, 8)
+    # Samples should look closer to the prototypes than uniform noise:
+    # each sample's min Hamming distance to a prototype.
+    s = np.asarray(samples)
+    d0 = np.abs(s - protos[0]).sum(-1)
+    d1 = np.abs(s - protos[1]).sum(-1)
+    assert float(np.minimum(d0, d1).mean()) < 2.5  # uniform noise ≈ 4
