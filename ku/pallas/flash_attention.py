@@ -155,11 +155,38 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
     return acc / l[..., None]
 
 
-def flash_attention(q, k, v, softmax_scale: float = 1.0, **kwargs):
-    """Dispatch: Pallas kernel on TPU, XLA blockwise elsewhere."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_dispatch(q, k, v, softmax_scale):
     if jax.default_backend() == "tpu":
         return flash_attention_pallas(q, k, v, softmax_scale=softmax_scale)
-    return flash_attention_xla(q, k, v, softmax_scale=softmax_scale, **kwargs)
+    return flash_attention_xla(q, k, v, softmax_scale=softmax_scale)
+
+
+def _flash_fwd(q, k, v, softmax_scale):
+    return _flash_dispatch(q, k, v, softmax_scale), (q, k, v)
+
+
+def _flash_bwd(softmax_scale, residuals, g):
+    # Backward via the blockwise-XLA formulation (recompute; still O(N)
+    # memory) — the classic flash-attention recipe of trading FLOPs for
+    # the N² matrix.
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda qq, kk, vv: flash_attention_xla(
+            qq, kk, vv, softmax_scale=softmax_scale
+        ),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_flash_dispatch.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, softmax_scale: float = 1.0, **kwargs):
+    """Dispatch: Pallas kernel on TPU, XLA blockwise elsewhere.
+    Differentiable (custom VJP recomputes blockwise in the backward)."""
+    return _flash_dispatch(q, k, v, softmax_scale)
 
 
 def ring_attention(q, k, v, mesh, axis_name: str = "data",

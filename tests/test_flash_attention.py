@@ -52,3 +52,27 @@ def test_ring_attention_8_devices(rng):
     out = ring_attention(q, k, v, mesh, axis_name="data", softmax_scale=0.25)
     expected = _dense(np.asarray(q), np.asarray(k), np.asarray(v), 0.25)
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_differentiable(rng):
+    """Custom VJP: grads through the dispatching flash_attention match
+    grads through dense attention."""
+    from ku.pallas.flash_attention import flash_attention
+
+    q = jnp.asarray(rng.normal(size=(1, 2, 16, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 16, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, 16, 8)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, softmax_scale=0.25) ** 2)
+
+    def loss_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)

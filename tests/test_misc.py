@@ -105,3 +105,21 @@ def test_package_root_exports():
         "MODE_VISIBLE_BERNOULLI", "MODE_VISIBLE_GAUSSIAN", "MODE_COMPLEX",
     ]:
         assert hasattr(ku, name), name
+
+
+def test_export_serving_roundtrip(tmp_path, rng):
+    """StableHLO export → reload → same outputs (serving path)."""
+    from ku.io import export_fn, load_exported
+
+    w = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+
+    def fn(w, x):
+        return jax.nn.relu(x @ w)
+
+    path = str(tmp_path / "model.stablehlo")
+    export_fn(fn, (w, x), path)
+    exported = load_exported(path)
+    out = exported.call(w, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fn(w, x)),
+                               rtol=1e-6)
