@@ -25,7 +25,7 @@ import numpy as np
 
 N, V_DIM, H_DIM = 60032, 784, 128  # MNIST-scale (60000 rounded to batch)
 BATCH = 128
-EPOCHS_TIMED = 10
+EPOCHS_TIMED = 50  # one fused dispatch; amortizes fixed dispatch latency
 
 
 def _data():
@@ -76,10 +76,6 @@ def main():
     from ku.ebm.rbm import MODE_VISIBLE_BERNOULLI, init_rbm_params
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        from ku.pallas.cd_gibbs import cd_epoch_pallas as epoch_fn
-    else:
-        from ku.ebm.rbm import cd_epoch_scan as epoch_fn
 
     V = _data()
     cpu_sps = numpy_reference_throughput(V)
@@ -88,17 +84,36 @@ def main():
     v_all = jnp.asarray(V)
     mask = jnp.ones((N,), jnp.float32)
 
+    if on_tpu:
+        # Production path: the ENTIRE multi-epoch run is one fused Pallas
+        # dispatch (grid = epochs × steps, params VMEM-resident).
+        from ku.pallas.cd_gibbs import cd_train_pallas
+
+        def run(p, key):
+            return cd_train_pallas(p, v_all, mask, key, 1e-3, 1,
+                                   MODE_VISIBLE_BERNOULLI, BATCH,
+                                   EPOCHS_TIMED)
+    else:
+        from ku.ebm.rbm import cd_epoch_scan
+
+        def run(p, key):
+            scores = None
+            for e in range(EPOCHS_TIMED):
+                p, scores = cd_epoch_scan(
+                    p, v_all, mask, jax.random.fold_in(key, e), 1e-3, 1,
+                    MODE_VISIBLE_BERNOULLI, BATCH,
+                )
+            return p, scores
+
     # Warmup / compile, with a full host readback as the fence —
     # block_until_ready alone is not a reliable completion barrier over
-    # remote-dispatch TPU tunnels.
-    p, s = epoch_fn(params, v_all, mask, jax.random.key(1), 1e-3, 1,
-                    MODE_VISIBLE_BERNOULLI, BATCH)
+    # remote-dispatch TPU tunnels (and identical dispatches may be
+    # deduped, hence a fresh key for the timed run).
+    p, s = run(params, jax.random.key(1))
     _ = np.asarray(p["rbm_weight"]).sum()
 
     start = time.perf_counter()
-    for e in range(EPOCHS_TIMED):
-        p, s = epoch_fn(p, v_all, mask, jax.random.key(2 + e), 1e-3, 1,
-                        MODE_VISIBLE_BERNOULLI, BATCH)
+    p, s = run(params, jax.random.key(2))
     _ = np.asarray(p["rbm_weight"]).sum()  # hard fence: device→host readback
     elapsed = time.perf_counter() - start
     sps = N * EPOCHS_TIMED / elapsed

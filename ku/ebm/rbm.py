@@ -431,17 +431,26 @@ class RBM:
             return self
 
         if backend == "pallas":
-            from ku.pallas.cd_gibbs import cd_epoch_pallas as epoch_fn
-        else:
-            epoch_fn = cd_epoch_scan
+            # The whole multi-epoch run is ONE kernel dispatch.
+            from ku.pallas.cd_gibbs import cd_train_pallas
 
-        for e in range(epochs):
-            self.params, scores = epoch_fn(
+            self.params, scores = cd_train_pallas(
                 self.params, v_all_d, mask_d, self._keys(), lr, k, self.mode,
-                batch_size,
+                batch_size, epochs,
             )
             if verbose:
-                print(f"{e + 1}/{epochs} epochs, score: {float(jnp.mean(scores)):f}")
+                per_epoch = np.asarray(scores).reshape(epochs, -1).mean(axis=1)
+                for e, s in enumerate(per_epoch):
+                    print(f"{e + 1}/{epochs} epochs, score: {s:f}")
+        else:
+            for e in range(epochs):
+                self.params, scores = cd_epoch_scan(
+                    self.params, v_all_d, mask_d, self._keys(), lr, k,
+                    self.mode, batch_size,
+                )
+                if verbose:
+                    print(f"{e + 1}/{epochs} epochs, "
+                          f"score: {float(jnp.mean(scores)):f}")
         self.last_scores = None if scores is None else np.asarray(scores)
         return self
 

@@ -81,7 +81,7 @@ def _dot_tt(a, b):
     )
 
 
-def _make_kernel(lr: float, k: int, mode: int):
+def _make_kernel(lr: float, k: int, mode: int, grid_rank: int = 1):
     def kernel(
         seed_ref,  # (1,1) int32, SMEM
         v_ref,  # (batch, Vp) current batch block
@@ -96,7 +96,12 @@ def _make_kernel(lr: float, k: int, mode: int):
         bv_out,
         score_ref,  # (1, 1)
     ):
-        step = pl.program_id(0)
+        if grid_rank == 2:
+            # Multi-epoch fusion: grid = (epochs, steps); a single flat
+            # program counter orders every (epoch, step) pair.
+            step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        else:
+            step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
@@ -181,18 +186,8 @@ def _make_kernel(lr: float, k: int, mode: int):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("lr", "k", "mode", "batch_size", "interpret")
-)
-def cd_epoch_pallas(params, v_all, mask, key, lr: float, k: int, mode: int,
-                    batch_size: int, interpret: bool | None = None):
-    """Drop-in replacement for :func:`ku.ebm.rbm.cd_epoch_scan`.
-
-    Same contract: ``v_all`` (num_steps·batch, V) zero-padded rows, ``mask``
-    matching 0/1 row mask; returns (params, per-step scores). Sampling uses
-    the TPU hardware PRNG, so draws differ from the scan oracle's
-    threefry draws (same distributions).
-    """
+def _cd_pallas_impl(params, v_all, mask, key, lr, k, mode, batch_size,
+                    epochs, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # On CPU use the TPU-semantics interpreter (supports pltpu.prng_*,
@@ -205,6 +200,7 @@ def cd_epoch_pallas(params, v_all, mask, key, lr: float, k: int, mode: int,
     vp = _round_up(v_dim, _LANE)
     hp = _round_up(h_dim, _LANE)
     num_steps = v_all.shape[0] // batch_size
+    total_steps = num_steps * epochs
 
     v_pad = jnp.pad(v_all, ((0, 0), (0, vp - v_dim)))
     w_pad = jnp.pad(params["rbm_weight"], ((0, vp - v_dim), (0, hp - h_dim)))
@@ -214,23 +210,33 @@ def cd_epoch_pallas(params, v_all, mask, key, lr: float, k: int, mode: int,
     hmask = (jnp.arange(hp) < h_dim).astype(jnp.float32)[None, :]
     seed = jax.random.randint(key, (1, 1), 0, np.int32(2**31 - 1), jnp.int32)
 
-    grid = (num_steps,)
+    if epochs == 1:
+        grid = (num_steps,)
+        grid_rank = 1
+        const = lambda i: (0, 0)
+        data_map = lambda i: (i, 0)
+    else:
+        # Multi-epoch fusion: the whole TRAINING RUN is one dispatch.
+        # Grid (epochs, steps) revisits the same data blocks each epoch;
+        # params stay in VMEM for the entire run.
+        grid = (epochs, num_steps)
+        grid_rank = 2
+        const = lambda e, i: (0, 0)
+        data_map = lambda e, i: (i, 0)
+
     out_shape = (
         jax.ShapeDtypeStruct((vp, hp), jnp.float32),
         jax.ShapeDtypeStruct((1, hp), jnp.float32),
         jax.ShapeDtypeStruct((1, vp), jnp.float32),
-        jax.ShapeDtypeStruct((num_steps, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((total_steps, _LANE), jnp.float32),
     )
-    const = lambda i: (0, 0)
     w_new, bh_new, bv_new, scores = pl.pallas_call(
-        _make_kernel(float(lr), int(k), int(mode)),
+        _make_kernel(float(lr), int(k), int(mode), grid_rank),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((batch_size, vp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_size, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_size, vp), data_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_size, 1), data_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((vp, hp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hp), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vp), const, memory_space=pltpu.VMEM),
@@ -243,7 +249,7 @@ def cd_epoch_pallas(params, v_all, mask, key, lr: float, k: int, mode: int,
             pl.BlockSpec((1, vp), const, memory_space=pltpu.VMEM),
             # Whole scores array stays resident in VMEM (constant index);
             # each grid step writes one broadcast row.
-            pl.BlockSpec((num_steps, _LANE), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((total_steps, _LANE), const, memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         interpret=interpret_mode,
@@ -255,3 +261,37 @@ def cd_epoch_pallas(params, v_all, mask, key, lr: float, k: int, mode: int,
         "visible_bias": bv_new[0, :v_dim],
     }
     return new_params, scores[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lr", "k", "mode", "batch_size", "interpret")
+)
+def cd_epoch_pallas(params, v_all, mask, key, lr: float, k: int, mode: int,
+                    batch_size: int, interpret: bool | None = None):
+    """Drop-in replacement for :func:`ku.ebm.rbm.cd_epoch_scan`.
+
+    Same contract: ``v_all`` (num_steps·batch, V) zero-padded rows, ``mask``
+    matching 0/1 row mask; returns (params, per-step scores). Sampling uses
+    the TPU hardware PRNG, so draws differ from the scan oracle's
+    threefry draws (same distributions).
+    """
+    return _cd_pallas_impl(params, v_all, mask, key, lr, k, mode, batch_size,
+                           1, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lr", "k", "mode", "batch_size", "epochs", "interpret"),
+)
+def cd_train_pallas(params, v_all, mask, key, lr: float, k: int, mode: int,
+                    batch_size: int, epochs: int,
+                    interpret: bool | None = None):
+    """The ENTIRE multi-epoch training run as ONE kernel dispatch:
+    grid = (epochs, steps), parameters resident in VMEM throughout.
+    Returns (params, scores of shape (epochs·steps,)). This collapses the
+    reference's 5·steps·epochs host dispatches (rbm.py:163-234) — and
+    even the one-dispatch-per-epoch pattern — to a single call, which on
+    remote-dispatch TPU setups is the difference between ~6 ms/epoch of
+    round-trip latency and none."""
+    return _cd_pallas_impl(params, v_all, mask, key, lr, k, mode, batch_size,
+                           epochs, interpret)
