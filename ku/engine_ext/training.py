@@ -178,8 +178,7 @@ class Trainer:
         }
         return self
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _train_step(self, state, x, y, key):
+    def _train_step_inner(self, state, x, y, key):
         def loss_of(params):
             variables = {"params": params}
             if self.has_batch_stats:
@@ -213,6 +212,10 @@ class Trainer:
         return new_state, loss, y_pred
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def _train_step(self, state, x, y, key):
+        return self._train_step_inner(state, x, y, key)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
     def _test_step(self, state, x, y):
         variables = {"params": state["params"]}
         if self.has_batch_stats:
@@ -239,21 +242,43 @@ class Trainer:
             logs[getattr(m, "name", m.__class__.__name__)] = m(y, y_pred)
         return logs
 
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _train_epoch(self, state, xb, yb, num_steps, key):
+        """One full epoch as a lax.scan over pre-batched data — a single
+        device dispatch per epoch (vs one per batch)."""
+
+        def step(carry, xs):
+            st, key = carry
+            x, y = xs
+            key, sub = jax.random.split(key)
+            st, loss, _ = self._train_step_inner(st, x, y, sub)
+            return (st, key), loss
+
+        (state, _), losses = jax.lax.scan(step, (state, key), (xb, yb),
+                                          length=num_steps)
+        return state, losses
+
     def fit(self, X, Y, batch_size: int, epochs: int, verbose: int = 1,
             shuffle: bool = True):
         import numpy as np
 
         n = X.shape[0]
         rng = np.random.default_rng(self._seed)
+        if self.state is None:
+            self.init(jnp.asarray(X[:1]))
         history = []
+        num_steps = n // batch_size
         for e in range(epochs):
             idx = rng.permutation(n) if shuffle else np.arange(n)
-            losses = []
-            for i in range(0, n - batch_size + 1, batch_size):
-                b = idx[i : i + batch_size]
-                logs = self.train_step(jnp.asarray(X[b]), jnp.asarray(Y[b]))
-                losses.append(logs["loss"])
-            history.append(float(np.mean(losses)) if losses else float("nan"))
+            idx = idx[: num_steps * batch_size]
+            xb = jnp.asarray(X[idx]).reshape((num_steps, batch_size)
+                                             + X.shape[1:])
+            yb = jnp.asarray(Y[idx]).reshape((num_steps, batch_size)
+                                             + Y.shape[1:])
+            key = jax.random.fold_in(jax.random.key(self._seed), e)
+            self.state, losses = self._train_epoch(self.state, xb, yb,
+                                                   num_steps, key)
+            history.append(float(jnp.mean(losses)))
             if verbose:
                 print(f"epoch {e + 1}/{epochs} loss: {history[-1]:f}")
         return history

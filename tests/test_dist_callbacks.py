@@ -119,3 +119,29 @@ def test_lambda_callback(rng):
                                   seen.append(ep))],
     )
     assert seen == [0, 1]
+
+
+def test_fit_generator_progressively_base_class(rng):
+    """AbstractGAN.fit_generator_progressively with a factory that grows
+    the generator (reference :508-804 surface)."""
+
+    class GrowGen(nn.Module):
+        width: int = 8
+
+        @nn.compact
+        def __call__(self, z, deterministic: bool = True):
+            h = nn.relu(nn.Dense(self.width, name="g_dense_0")(z))
+            return nn.Dense(8, name="g_out")(h)
+
+    engine = GAN(_conf(epochs=2, batch_step=1), ToyGen(), ToyDisc())
+    engine.compose_gan_with_mode().compile()
+
+    def factory(epoch, g_depth, d_depth):
+        return GrowGen(width=g_depth), ToyDisc(), _iter(rng)
+
+    hist = engine.fit_generator_progressively(
+        factory, gen_prog_depths=[8, 16], disc_prog_depths=[0, 0], verbose=0
+    )
+    assert len(hist) == 2
+    # Stage-2 generator is wider; shared-name params carried over.
+    assert engine.state["gen_params"]["g_dense_0"]["kernel"].shape == (4, 16)

@@ -210,3 +210,15 @@ def test_pcd_training_and_sampling(rng):
     d0 = np.abs(s - protos[0]).sum(-1)
     d1 = np.abs(s - protos[1]).sum(-1)
     assert float(np.minimum(d0, d1).mean()) < 2.5  # uniform noise ≈ 4
+
+
+def test_scan_backend_deterministic(rng):
+    """Same seed → identical params (stateless PRNG threading; SURVEY §5
+    race-detection entry: determinism IS the sanitizer)."""
+    data = rng.integers(0, 2, size=(128, 10)).astype(np.float32)
+    hps = {"lr": 0.01, "batch_size": 32, "epochs": 2, "backend": "scan"}
+    r1 = RBM(hps, 8, seed=7).fit(data, verbose=0)
+    r2 = RBM(hps, 8, seed=7).fit(data, verbose=0)
+    np.testing.assert_array_equal(
+        np.asarray(r1.params["rbm_weight"]), np.asarray(r2.params["rbm_weight"])
+    )
