@@ -65,6 +65,7 @@ def main():
             "epochs": 5,
             "batch_step": 50,
             "disc_k_step": 1,
+            "steps_per_call": 10,
             "disc_ext_hps": {"lr": 2e-4, "beta_1": 0.5, "beta_2": 0.999},
             "gen_disc_hps": {"lr": 2e-4, "beta_1": 0.5, "beta_2": 0.999},
         }

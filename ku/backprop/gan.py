@@ -353,7 +353,28 @@ class AbstractGAN:
         return total, new_stats
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
-    def _train_step(self, state, batches, disc_k_step: int, key):
+    def _train_multi_step(self, state, batches_stacked, disc_k_step: int,
+                          key):
+        """S fused train steps per dispatch: lax.scan over a leading
+        steps axis of (S, k, batch, ...) stacked batches. Amortizes
+        dispatch latency for small models (hps key ``steps_per_call``)."""
+
+        def one(carry, xs):
+            st, key = carry
+            batches, i = xs
+            key = jax.random.fold_in(key, i)
+            st, d_loss, g_loss = self._train_step_inner(
+                st, batches, disc_k_step, key
+            )
+            return (st, key), (d_loss, g_loss)
+
+        s = jax.tree.leaves(batches_stacked)[0].shape[0]
+        (state, _), (d_losses, g_losses) = jax.lax.scan(
+            one, (state, key), (batches_stacked, jnp.arange(s))
+        )
+        return state, d_losses, g_losses
+
+    def _train_step_inner(self, state, batches, disc_k_step: int, key):
         """k disc updates + 1 gen update, all on device (replaces the
         reference's per-batch eager train_on_batch loop :739-786)."""
         d_losses = []
@@ -388,6 +409,10 @@ class AbstractGAN:
         state["step"] = state["step"] + 1
         return state, jnp.stack(d_losses), g_loss
 
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _train_step(self, state, batches, disc_k_step: int, key):
+        return self._train_step_inner(state, batches, disc_k_step, key)
+
     # -- training loops -----------------------------------------------------
 
     def fit_generator(self, generator, verbose: int = 1, seed: int = 0,
@@ -408,6 +433,7 @@ class AbstractGAN:
         epochs = int(self.hps.get("epochs", 1))
         batch_step = int(self.hps.get("batch_step", 1))
         disc_k_step = int(self.hps.get("disc_k_step", 1))
+        steps_per_call = max(1, int(self.hps.get("steps_per_call", 1)))
         if not self._compiled:
             self.compile()
         key = jax.random.key(seed)
@@ -415,30 +441,51 @@ class AbstractGAN:
         if mesh is not None:
             from ku.dist import shard_gan_state, shard_stacked_batches
 
+        def _stack(dicts):
+            return jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *dicts
+            )
+
         for cb in callbacks:
             cb.on_train_begin(self)
         history = {"disc_ext_loss": [], "gen_disc_loss": []}
         self.stop_training = False
         for e in range(epochs):
             d_losses, g_losses = [], []
-            for s in range(batch_step):
-                stack = [next(it) for _ in range(disc_k_step)]
-                batches = jax.tree.map(
-                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *stack
-                )
+            s = 0
+            while s < batch_step:
+                n_fused = min(steps_per_call, batch_step - s)
+                groups = [
+                    _stack([next(it) for _ in range(disc_k_step)])
+                    for _ in range(n_fused)
+                ]
                 if self.state is None:
-                    self.init_state(jax.tree.map(lambda x: x[0], batches),
-                                    seed=seed)
+                    self.init_state(
+                        jax.tree.map(lambda x: x[0], groups[0]), seed=seed
+                    )
                     if mesh is not None:
                         self.state = shard_gan_state(self.state, mesh)
-                if mesh is not None:
-                    batches = shard_stacked_batches(batches, mesh)
                 key = jax.random.fold_in(key, e * batch_step + s)
-                self.state, d_loss, g_loss = self._train_step(
-                    self.state, batches, disc_k_step, key
-                )
-                d_losses.append(float(jnp.mean(d_loss)))
-                g_losses.append(float(g_loss))
+                if n_fused == 1:
+                    batches = groups[0]
+                    if mesh is not None:
+                        batches = shard_stacked_batches(batches, mesh)
+                    self.state, d_loss, g_loss = self._train_step(
+                        self.state, batches, disc_k_step, key
+                    )
+                    d_losses.append(float(jnp.mean(d_loss)))
+                    g_losses.append(float(g_loss))
+                else:
+                    stacked = _stack(groups)
+                    if mesh is not None:
+                        stacked = shard_stacked_batches(stacked, mesh,
+                                                        batch_axis=2)
+                    self.state, d_loss, g_loss = self._train_multi_step(
+                        self.state, stacked, disc_k_step, key
+                    )
+                    d_losses.append(float(jnp.mean(d_loss)))
+                    g_losses.append(float(jnp.mean(g_loss)))
+                s += n_fused
             history["disc_ext_loss"].append(float(np.mean(d_losses)))
             history["gen_disc_loss"].append(float(np.mean(g_losses)))
             if verbose:

@@ -101,13 +101,16 @@ def shard_gan_state(state, mesh, model_axis: str = "model",
     )
 
 
-def shard_stacked_batches(batches, mesh, axis_name: str = "data"):
-    """Shard the engine's k-stacked batch dict (leading axis = disc step,
-    axis 1 = batch) over the data axis."""
+def shard_stacked_batches(batches, mesh, axis_name: str = "data",
+                          batch_axis: int = 1):
+    """Shard the engine's stacked batch dict over the data axis.
+    ``batch_axis``: 1 for (k, batch, ...) stacks, 2 for the multi-step
+    (S, k, batch, ...) stacks."""
     from jax.sharding import NamedSharding
 
+    spec = [None] * batch_axis + [axis_name]
     return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P(None, axis_name))),
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(*spec))),
         batches,
     )
 

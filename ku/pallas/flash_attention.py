@@ -157,7 +157,10 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_dispatch(q, k, v, softmax_scale):
-    if jax.default_backend() == "tpu":
+    # VMEM guard: the Pallas kernel keeps the full K/V for one (b, h) in
+    # VMEM; beyond ~10 MB fall back to the XLA blockwise path.
+    kv_bytes = 2 * k.shape[2] * k.shape[3] * 4
+    if jax.default_backend() == "tpu" and kv_bytes <= 10 * 1024 * 1024:
         return flash_attention_pallas(q, k, v, softmax_scale=softmax_scale)
     return flash_attention_xla(q, k, v, softmax_scale=softmax_scale)
 

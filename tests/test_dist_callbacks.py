@@ -145,3 +145,21 @@ def test_fit_generator_progressively_base_class(rng):
     assert len(hist) == 2
     # Stage-2 generator is wider; shared-name params carried over.
     assert engine.state["gen_params"]["g_dense_0"]["kernel"].shape == (4, 16)
+
+
+def test_steps_per_call_fusion(rng):
+    """Multi-step fusion: 4 steps per dispatch == 4 separate dispatches in
+    training effect (losses finite, params advance 8 steps total)."""
+    engine = GAN(_conf(epochs=1, batch_step=8, steps_per_call=4),
+                 ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    h = engine.fit_generator(_iter(rng), verbose=0)
+    assert np.isfinite(h["disc_ext_loss"]).all()
+    assert int(engine.state["step"]) == 8
+
+    # And on a mesh.
+    mesh = make_mesh({"data": 4, "model": 2})
+    engine2 = GAN(_conf(epochs=1, batch_step=4, steps_per_call=2),
+                  ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    h2 = engine2.fit_generator(_iter(rng), verbose=0, mesh=mesh)
+    assert np.isfinite(h2["disc_ext_loss"]).all()
+    assert int(engine2.state["step"]) == 4
