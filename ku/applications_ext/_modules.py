@@ -9,8 +9,6 @@ see ku/nn/convolution.py). Weight decay is an optimizer concern in JAX
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple, Union
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -16,8 +16,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-import numpy as np
 
 
 def _ocp():

@@ -22,8 +22,6 @@ Formulas (verified against the reference):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

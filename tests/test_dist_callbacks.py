@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ku.backprop import LSGAN, STYLE_GAN_REGULAR, GAN
+from ku.backprop import STYLE_GAN_REGULAR, GAN
 from ku.dist import make_mesh
 from ku.utils import (
     CheckpointCallback,

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 import ku
-from ku.core.config import Config, load_config, validate
+from ku.core.config import load_config, validate
 from ku.ebm import RBMLayer
 from ku.utility import load_model_jh5, save_model_jh5
 

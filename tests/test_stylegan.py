@@ -4,13 +4,11 @@ sharing, and a tiny end-to-end GAN training step via the engine."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from ku.models import (
     MappingNetwork,
     StyleGANDiscriminator,
     StyleGANGenerator,
-    SynthesisNetwork,
     cal_num_chs,
 )
 
