@@ -248,6 +248,18 @@ class StyleGAN(AbstractGAN):
     def _dump_samples(self, path, n: int = 4):
         imgs = np.asarray(self.generate_samples(n))
         np.save(path, imgs)
+        # PNG grid alongside the raw array (reference dumps PNGs,
+        # :825-835).
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.image as mpimg
+
+            grid = np.concatenate(list(np.clip(imgs, 0, 1)), axis=1)
+            mpimg.imsave(path.replace(".npy", ".png"), grid)
+        except Exception:
+            pass
 
     # -- inference ---------------------------------------------------------
 

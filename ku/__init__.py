@@ -55,16 +55,21 @@ from ku.gnn_layer import GraphConvolutionNetwork
 
 from ku.utility import save_model_jh5, load_model_jh5
 
-# Subpackages importable as attributes (ku.backprop, ku.dist, ...).
+# Subpackages importable as attributes (reference ku/__init__.py:1-10
+# imports the same set; dist/io/models/pallas/utils are new).
+from ku import applications_ext as applications_ext
+from ku import backend_ext as backend_ext
 from ku import backprop as backprop
 from ku import dist as dist
+from ku import ebm as ebm
 from ku import engine_ext as engine_ext
 from ku import image_utils as image_utils
+from ku import initializers_ext as initializers_ext
 from ku import io as io
+from ku import layer_ext as layer_ext
 from ku import loss_ext as loss_ext
 from ku import metrics_ext as metrics_ext
 from ku import models as models
-from ku import applications_ext as applications_ext
 from ku import utils as utils
 
 __version__ = "0.1.0"

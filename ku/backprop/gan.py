@@ -352,7 +352,7 @@ class AbstractGAN:
             total = total + l1_w * jnp.mean(jnp.abs(fake - batch["x"]))
         return total, new_stats
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
     def _train_multi_step(self, state, batches_stacked, disc_k_step: int,
                           key):
         """S fused train steps per dispatch: lax.scan over a leading
@@ -409,7 +409,9 @@ class AbstractGAN:
         state["step"] = state["step"] + 1
         return state, jnp.stack(d_losses), g_loss
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
+    # donate the state: optimizer/param buffers are updated in place
+    # (halves peak HBM for the train state).
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
     def _train_step(self, state, batches, disc_k_step: int, key):
         return self._train_step_inner(state, batches, disc_k_step, key)
 
