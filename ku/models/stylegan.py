@@ -107,22 +107,51 @@ class MappingNetwork(nn.Module):
         return jnp.repeat(x[:, None, :], self.num_broadcast_layers, axis=1)
 
 
+class _FusedStyleBlock(nn.Module):
+    """Pallas-fused epilogue variant of the style block; owns the same
+    ``noise_weight`` param path as :class:`_ApplyNoise` so param trees are
+    interchangeable with the unfused path."""
+
+    @nn.compact
+    def __call__(self, x, style, deterministic: bool = False):
+        from ku.pallas.fused_synthesis import fused_style_epilogue
+
+        w = self.param("noise_weight", nn.initializers.ones, (x.shape[-1],))
+        if deterministic:
+            noise = jnp.zeros(x.shape[1:], x.dtype)
+        else:
+            noise = jax.random.normal(self.make_rng("noise"), x.shape[1:],
+                                      x.dtype)
+        return fused_style_epilogue(x, noise, w.astype(x.dtype),
+                                    style.astype(x.dtype))
+
+
 class SynthesisNetwork(nn.Module):
-    """Broadcast dlatents → image (reference :186-328)."""
+    """Broadcast dlatents → image (reference :186-328).
+
+    ``fused_epilogue=True`` runs each style block's
+    noise+LReLU+pixel-norm+AdaIN chain as one Pallas VMEM pass
+    (ku/pallas/fused_synthesis.py) instead of separate XLA ops.
+    """
 
     resolution: int = 128
     ch_base: int = 1024
     max_ch: int = 512
     dtype: Optional[jnp.dtype] = None
+    fused_epilogue: bool = False
 
     def _style_block(self, x, dlatents, layer_idx: int, deterministic: bool):
         """noise → LReLU → pixel-norm → AdaIN(style) (reference :304-328)."""
-        x = _ApplyNoise(name=f"noise_{layer_idx}")(x, deterministic)
-        x = nn.leaky_relu(x, 0.2)
-        x = _pixel_norm(x)
         style = EqualizedLRDense(
             x.shape[-1] * 2, name=f"style_dense_{layer_idx}", dtype=self.dtype
         )(dlatents[:, layer_idx])
+        if self.fused_epilogue:
+            return _FusedStyleBlock(name=f"noise_{layer_idx}")(
+                x, style, deterministic
+            )
+        x = _ApplyNoise(name=f"noise_{layer_idx}")(x, deterministic)
+        x = nn.leaky_relu(x, 0.2)
+        x = _pixel_norm(x)
         return AdaptiveINWithStyle(epsilon=1e-8, name=f"adain_{layer_idx}")(
             [x, style]
         )
@@ -203,6 +232,7 @@ class StyleGANGenerator(nn.Module):
     trunc_cutoff: Optional[int] = 8
     trunc_momentum: float = 0.99
     dtype: Optional[jnp.dtype] = None  # bf16 compute, f32 params/output
+    fused_epilogue: bool = False
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = False):
@@ -235,7 +265,8 @@ class StyleGANGenerator(nn.Module):
         )(d, deterministic=deterministic)
         return SynthesisNetwork(
             resolution=self.resolution, ch_base=self.ch_base,
-            max_ch=self.max_ch, dtype=self.dtype, name="synthesis",
+            max_ch=self.max_ch, dtype=self.dtype,
+            fused_epilogue=self.fused_epilogue, name="synthesis",
         )(d, deterministic=deterministic)
 
 
