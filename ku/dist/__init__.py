@@ -3,6 +3,7 @@ the reference's ``multi_gpu``/``num_gpus`` flags are never used, see
 SURVEY §2.5; here DP/TP are first-class)."""
 
 from ku.dist.mesh import (
+    initialize_multihost,
     make_mesh,
     data_parallel_sharding,
     replicate,

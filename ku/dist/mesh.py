@@ -32,6 +32,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 
+def initialize_multihost(**kwargs) -> None:
+    """Initialize multi-host JAX (one process per host; same SPMD program
+    then spans slices over DCN). Thin wrapper for discoverability —
+    call before :func:`make_mesh` on multi-host deployments."""
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(axis_shapes: Optional[dict] = None, devices=None) -> Mesh:
     """Build a mesh; default is 1-D data parallelism over all devices.
 

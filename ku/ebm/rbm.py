@@ -376,6 +376,14 @@ class RBM:
         backend = self.hps.get("backend")
         if backend is None:
             backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        elif backend == "pallas" and jax.default_backend() != "tpu":
+            # Interpret-mode TPU PRNG is a zero stub — sampling would be
+            # degenerate. Never train with it off-TPU.
+            import warnings
+
+            warnings.warn("backend='pallas' requires a TPU; falling back to "
+                          "'scan' (the interpreter's PRNG is a zero stub)")
+            backend = "scan"
         if backend == "pallas":
             # VMEM guard: the fused kernel keeps W (Vp×Hp), the batch
             # block, and chain activations resident in VMEM (~16 MB/core).

@@ -13,6 +13,13 @@ epilogue in one VMEM pass per batch item:
 
 Backward is a custom-VJP recompute through the identical XLA composition
 (same trade as flash attention: FLOPs for memory traffic).
+
+Measured on v5e at the reference 128px config (BASELINE.md): the fused
+path is ~par for inference but SLOWER for training than plain XLA — XLA's
+elementwise fusion already covers this chain and the recompute backward
+dominates. It therefore ships default-OFF (``SynthesisNetwork(
+fused_epilogue=True)`` to opt in); kept as the validated kernel substrate
+for a future fully-custom backward.
 """
 
 from __future__ import annotations
@@ -64,6 +71,13 @@ def _fused_forward(x, noise, w_noise, style, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, h, w, c = x.shape
+    out_dtype = x.dtype
+    # Kernel operates in f32 (Mosaic chokes on bf16 dynamic slices here;
+    # the math is f32 internally anyway).
+    x = x.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
+    w_noise = w_noise.astype(jnp.float32)
+    style = style.astype(jnp.float32)
     # Style (B, 2C) packs [scales | biases] contiguously (the reference's
     # reshape(-1, 2, 1, 1, C) layout) — sliceable directly in the kernel.
     return pl.pallas_call(
@@ -80,9 +94,9 @@ def _fused_forward(x, noise, w_noise, style, interpret: bool | None = None):
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(x, noise, w_noise.reshape(1, c), style)
+    )(x, noise, w_noise.reshape(1, c), style).astype(out_dtype)
 
 
 @jax.custom_vjp
