@@ -47,7 +47,9 @@ class RBMSoftmaxModel(nn.Module):
                        (x.shape[-1], self.output_dim))
         bh = self.param("rbm_hidden_bias", nn.initializers.zeros_init(),
                         (self.output_dim,))
-        x = x / 255.0
+        # Same visible distribution the RBM was pretrained on: binarized
+        # pixels (train/serve consistency; Bernoulli visibles).
+        x = (x / 255.0 > 0.5).astype(jnp.float32)
         h = jax.nn.sigmoid(x @ jax.lax.stop_gradient(w)
                            + jax.lax.stop_gradient(bh))
         return nn.softmax(nn.Dense(10, name="softmax")(h))
@@ -85,8 +87,10 @@ class MNISTClassifier:
     def train(self, V=None, gt=None):
         if V is None:
             V, gt = common.load_mnist()
-        # Unsupervised phase: CD on raw-scale/255 visibles (reference
-        # trains the RBM on V/255 via the Lambda; we match that scale).
+        # Unsupervised phase: Bernoulli CD on binarized visibles; the
+        # classifier consumes the SAME distribution through the frozen
+        # features (train/serve consistency — the reference's double /255
+        # is itself inconsistent).
         print("Train the RBM model.")
         self.rbm.fit((V / 255.0 > 0.5).astype(np.float32))
 

@@ -218,31 +218,42 @@ class StyleGAN(AbstractGAN):
         resolutions = self._nn_arch.get(
             "gen_prog_resolutions", [int(self._nn_arch["resolution"])]
         )
+        import itertools
+
+        from ku.backprop.gan import _merge_shared
+
         prev_state = None
         for stage, res in enumerate(resolutions):
             print(f"[progressive] stage {stage}: resolution {res}")
             self.gen, self.disc = self._modules_at(int(res))
+            self._rebind_jit()
             nn_arch_stage = dict(self._nn_arch)
             nn_arch_stage["resolution"] = int(res)
             seq = TrainingSequenceFFHQ(self.raw_data_path, self._hps,
                                        nn_arch_stage, self.map_nn_arch)
+            # Seed shared-name params from the previous stage BEFORE
+            # training (merging after training would discard the stage's
+            # learning of shared layers).
+            it = iter(seq)
+            first = next(it)
+            it = itertools.chain([first], it)
             self.state = None
-            sub = dict(self.hps)
-            sub["epochs"] = 1
-            old, self.hps = self.hps, sub
-            try:
-                self.fit_generator(seq, verbose=1, seed=100 + stage)
-            finally:
-                self.hps = old
+            self.init_state(jax.tree.map(jnp.asarray, first),
+                            seed=100 + stage)
             if prev_state is not None:
-                from ku.backprop.gan import _merge_shared
-
                 self.state["gen_params"] = _merge_shared(
                     self.state["gen_params"], prev_state["gen_params"]
                 )
                 self.state["disc_params"] = _merge_shared(
                     self.state["disc_params"], prev_state["disc_params"]
                 )
+            sub = dict(self.hps)
+            sub["epochs"] = 1
+            old, self.hps = self.hps, sub
+            try:
+                self.fit_generator(it, verbose=1, seed=100 + stage)
+            finally:
+                self.hps = old
             prev_state = self.state
 
     def _dump_samples(self, path, n: int = 4):

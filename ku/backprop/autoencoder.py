@@ -90,21 +90,6 @@ def _reverse_one(s: LayerSpec, in_shape: Tuple[int, ...],
     )
 
 
-# Teach Stack the decoder-only 'reshape' kind.
-_orig_apply_functional = _spec_mod._apply_functional
-
-
-def _apply_functional_with_reshape(s, x):
-    if s.kind == "reshape":
-        return x.reshape((x.shape[0],) + tuple(s.cfg["target_shape"]))
-    return _orig_apply_functional(s, x)
-
-
-_spec_mod._apply_functional = _apply_functional_with_reshape
-if "reshape" not in _spec_mod._FUNCTIONAL:
-    _spec_mod._FUNCTIONAL = _spec_mod._FUNCTIONAL + ("reshape",)
-
-
 def reverse_groups(encoder_specs: Sequence[LayerSpec],
                    input_shape: Tuple[int, ...]):
     """Per-encoder-layer mirror groups, innermost first: ``groups[j]``

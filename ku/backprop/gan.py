@@ -211,8 +211,24 @@ class AbstractGAN:
             g_hps.get("lr", 1e-3), b1=g_hps.get("beta_1", 0.0),
             b2=g_hps.get("beta_2", 0.99),
         )
+        self._rebind_jit()
         self._compiled = True
         return self
+
+    def _rebind_jit(self):
+        """(Re)bind the jitted steps so that new optimizers or swapped
+        gen/disc modules never reuse a stale compiled graph (jit over the
+        id-hashed ``self`` would). State is donated — optimizer/param
+        buffers update in place."""
+        self._train_step = jax.jit(
+            self._train_step_inner, static_argnums=(2,), donate_argnums=(0,)
+        )
+        self._train_multi_step = jax.jit(
+            self._train_multi_step_inner, static_argnums=(2,),
+            donate_argnums=(0,),
+        )
+        if hasattr(self, "_gen_jit_fn"):
+            del self._gen_jit_fn
 
     def init_state(self, sample_batch, seed: int = 0):
         """Initialize params/opt states from one sample batch."""
@@ -352,9 +368,8 @@ class AbstractGAN:
             total = total + l1_w * jnp.mean(jnp.abs(fake - batch["x"]))
         return total, new_stats
 
-    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
-    def _train_multi_step(self, state, batches_stacked, disc_k_step: int,
-                          key):
+    def _train_multi_step_inner(self, state, batches_stacked,
+                                disc_k_step: int, key):
         """S fused train steps per dispatch: lax.scan over a leading
         steps axis of (S, k, batch, ...) stacked batches. Amortizes
         dispatch latency for small models (hps key ``steps_per_call``)."""
@@ -408,12 +423,6 @@ class AbstractGAN:
         state["gen_stats"] = new_stats
         state["step"] = state["step"] + 1
         return state, jnp.stack(d_losses), g_loss
-
-    # donate the state: optimizer/param buffers are updated in place
-    # (halves peak HBM for the train state).
-    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=(1,))
-    def _train_step(self, state, batches, disc_k_step: int, key):
-        return self._train_step_inner(state, batches, disc_k_step, key)
 
     # -- training loops -----------------------------------------------------
 
@@ -521,6 +530,8 @@ class AbstractGAN:
         persist across stages per flax name-based trees (shared layer names
         keep their weights).
         """
+        import itertools
+
         epochs = int(self.hps.get("epochs", 1))
         history = []
         prev_state = self.state
@@ -528,7 +539,26 @@ class AbstractGAN:
             g_d = gen_prog_depths[e] if e < len(gen_prog_depths) else None
             d_d = disc_prog_depths[e] if e < len(disc_prog_depths) else None
             self.gen, self.disc, it = generator_factory(e, g_d, d_d)
-            self.state = None  # re-init at new depth...
+            if not self._compiled:
+                self.compile()
+            self._rebind_jit()  # new modules → never reuse the old graph
+
+            # Re-init at the new depth and SEED shared-name params from the
+            # previous stage BEFORE training (seeding after training would
+            # discard the stage's learning of shared layers).
+            it = iter(it)
+            first = next(it)
+            it = itertools.chain([first], it)
+            self.state = None
+            self.init_state(jax.tree.map(jnp.asarray, first), seed=seed + e)
+            if prev_state is not None:
+                self.state["gen_params"] = _merge_shared(
+                    self.state["gen_params"], prev_state["gen_params"]
+                )
+                self.state["disc_params"] = _merge_shared(
+                    self.state["disc_params"], prev_state["disc_params"]
+                )
+
             sub_hps = dict(self.hps)
             sub_hps["epochs"] = 1
             old_hps, self.hps = self.hps, sub_hps
@@ -536,14 +566,6 @@ class AbstractGAN:
                 h = self.fit_generator(it, verbose=verbose, seed=seed + e)
             finally:
                 self.hps = old_hps
-            if prev_state is not None:
-                # carry shared-name params forward
-                self.state["gen_params"] = _merge_shared(
-                    self.state["gen_params"], prev_state["gen_params"]
-                )
-                self.state["disc_params"] = _merge_shared(
-                    self.state["disc_params"], prev_state["disc_params"]
-                )
             prev_state = self.state
             history.append(h)
         return history

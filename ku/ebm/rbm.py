@@ -263,19 +263,20 @@ class RBMLayer:
                 sample: bool = False, trainable: bool = False):
         import flax.linen as nn
 
+        def _uniform_pm(key, shape, dtype=jnp.float32):
+            # Keras 'uniform' = U(−0.05, 0.05) (NOT jax's U[0, scale)).
+            return jax.random.uniform(key, shape, dtype, -0.05, 0.05)
+
         class _RBMLayer(nn.Module):
             features: int = output_dim
 
             @nn.compact
             def __call__(self, v, deterministic: bool = True):
                 w = self.param(
-                    "rbm_weight",
-                    jax.nn.initializers.uniform(0.05),
-                    (v.shape[-1], self.features),
+                    "rbm_weight", _uniform_pm, (v.shape[-1], self.features)
                 )
                 bh = self.param(
-                    "hidden_bias", jax.nn.initializers.uniform(0.05),
-                    (self.features,),
+                    "hidden_bias", _uniform_pm, (self.features,)
                 )
                 if not trainable:
                     w = jax.lax.stop_gradient(w)
@@ -439,17 +440,30 @@ class RBM:
             return self
 
         if backend == "pallas":
-            # The whole multi-epoch run is ONE kernel dispatch.
+            # The whole multi-epoch run is ONE kernel dispatch — chunked so
+            # the VMEM-resident (epochs·steps, 128) score buffer stays
+            # small (see cd_gibbs.py out_specs).
             from ku.pallas.cd_gibbs import cd_train_pallas
 
-            self.params, scores = cd_train_pallas(
-                self.params, v_all_d, mask_d, self._keys(), lr, k, self.mode,
-                batch_size, epochs,
+            num_steps = padded // batch_size
+            max_epochs_per_call = max(
+                1, (2 * 1024 * 1024) // max(num_steps * 128 * 4, 1)
             )
-            if verbose:
-                per_epoch = np.asarray(scores).reshape(epochs, -1).mean(axis=1)
-                for e, s in enumerate(per_epoch):
-                    print(f"{e + 1}/{epochs} epochs, score: {s:f}")
+            done = 0
+            all_scores = []
+            while done < epochs:
+                chunk = min(max_epochs_per_call, epochs - done)
+                self.params, scores = cd_train_pallas(
+                    self.params, v_all_d, mask_d, self._keys(), lr, k,
+                    self.mode, batch_size, chunk,
+                )
+                all_scores.append(np.asarray(scores))
+                if verbose:
+                    per_epoch = all_scores[-1].reshape(chunk, -1).mean(axis=1)
+                    for i, s in enumerate(per_epoch):
+                        print(f"{done + i + 1}/{epochs} epochs, score: {s:f}")
+                done += chunk
+            scores = np.concatenate(all_scores)
         else:
             for e in range(epochs):
                 self.params, scores = cd_epoch_scan(

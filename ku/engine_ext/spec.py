@@ -116,6 +116,8 @@ def _apply_functional(s: LayerSpec, x):
         return resolve_activation(c["activation"])(x)
     if s.kind == "flatten":
         return x.reshape(x.shape[0], -1)
+    if s.kind == "reshape":
+        return x.reshape((x.shape[0],) + tuple(c["target_shape"]))
     if s.kind.startswith("upsampling"):
         rank = int(s.kind[-2])
         size = c.get("size", 2)
@@ -126,8 +128,8 @@ def _apply_functional(s: LayerSpec, x):
     raise AssertionError(s.kind)
 
 
-_FUNCTIONAL = ("activation", "flatten", "upsampling1d", "upsampling2d",
-               "upsampling3d")
+_FUNCTIONAL = ("activation", "flatten", "reshape", "upsampling1d",
+               "upsampling2d", "upsampling3d")
 
 
 class Stack(nn.Module):
@@ -177,19 +179,24 @@ def infer_shapes(specs: Sequence[LayerSpec], input_shape: Tuple[int, ...],
                 n = s.cfg["n_node"]
                 adjacency_shape = (input_shape[0], n, n)
                 break
+    # Single O(n) pass: abstract-evaluate each layer once on its own
+    # input shape.
     shapes = [tuple(input_shape)]
-    for i in range(len(specs)):
-        sub = Stack(specs=tuple(specs[: i + 1]))
-        x = jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32)
+    cur = tuple(input_shape)
+    for s in specs:
+        sub = Stack(specs=(s,))
+        x = jax.ShapeDtypeStruct(cur, jnp.float32)
         if adjacency_shape is not None:
             a = jax.ShapeDtypeStruct(tuple(adjacency_shape), jnp.float32)
             out = jax.eval_shape(
-                lambda xx, aa: sub.init_with_output(jax.random.key(0), [xx, aa])[0],
+                lambda xx, aa: sub.init_with_output(jax.random.key(0),
+                                                    [xx, aa])[0],
                 x, a,
             )
         else:
             out = jax.eval_shape(
                 lambda xx: sub.init_with_output(jax.random.key(0), xx)[0], x
             )
-        shapes.append(tuple(out.shape))
+        cur = tuple(out.shape)
+        shapes.append(cur)
     return shapes

@@ -49,6 +49,7 @@ def _load():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
+            lib.ku_loader_get.restype = ctypes.c_int
             lib.ku_loader_get.argtypes = [
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)
             ]
@@ -97,11 +98,17 @@ class NativeImagePipeline:
     def get(self) -> np.ndarray:
         """Blocking pop of one preprocessed (out_h, out_w, channels) f32
         image in [-1, 1]. Completion order may differ from submit order
-        (workers run concurrently)."""
+        (workers run concurrently). Raises if nothing was submitted (no
+        deadlock on over-popping)."""
         out = np.empty((self.out_h, self.out_w, self.channels), np.float32)
-        self._lib.ku_loader_get(
+        status = self._lib.ku_loader_get(
             self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         )
+        if status != 0:
+            raise RuntimeError(
+                "native loader: no result available (nothing pending or "
+                "loader stopping)"
+            )
         return out
 
     def get_batch(self, n: int) -> np.ndarray:

@@ -152,18 +152,29 @@ void ku_loader_submit(void* handle, const uint8_t* img, int h, int w, int c) {
   L->cv_in.notify_one();
 }
 
-void ku_loader_get(void* handle, float* out) {
+// Returns 0 on success, 1 if the loader is stopping / nothing was or will
+// be produced (the consumer must not interpret `out` in that case).
+int ku_loader_get(void* handle, float* out) {
   auto* L = static_cast<Loader*>(handle);
   std::vector<float> result;
   {
     std::unique_lock<std::mutex> lock(L->mu);
-    L->cv_out.wait(lock, [L] { return !L->out_queue.empty(); });
+    L->cv_out.wait(lock, [L] {
+      // Also wake when stopping, or when no result can ever arrive
+      // (nothing queued, nothing in flight) — prevents a consumer that
+      // over-pops from deadlocking or outliving destroy().
+      return !L->out_queue.empty() || L->stop ||
+             (L->in_queue.empty() &&
+              L->submitted.load() == L->popped.load());
+    });
+    if (L->out_queue.empty()) return 1;
     result = std::move(L->out_queue.front());
     L->out_queue.pop_front();
     L->cv_space.notify_one();
   }
   L->popped++;
   std::memcpy(out, result.data(), result.size() * sizeof(float));
+  return 0;
 }
 
 long ku_loader_pending(void* handle) {
@@ -178,6 +189,8 @@ void ku_loader_destroy(void* handle) {
     L->stop = true;
   }
   L->cv_in.notify_all();
+  L->cv_out.notify_all();  // wake any consumer blocked in get()
+  L->cv_space.notify_all();
   for (auto& t : L->workers) t.join();
   delete L;
 }

@@ -186,9 +186,11 @@ def _flash_bwd(softmax_scale, residuals, g):
 _flash_dispatch.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, softmax_scale: float = 1.0, **kwargs):
+def flash_attention(q, k, v, softmax_scale: float = 1.0):
     """Dispatch: Pallas kernel on TPU, XLA blockwise elsewhere.
-    Differentiable (custom VJP recomputes blockwise in the backward)."""
+    Differentiable (custom VJP recomputes blockwise in the backward).
+    For explicit block-size control call :func:`flash_attention_pallas`
+    or :func:`flash_attention_xla` directly."""
     return _flash_dispatch(q, k, v, softmax_scale)
 
 

@@ -163,3 +163,45 @@ def test_steps_per_call_fusion(rng):
     h2 = engine2.fit_generator(_iter(rng), verbose=0, mesh=mesh)
     assert np.isfinite(h2["disc_ext_loss"]).all()
     assert int(engine2.state["step"]) == 4
+
+
+def test_progressive_seeds_before_training(rng):
+    """Stage N+1 must START from stage N's trained shared weights (a
+    frozen lr=0 stage then preserves them exactly); regression for the
+    merge-after-training bug."""
+    import optax
+
+    class GrowGen2(nn.Module):
+        width: int = 8
+
+        @nn.compact
+        def __call__(self, z, deterministic: bool = True):
+            h = nn.relu(nn.Dense(8, name="g_in")(z))
+            return nn.Dense(8, name=f"g_out_{self.width}")(
+                nn.relu(nn.Dense(self.width)(h))
+            )
+
+    conf = _conf(epochs=2, batch_step=3, disc_k_step=1)
+    engine = GAN(conf, GrowGen2(), ToyDisc()).compose_gan_with_mode().compile()
+    data_rng = np.random.default_rng(0)
+
+    def factory(e, gd, dd):
+        if e == 1:
+            engine.compile(disc_ext_opt=optax.sgd(0.0),
+                           gen_disc_opt=optax.sgd(0.0))
+        return GrowGen2(width=gd), ToyDisc(), _iter(data_rng, batch=8)
+
+    engine.fit_generator_progressively(
+        factory, gen_prog_depths=[8, 16], disc_prog_depths=[0, 0], verbose=0
+    )
+
+    # Replay stage 1 alone with identical seeds/data.
+    engine2 = GAN(dict(conf), GrowGen2(), ToyDisc())
+    engine2.compose_gan_with_mode().compile()
+    engine2.hps = dict(engine2.hps, epochs=1)
+    engine2.fit_generator(_iter(np.random.default_rng(0), batch=8),
+                          verbose=0, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(engine.state["gen_params"]["g_in"]["kernel"]),
+        np.asarray(engine2.state["gen_params"]["g_in"]["kernel"]),
+    )

@@ -232,7 +232,7 @@ def test_flash_attention_matches_dense(rng):
     q = jnp.asarray(rng.normal(size=(2, 2, 33, 16)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(2, 2, 57, 16)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(2, 2, 57, 16)).astype(np.float32))
-    out = flash_attention(q, k, v, softmax_scale=0.25, block_size=16)
+    out = flash_attention(q, k, v, softmax_scale=0.25)
     scores = np.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
     e = np.exp(scores - scores.max(-1, keepdims=True))
     probs = e / e.sum(-1, keepdims=True)

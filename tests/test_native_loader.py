@@ -86,3 +86,12 @@ def test_native_faster_than_python(rng):
         _bilinear_oracle(img.astype(np.float32), 128, 128)
     python_t = (time.perf_counter() - start) * len(imgs) / 4
     assert native_t < python_t, (native_t, python_t)
+
+
+def test_overpop_raises_instead_of_deadlocking(rng):
+    pipe = NativeImagePipeline(out_h=8, out_w=8, n_threads=2)
+    pipe.submit(rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8))
+    _ = pipe.get()
+    with pytest.raises(RuntimeError):
+        pipe.get()  # nothing pending — must raise, not hang
+    pipe.close()
