@@ -76,6 +76,7 @@ def main():
     from ku.ebm.rbm import MODE_VISIBLE_BERNOULLI, init_rbm_params
 
     on_tpu = jax.default_backend() == "tpu"
+    epochs_timed = EPOCHS_TIMED if on_tpu else 2  # keep CPU fallback quick
 
     V = _data()
     cpu_sps = numpy_reference_throughput(V)
@@ -92,13 +93,13 @@ def main():
         def run(p, key):
             return cd_train_pallas(p, v_all, mask, key, 1e-3, 1,
                                    MODE_VISIBLE_BERNOULLI, BATCH,
-                                   EPOCHS_TIMED)
+                                   epochs_timed)
     else:
         from ku.ebm.rbm import cd_epoch_scan
 
         def run(p, key):
             scores = None
-            for e in range(EPOCHS_TIMED):
+            for e in range(epochs_timed):
                 p, scores = cd_epoch_scan(
                     p, v_all, mask, jax.random.fold_in(key, e), 1e-3, 1,
                     MODE_VISIBLE_BERNOULLI, BATCH,
@@ -116,7 +117,7 @@ def main():
     p, s = run(params, jax.random.key(2))
     _ = np.asarray(p["rbm_weight"]).sum()  # hard fence: device→host readback
     elapsed = time.perf_counter() - start
-    sps = N * EPOCHS_TIMED / elapsed
+    sps = N * epochs_timed / elapsed
 
     print(json.dumps({
         "metric": "rbm_cd1_mnist_samples_per_sec",

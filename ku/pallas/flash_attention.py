@@ -24,12 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len,
+                  causal):
     """One (batch·head, q-block) program: online softmax over k blocks."""
     q = q_ref[0].astype(jnp.float32)  # (BLOCK_Q, D)
     block_q, d = q.shape
     num_kb = pl.cdiv(kv_len, block_k)
-    padded_kv = k_ref.shape[1]
 
     def body(kb, carry):
         m_prev, l_prev, acc = carry
@@ -47,6 +47,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
             jnp.int32, (block_q, block_k), 1
         )
         s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+        if causal:
+            q_idx = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            s = jnp.where(key_idx <= q_idx, s, _NEG_INF)
 
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -66,11 +71,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("softmax_scale", "block_q", "block_k", "interpret"),
+    static_argnames=("softmax_scale", "block_q", "block_k", "interpret",
+                     "causal"),
 )
 def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
                            block_q: int = 128, block_k: int = 128,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           causal: bool = False):
     """Pallas flash attention. q: (B, H, N, D), k/v: (B, H, KN, D)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -94,7 +101,8 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
     grid = (b * h, nq_pad // block_q)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=softmax_scale, block_k=block_k, kv_len=kn
+            _flash_kernel, scale=softmax_scale, block_k=block_k, kv_len=kn,
+            causal=causal,
         ),
         grid=grid,
         in_specs=[
@@ -114,9 +122,11 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
     return out[:, :n, :].reshape(b, h, n, vf.shape[-1])
 
 
-@functools.partial(jax.jit, static_argnames=("softmax_scale", "block_size"))
+@functools.partial(
+    jax.jit, static_argnames=("softmax_scale", "block_size", "causal")
+)
 def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
-                        block_size: int = 512):
+                        block_size: int = 512, causal: bool = False):
     """Blockwise online-softmax attention in pure XLA (lax.scan) — the
     portable fallback with the same O(N·block) memory profile."""
     b, h, n, d = q.shape
@@ -130,12 +140,19 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
     kb = k.reshape(b, h, num_blocks, block, d)
     vb = v.reshape(b, h, num_blocks, block, v.shape[-1])
     valid = (jnp.arange(num_blocks * block) < kn).reshape(num_blocks, block)
+    key_pos = jnp.arange(num_blocks * block).reshape(num_blocks, block)
+    q_pos = jnp.arange(n)
 
     def body(carry, blk):
         m, l, acc = carry
-        k_i, v_i, valid_i = blk
+        k_i, v_i, valid_i, key_pos_i = blk
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_i) * softmax_scale
         s = jnp.where(valid_i[None, None, None, :], s, -jnp.inf)
+        if causal:
+            s = jnp.where(
+                key_pos_i[None, None, None, :] <= q_pos[None, None, :, None],
+                s, -jnp.inf,
+            )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
@@ -150,33 +167,35 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
     )
     (m, l, acc), _ = jax.lax.scan(
         body, init,
-        (jnp.moveaxis(kb, 2, 0), jnp.moveaxis(vb, 2, 0), valid),
+        (jnp.moveaxis(kb, 2, 0), jnp.moveaxis(vb, 2, 0), valid, key_pos),
     )
-    return acc / l[..., None]
+    return acc / jnp.maximum(l, 1e-30)[..., None]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_dispatch(q, k, v, softmax_scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_dispatch(q, k, v, softmax_scale, causal):
     # VMEM guard: the Pallas kernel keeps the full K/V for one (b, h) in
     # VMEM; beyond ~10 MB fall back to the XLA blockwise path.
     kv_bytes = 2 * k.shape[2] * k.shape[3] * 4
     if jax.default_backend() == "tpu" and kv_bytes <= 10 * 1024 * 1024:
-        return flash_attention_pallas(q, k, v, softmax_scale=softmax_scale)
-    return flash_attention_xla(q, k, v, softmax_scale=softmax_scale)
+        return flash_attention_pallas(q, k, v, softmax_scale=softmax_scale,
+                                      causal=causal)
+    return flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
+                               causal=causal)
 
 
-def _flash_fwd(q, k, v, softmax_scale):
-    return _flash_dispatch(q, k, v, softmax_scale), (q, k, v)
+def _flash_fwd(q, k, v, softmax_scale, causal):
+    return _flash_dispatch(q, k, v, softmax_scale, causal), (q, k, v)
 
 
-def _flash_bwd(softmax_scale, residuals, g):
+def _flash_bwd(softmax_scale, causal, residuals, g):
     # Backward via the blockwise-XLA formulation (recompute; still O(N)
     # memory) — the classic flash-attention recipe of trading FLOPs for
     # the N² matrix.
     q, k, v = residuals
     _, vjp = jax.vjp(
         lambda qq, kk, vv: flash_attention_xla(
-            qq, kk, vv, softmax_scale=softmax_scale
+            qq, kk, vv, softmax_scale=softmax_scale, causal=causal
         ),
         q, k, v,
     )
@@ -186,12 +205,13 @@ def _flash_bwd(softmax_scale, residuals, g):
 _flash_dispatch.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, softmax_scale: float = 1.0):
+def flash_attention(q, k, v, softmax_scale: float = 1.0,
+                    causal: bool = False):
     """Dispatch: Pallas kernel on TPU, XLA blockwise elsewhere.
     Differentiable (custom VJP recomputes blockwise in the backward).
     For explicit block-size control call :func:`flash_attention_pallas`
     or :func:`flash_attention_xla` directly."""
-    return _flash_dispatch(q, k, v, softmax_scale)
+    return _flash_dispatch(q, k, v, softmax_scale, causal)
 
 
 def ring_attention(q, k, v, mesh, axis_name: str = "data",

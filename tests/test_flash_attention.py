@@ -76,3 +76,24 @@ def test_flash_attention_differentiable(rng):
     for a, b in zip(g_flash, g_dense):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                    atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [32, 40])
+def test_causal_flash_matches_dense(rng, n):
+    q = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    out_p = flash_attention_pallas(q, k, v, softmax_scale=0.25, block_q=16,
+                                   block_k=16, interpret=True, causal=True)
+    out_x = flash_attention_xla(q, k, v, softmax_scale=0.25, block_size=16,
+                                causal=True)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+    mask = np.tril(np.ones((n, n), bool))
+    s = np.where(mask[None, None], s, -np.inf)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    expected = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(np.asarray(out_p), expected, rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_x), expected, rtol=2e-4,
+                               atol=2e-5)
