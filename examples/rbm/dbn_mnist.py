@@ -30,7 +30,7 @@ from ku.ebm import DBN, RBM  # noqa: E402
 from ku.engine_ext import Trainer  # noqa: E402
 from ku.loss_ext import categorical_crossentropy_with_label_gt  # noqa: E402
 
-HPS = {"lr": 1e-3, "batch_size": 128, "epochs": 2}
+HPS = {"lr": 1e-3, "batch_size": 128, "epochs": 8}
 DIMS = (256, 128)
 
 
