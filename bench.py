@@ -5,11 +5,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Target (BASELINE.json north star): the reference's CD-1 hot loop
 (ku/ebm/rbm.py:163-234 — 5 host→device K.function dispatches per batch)
 rebuilt as a single fused Pallas epoch kernel, ≥20× the reference CPU
-epoch throughput. The reference publishes no numbers (BASELINE.md), so the
-baseline here is a faithful numpy re-implementation of its per-batch CD-1
-update loop, measured on this host's CPU and extrapolated to the full
-epoch. ``vs_baseline`` = TPU samples/sec ÷ reference-equivalent CPU
-samples/sec.
+epoch throughput. ``vs_baseline`` = TPU samples/sec ÷ reference CPU
+samples/sec, where the baseline is, in preference order:
+
+1. THE REFERENCE ITSELF: benchmarks/reference_tf2_baseline.py runs the
+   reference's own rbm.py on this image's TF 2.21 CPU (graph mode, its
+   intended 5-dispatch-per-batch loop; three fatal reference bugs patched
+   in memory — see that file's docstring). Run in a subprocess so TF's
+   global graph-mode switch never touches this process.
+2. Fallback (no TF / subprocess failure): a faithful numpy
+   re-implementation of the same per-batch CD-1 loop.
 """
 
 from __future__ import annotations
@@ -68,6 +73,24 @@ def numpy_reference_throughput(V, max_batches: int = 20) -> float:
     return n_done / (time.perf_counter() - start)
 
 
+def reference_tf2_throughput() -> float | None:
+    """Measure the actual reference on TF2 CPU (subprocess; None on any
+    failure — missing TF, timeout, etc.)."""
+    import subprocess
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "reference_tf2_baseline.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "12800"],
+            capture_output=True, text=True, timeout=420, check=True,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return float(json.loads(line)["value"])
+    except Exception:
+        return None
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
@@ -79,7 +102,10 @@ def main():
     epochs_timed = EPOCHS_TIMED if on_tpu else 2  # keep CPU fallback quick
 
     V = _data()
-    cpu_sps = numpy_reference_throughput(V)
+    ref_sps = reference_tf2_throughput()
+    cpu_sps = ref_sps if ref_sps is not None else numpy_reference_throughput(V)
+    baseline_source = ("reference_tf2_cpu" if ref_sps is not None
+                       else "numpy_proxy")
 
     params = init_rbm_params(jax.random.key(0), V_DIM, H_DIM)
     v_all = jnp.asarray(V)
@@ -124,6 +150,8 @@ def main():
         "value": round(sps, 1),
         "unit": "samples/sec",
         "vs_baseline": round(sps / cpu_sps, 2),
+        "baseline_source": baseline_source,
+        "baseline_samples_per_sec": round(cpu_sps, 1),
     }))
 
 

@@ -229,6 +229,8 @@ class AbstractGAN:
         )
         if hasattr(self, "_gen_jit_fn"):
             del self._gen_jit_fn
+        if hasattr(self, "_eval_jit_fn"):
+            del self._eval_jit_fn
 
     def init_state(self, sample_batch, seed: int = 0):
         """Initialize params/opt states from one sample batch."""
@@ -364,8 +366,11 @@ class AbstractGAN:
         total = weights[0] * jnp.mean(losses[0](ones, d_fake))
         if self.composing_mode == PIX2PIX_GAN:
             # L1 reconstruction on G(z) (reference gen_disc z_outputs :1173).
+            # Target: 'x_target' when the batch provides one (documented
+            # contract), else the real image 'x'.
             l1_w = self.hps.get("pix2pix_l1_weight", 100.0)
-            total = total + l1_w * jnp.mean(jnp.abs(fake - batch["x"]))
+            l1_target = batch["x_target"] if "x_target" in batch else batch["x"]
+            total = total + l1_w * jnp.mean(jnp.abs(fake - l1_target))
         return total, new_stats
 
     def _train_multi_step_inner(self, state, batches_stacked,
@@ -391,7 +396,14 @@ class AbstractGAN:
 
     def _train_step_inner(self, state, batches, disc_k_step: int, key):
         """k disc updates + 1 gen update, all on device (replaces the
-        reference's per-batch eager train_on_batch loop :739-786)."""
+        reference's per-batch eager train_on_batch loop :739-786).
+
+        ``batches`` is a stack of ``disc_k_step + 1`` batches: the first k
+        feed the discriminator updates and the LAST one is a FRESH batch
+        for the generator update — matching the reference, which draws a
+        new batch (new z, new reals) via ``gen_gen_disc_data_fun`` for the
+        G step (reference gan.py:774) instead of reusing the last D batch.
+        """
         d_losses = []
         for i in range(disc_k_step):
             batch = jax.tree.map(lambda x: x[i], batches)
@@ -409,7 +421,7 @@ class AbstractGAN:
             state["disc_opt"] = d_opt
             d_losses.append(d_loss)
 
-        g_batch = jax.tree.map(lambda x: x[disc_k_step - 1], batches)
+        g_batch = jax.tree.map(lambda x: x[disc_k_step], batches)
         g_key = jax.random.fold_in(key, 1000)
         (g_loss, new_stats), g_grads = jax.value_and_grad(
             self._gen_loss, has_aux=True
@@ -427,12 +439,14 @@ class AbstractGAN:
     # -- training loops -----------------------------------------------------
 
     def fit_generator(self, generator, verbose: int = 1, seed: int = 0,
-                      mesh=None, callbacks=()):
+                      mesh=None, callbacks=(), initial_epoch=0):
         """Alternating training from a batch iterator (reference :225-506).
 
         ``generator`` yields dict batches; ``hps``: ``epochs``,
         ``batch_step`` (steps per epoch), ``disc_k_step`` (D steps per G
-        step, reference conf key).
+        step, reference conf key). Each logical step consumes
+        ``disc_k_step + 1`` batches — k for the D updates plus a FRESH one
+        for the G update (reference gan.py:774).
 
         ``mesh``: optional ``jax.sharding.Mesh``. With a ``'data'`` axis
         the batch is sharded over it (gradients all-reduce over ICI via
@@ -440,6 +454,18 @@ class AbstractGAN:
         tensor-parallel (see ku/dist/mesh.py:shard_gan_state). This is the
         working replacement for the reference's dead ``multi_gpu`` flag
         (:1002).
+
+        ``initial_epoch``: epoch to resume from (reference :392 —
+        ``_maybe_load_initial_epoch_from_ckpt``). Pass an int, or
+        ``"auto"`` to restore the latest checkpoint from any
+        :class:`~ku.utils.callbacks.CheckpointCallback` in ``callbacks``
+        and continue from the epoch after it.
+
+        Per-batch observability: callbacks receive
+        ``on_train_batch_end(engine, step, logs)`` after every logical
+        batch step (reference :426-434 routes train_on_batch logs the same
+        way). With ``steps_per_call`` fusion the per-step losses come from
+        the scanned loss arrays, so granularity is preserved.
         """
         epochs = int(self.hps.get("epochs", 1))
         batch_step = int(self.hps.get("batch_step", 1))
@@ -459,15 +485,35 @@ class AbstractGAN:
 
         for cb in callbacks:
             cb.on_train_begin(self)
+        if initial_epoch == "auto":
+            initial_epoch = 0
+            if any(hasattr(cb, "maybe_restore") for cb in callbacks):
+                if self.state is None:
+                    # Restore needs a state template: init from a peeked
+                    # batch, then put it back on the iterator.
+                    import itertools
+
+                    first = next(it)
+                    it = itertools.chain([first], it)
+                    self.init_state(jax.tree.map(jnp.asarray, first),
+                                    seed=seed)
+                    if mesh is not None:
+                        self.state = shard_gan_state(self.state, mesh)
+                for cb in callbacks:
+                    if hasattr(cb, "maybe_restore"):
+                        restored = cb.maybe_restore(self)
+                        if restored is not None:
+                            initial_epoch = max(initial_epoch, restored + 1)
+        initial_epoch = int(initial_epoch)
         history = {"disc_ext_loss": [], "gen_disc_loss": []}
         self.stop_training = False
-        for e in range(epochs):
+        for e in range(initial_epoch, epochs):
             d_losses, g_losses = [], []
             s = 0
             while s < batch_step:
                 n_fused = min(steps_per_call, batch_step - s)
                 groups = [
-                    _stack([next(it) for _ in range(disc_k_step)])
+                    _stack([next(it) for _ in range(disc_k_step + 1)])
                     for _ in range(n_fused)
                 ]
                 if self.state is None:
@@ -484,8 +530,10 @@ class AbstractGAN:
                     self.state, d_loss, g_loss = self._train_step(
                         self.state, batches, disc_k_step, key
                     )
-                    d_losses.append(float(jnp.mean(d_loss)))
-                    g_losses.append(float(g_loss))
+                    step_logs = [
+                        {"disc_ext_loss": float(jnp.mean(d_loss)),
+                         "gen_disc_loss": float(g_loss)}
+                    ]
                 else:
                     stacked = _stack(groups)
                     if mesh is not None:
@@ -494,8 +542,19 @@ class AbstractGAN:
                     self.state, d_loss, g_loss = self._train_multi_step(
                         self.state, stacked, disc_k_step, key
                     )
-                    d_losses.append(float(jnp.mean(d_loss)))
-                    g_losses.append(float(jnp.mean(g_loss)))
+                    d_np = np.asarray(d_loss)  # (n_fused, k)
+                    g_np = np.asarray(g_loss)  # (n_fused,)
+                    step_logs = [
+                        {"disc_ext_loss": float(d_np[i].mean()),
+                         "gen_disc_loss": float(g_np[i])}
+                        for i in range(n_fused)
+                    ]
+                for i, logs_i in enumerate(step_logs):
+                    d_losses.append(logs_i["disc_ext_loss"])
+                    g_losses.append(logs_i["gen_disc_loss"])
+                    for cb in callbacks:
+                        if hasattr(cb, "on_train_batch_end"):
+                            cb.on_train_batch_end(self, s + i, logs_i)
                 s += n_fused
             history["disc_ext_loss"].append(float(np.mean(d_losses)))
             history["gen_disc_loss"].append(float(np.mean(g_losses)))
@@ -572,26 +631,44 @@ class AbstractGAN:
 
     # -- evaluation ---------------------------------------------------------
 
+    def _evaluate_jit(self):
+        """Cached jitted (disc_loss, gen_loss) for one batch — one dispatch
+        per evaluate batch instead of an eager re-trace of the full
+        gen+disc forward (incl. the R1 grad) every call."""
+        if not hasattr(self, "_eval_jit_fn"):
+            def fn(state, batch, key):
+                d = self._disc_loss(state["disc_params"], state, batch, key)
+                g, _ = self._gen_loss(
+                    state["gen_params"], state, batch,
+                    jax.random.fold_in(key, 1),
+                )
+                return d, g
+
+            self._eval_jit_fn = jax.jit(fn)
+        return self._eval_jit_fn
+
     def evaluate(self, generator, steps: int = 1, seed: int = 0):
         """Loss evaluation without updates (reference ``_evaluate_disc_ext``
         / ``_evaluate_gen_disc`` — dead code at gan.py:806-980, working
         copies in the StyleGAN example :1161-1335). Returns mean disc_ext
-        and gen_disc losses over ``steps`` batches."""
+        and gen_disc losses over ``steps`` batches. Each batch is ONE
+        cached-jit dispatch. Requires trained/initialized state — it will
+        not silently initialize parameters from an eval batch."""
+        if self.state is None:
+            raise RuntimeError(
+                "evaluate() requires initialized state — call init_state/"
+                "load_gan_model/fit_generator first (refusing to silently "
+                "initialize parameters from an eval batch)"
+            )
         it = iter(generator)
         key = jax.random.key(seed)
+        eval_fn = self._evaluate_jit()
         d_losses, g_losses = [], []
         for s in range(steps):
             batch = jax.tree.map(jnp.asarray, next(it))
-            if self.state is None:
-                self.init_state(batch, seed=seed)
-            k = jax.random.fold_in(key, s)
-            d_losses.append(float(
-                self._disc_loss(self.state["disc_params"], self.state, batch, k)
-            ))
-            g_loss, _ = self._gen_loss(
-                self.state["gen_params"], self.state, batch,
-                jax.random.fold_in(k, 1),
-            )
+            d_loss, g_loss = eval_fn(self.state, batch,
+                                     jax.random.fold_in(key, s))
+            d_losses.append(float(d_loss))
             g_losses.append(float(g_loss))
         return {
             "disc_ext_loss": float(np.mean(d_losses)),

@@ -7,7 +7,10 @@ from ku.ebm.rbm import (
     MODE_VISIBLE_GAUSSIAN,
     MODE_COMPLEX,
     init_rbm_params,
+    complex_to_stacked,
+    stacked_to_complex,
     hidden_prob,
+    neg_hidden_prob,
     sample_hidden,
     sample_visible,
     free_energy,

@@ -6,8 +6,11 @@ Reference: ku/ebm/rbm.py:19-242. Semantics reproduced exactly:
   all initialized Uniform(−0.05, 0.05) (reference :30-40, Keras 'uniform').
 - Bernoulli mode (:43-54): h sampled via ``uniform < sigmoid(vW + b_h)``,
   v sampled via ``uniform < sigmoid(hWᵀ + b_v)``.
-- Gaussian mode (:56-67): h sampled via ``uniform < relu(vW + b_h)``
-  (the reference's quirk, kept), v ~ Normal(hWᵀ + b_v, I).
+- Gaussian mode (:56-67): h *sampled* via ``uniform < relu(vW + b_h)``
+  (the reference's quirk, kept), v ~ Normal(hWᵀ + b_v, I). The
+  negative-phase hidden **probabilities** h_neg use sigmoid in BOTH modes
+  (reference :124 and :145 — even Gaussian-mode CD computes
+  ``h_neg = K.sigmoid(...)``); see :func:`neg_hidden_prob`.
 - Free energy (:73-76): ``−v·b_v − Σ log(1+exp(vW+b_h))`` (computed with
   softplus for overflow stability — same function, stable form).
 - CD-k update (:121-134, k=1 in the reference): with h_pos *sampled* and
@@ -46,7 +49,24 @@ from ku.core.rng import KeySeq
 
 MODE_VISIBLE_BERNOULLI = 0
 MODE_VISIBLE_GAUSSIAN = 1
-MODE_COMPLEX = 2  # Reserved in the reference (:16), unimplemented there too.
+# MODE_COMPLEX is a named-but-dead constant in the reference (:16 — the
+# build/fit branches are `pass`, :69/:161). ku implements it as a DOCUMENTED
+# EXTENSION: a complex-Gaussian-visible / Bernoulli-hidden RBM in the style
+# of Nakashika et al.'s complex-valued RBM (see PAPERS.md), using the
+# stacked-real representation v ∈ ℂ^V ↔ [Re v, Im v] ∈ ℝ^{2V}:
+#
+#   E(v, h)      = ‖v − b_v‖² − 2·Re(v^H W h) − b_h·h
+#   P(h_j=1 | v) = sigmoid(2·(v_r·W_r + v_i·W_i)_j + b_h,j)
+#   v | h        ~ CN(b_v + W h, I)   (Re and Im parts each N(μ, ½))
+#   F(v)         = ‖v − b_v‖² − Σ_j softplus(2·Re(v^H W)_j + b_h,j)
+#
+# Parameters are stored stacked-real: rbm_weight (2V, H) = [[W_r],[W_i]],
+# visible_bias (2V) = [b_vr, b_vi]; hidden_bias stays real (H). The CD-k
+# statistics keep the reference's raw-sum form (constant factors from
+# ∂E/∂θ fold into lr, as the reference's conventions do). The public
+# surface accepts/returns complex64 arrays; `backend='pallas'` falls back
+# to 'scan' in this mode (the fused kernel covers modes 0/1).
+MODE_COMPLEX = 2
 
 
 def init_rbm_params(key, input_dim: int, output_dim: int, dtype=jnp.float32):
@@ -60,10 +80,58 @@ def init_rbm_params(key, input_dim: int, output_dim: int, dtype=jnp.float32):
     }
 
 
+def complex_to_stacked(v):
+    """ℂ^V → ℝ^{2V}: [Re v, Im v] (MODE_COMPLEX representation).
+
+    Concrete arrays convert on the HOST (numpy): TPU backends do not
+    implement complex dtypes on-device, so a complex jax.Array must never
+    be materialized there. Tracers (inside jit, where the caller
+    guarantees a CPU-lowerable graph) use the jnp path."""
+    if isinstance(v, jax.core.Tracer):
+        if jnp.iscomplexobj(v):
+            return jnp.concatenate([v.real, v.imag], axis=-1)
+        return v
+    v = np.asarray(v)
+    if np.iscomplexobj(v):
+        v = np.concatenate([v.real, v.imag], axis=-1).astype(np.float32)
+    return jnp.asarray(v)
+
+
+def stacked_to_complex(v):
+    """ℝ^{2V} → ℂ^V (inverse of :func:`complex_to_stacked`). Concrete
+    arrays are assembled on the host (numpy complex64) — see
+    :func:`complex_to_stacked` for why."""
+    half = v.shape[-1] // 2
+    if isinstance(v, jax.core.Tracer):
+        return jax.lax.complex(v[..., :half], v[..., half:])
+    v = np.asarray(v)
+    return (v[..., :half] + 1j * v[..., half:]).astype(np.complex64)
+
+
 def hidden_prob(params, v, mode: int = MODE_VISIBLE_BERNOULLI):
-    """P(h|v): sigmoid (Bernoulli) or relu (Gaussian quirk, reference :58-59)."""
+    """P(h|v) for *sampling* h: sigmoid (Bernoulli), relu (the
+    Gaussian-mode quirk of the reference's transform, reference :58-59),
+    or sigmoid of the doubled stacked-real activation (MODE_COMPLEX:
+    2·Re(v^H W) + b_h — see the mode's derivation at the top)."""
+    if mode == MODE_COMPLEX:
+        act = 2.0 * (v @ params["rbm_weight"]) + params["hidden_bias"]
+        return jax.nn.sigmoid(act)
     act = v @ params["rbm_weight"] + params["hidden_bias"]
     return jax.nn.sigmoid(act) if mode == MODE_VISIBLE_BERNOULLI else jax.nn.relu(act)
+
+
+def neg_hidden_prob(params, v, mode: int = MODE_VISIBLE_BERNOULLI):
+    """Negative-phase hidden probabilities h_neg: sigmoid in ALL modes.
+
+    The reference computes ``h_neg = K.sigmoid(v_neg·W + b_h)`` in
+    Bernoulli (:124) AND Gaussian (:145) mode — only the *sampling* path
+    has the relu quirk. CD statistics must use this, not
+    :func:`hidden_prob`. MODE_COMPLEX uses its doubled activation (there
+    sampling and statistics agree — both sigmoid)."""
+    if mode == MODE_COMPLEX:
+        return hidden_prob(params, v, mode)
+    act = v @ params["rbm_weight"] + params["hidden_bias"]
+    return jax.nn.sigmoid(act)
 
 
 def visible_stat(params, h):
@@ -79,17 +147,29 @@ def sample_hidden(params, v, key, mode: int = MODE_VISIBLE_BERNOULLI):
 
 
 def sample_visible(params, h, key, mode: int = MODE_VISIBLE_BERNOULLI):
-    """Sample v: Bernoulli(sigmoid) or Normal(mean, I) (reference :52-54, :64-67)."""
+    """Sample v: Bernoulli(sigmoid), Normal(mean, I) (reference :52-54,
+    :64-67), or — MODE_COMPLEX — the stacked-real complex normal
+    CN(b_v + Wh, I), i.e. each of Re/Im ~ N(μ, ½)."""
     stat = visible_stat(params, h)
     if mode == MODE_VISIBLE_BERNOULLI:
         p = jax.nn.sigmoid(stat)
         u = jax.random.uniform(key, p.shape, p.dtype)
         return (u < p).astype(p.dtype)
+    if mode == MODE_COMPLEX:
+        return stat + jnp.sqrt(0.5) * jax.random.normal(
+            key, stat.shape, stat.dtype
+        )
     return stat + jax.random.normal(key, stat.shape, stat.dtype)
 
 
-def free_energy(params, v):
-    """F(v) = −v·b_v − Σ softplus(vW + b_h) (reference :73-76)."""
+def free_energy(params, v, mode: int = MODE_VISIBLE_BERNOULLI):
+    """F(v) = −v·b_v − Σ softplus(vW + b_h) (reference :73-76; the
+    reference applies this form in both of its modes). MODE_COMPLEX:
+    F(v) = ‖v − b_v‖² − Σ softplus(2·Re(v^H W) + b_h) on stacked-real v."""
+    if mode == MODE_COMPLEX:
+        act = 2.0 * (v @ params["rbm_weight"]) + params["hidden_bias"]
+        quad = jnp.sum((v - params["visible_bias"]) ** 2, axis=-1)
+        return quad - jnp.sum(jax.nn.softplus(act), axis=-1)
     act = v @ params["rbm_weight"] + params["hidden_bias"]
     return -(v @ params["visible_bias"] + jnp.sum(jax.nn.softplus(act), axis=-1))
 
@@ -115,10 +195,11 @@ def cd_stats(params, v_pos, key, k: int = 1, mode: int = MODE_VISIBLE_BERNOULLI,
         v_neg = sample_visible(params, h, keys[1 + 2 * i], mode)
         if v_neg_first is None:
             v_neg_first = v_neg
-        h_prob = hidden_prob(params, v_neg, mode)
+        # Sigmoid in BOTH modes (reference :124/:145) — sampling keeps
+        # the Gaussian relu quirk, the statistics do not.
+        h_prob = neg_hidden_prob(params, v_neg, mode)
         if i < k - 1:
-            u = jax.random.uniform(keys[2 + 2 * i], h_prob.shape, h_prob.dtype)
-            h = (u < h_prob).astype(h_prob.dtype)
+            h = sample_hidden(params, v_neg, keys[2 + 2 * i], mode)
     h_neg = h_prob  # probabilities at chain end (reference :124)
 
     if weight is None:
@@ -129,8 +210,8 @@ def cd_stats(params, v_pos, key, k: int = 1, mode: int = MODE_VISIBLE_BERNOULLI,
         v_pos * w_col, v_neg * w_col, h_pos * w_col, h_neg * w_col,
     )
 
-    fe = free_energy(params, v_pos)
-    fe_p = free_energy(params, v_neg_first)
+    fe = free_energy(params, v_pos, mode)
+    fe_p = free_energy(params, v_neg_first, mode)
     w_row = w_col[:, 0]
     return {
         "d_w": v_pos_w.T @ h_pos - v_neg_w.T @ h_neg,
@@ -194,7 +275,7 @@ def cd_epoch_scan_pcd(params, v_all, mask, chain, key, lr: float, k: int,
         h_pos = sample_hidden(p, v_b, k_pos, mode)
         # Negative phase from the persistent chain.
         chain_new = gibbs_chain(p, chain, k, k_chain, mode)
-        h_neg = hidden_prob(p, chain_new, mode)
+        h_neg = neg_hidden_prob(p, chain_new, mode)  # sigmoid, all modes
 
         w = m_b[:, None]
         stats = {
@@ -203,8 +284,8 @@ def cd_epoch_scan_pcd(params, v_all, mask, chain, key, lr: float, k: int,
             "d_bv": jnp.sum(v_b * w, axis=0) - jnp.sum(chain_new * w, axis=0),
         }
         p = apply_stats(p, stats, lr)
-        fe = free_energy(p, v_b)
-        fe_p = free_energy(p, chain_new)
+        fe = free_energy(p, v_b, mode)
+        fe_p = free_energy(p, chain_new, mode)
         score = jnp.sum(jnp.abs(fe - fe_p) * m_b) / jnp.maximum(
             jnp.sum(m_b), 1.0
         )
@@ -318,13 +399,34 @@ class RBM:
     # -- construction ------------------------------------------------------
 
     def build(self, input_dim: int):
+        """``input_dim`` counts COMPLEX units in MODE_COMPLEX (the stored
+        stacked-real parameters then have 2·input_dim visible rows)."""
         self.input_dim = int(input_dim)
-        self.params = init_rbm_params(self._keys(), self.input_dim, self.output_dim)
+        stored_dim = (2 * self.input_dim if self.mode == MODE_COMPLEX
+                      else self.input_dim)
+        self.params = init_rbm_params(self._keys(), stored_dim, self.output_dim)
         return self
 
     def _ensure_built(self, v):
         if self.params is None:
             self.build(np.shape(v)[-1])
+
+    def _to_internal(self, v):
+        """Public (possibly complex) visible array → internal stacked-real.
+        Complex input converts on the host (TPU has no complex dtype)."""
+        if self.mode != MODE_COMPLEX:
+            return jnp.asarray(v)
+        if isinstance(v, jax.core.Tracer):
+            return complex_to_stacked(v) if jnp.iscomplexobj(v) else v
+        if np.iscomplexobj(v) or jnp.iscomplexobj(v):
+            return complex_to_stacked(v)
+        v = jnp.asarray(v)
+        if v.shape[-1] == self.params["visible_bias"].shape[0]:
+            return v  # caller already stacked
+        raise ValueError(
+            f"MODE_COMPLEX expects complex input of dim {self.input_dim} "
+            f"or stacked-real of dim {2 * self.input_dim}, got {v.shape}"
+        )
 
     # -- inference surface (reference :80-98) ------------------------------
 
@@ -332,20 +434,23 @@ class RBM:
         return self.transform(v, key)
 
     def transform(self, v, key=None):
-        """Sample hidden units given visible (reference :88-89)."""
+        """Sample hidden units given visible (reference :88-89).
+        MODE_COMPLEX accepts complex64 input."""
         self._ensure_built(v)
         key = self._keys() if key is None else key
-        return sample_hidden(self.params, jnp.asarray(v), key, self.mode)
+        return sample_hidden(self.params, self._to_internal(v), key, self.mode)
 
     def inv_transform(self, h, key=None):
-        """Sample visible units given hidden (reference :91-92)."""
+        """Sample visible units given hidden (reference :91-92).
+        MODE_COMPLEX returns complex64."""
         key = self._keys() if key is None else key
-        return sample_visible(self.params, jnp.asarray(h), key, self.mode)
+        v = sample_visible(self.params, jnp.asarray(h), key, self.mode)
+        return stacked_to_complex(v) if self.mode == MODE_COMPLEX else v
 
     def cal_free_energy(self, v):
         """Free energy of visible configurations (reference :97-98)."""
         self._ensure_built(v)
-        return free_energy(self.params, jnp.asarray(v))
+        return free_energy(self.params, self._to_internal(v), self.mode)
 
     def sample(self, num_samples: int, num_steps: int = 100, v0=None,
                key=None):
@@ -354,10 +459,16 @@ class RBM:
         key = self._keys() if key is None else key
         k0, k1 = jax.random.split(key)
         if v0 is None:
-            v0 = (jax.random.uniform(k0, (num_samples, self.input_dim))
-                  < 0.5).astype(jnp.float32)
-        return gibbs_chain(self.params, jnp.asarray(v0), num_steps, k1,
-                           self.mode)
+            if self.mode == MODE_COMPLEX:
+                v0 = jax.random.normal(k0, (num_samples, 2 * self.input_dim))
+            else:
+                v0 = (jax.random.uniform(k0, (num_samples, self.input_dim))
+                      < 0.5).astype(jnp.float32)
+        else:
+            v0 = self._to_internal(v0)
+        out = gibbs_chain(self.params, jnp.asarray(v0), num_steps, k1,
+                          self.mode)
+        return stacked_to_complex(out) if self.mode == MODE_COMPLEX else out
 
     # -- training (reference :100-234) -------------------------------------
 
@@ -368,8 +479,12 @@ class RBM:
         ``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis for
         data-parallel training (batch sharded, statistics psum'd).
         """
-        V = np.asarray(V, np.float32)
-        self._ensure_built(V)
+        if self.mode == MODE_COMPLEX:
+            self._ensure_built(np.asarray(V))
+            V = np.asarray(self._to_internal(V), np.float32)
+        else:
+            V = np.asarray(V, np.float32)
+            self._ensure_built(V)
         batch_size = int(self.hps["batch_size"])
         epochs = int(self.hps["epochs"])
         lr = float(self.hps["lr"])
@@ -377,6 +492,8 @@ class RBM:
         backend = self.hps.get("backend")
         if backend is None:
             backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        if self.mode == MODE_COMPLEX and backend == "pallas":
+            backend = "scan"  # fused kernel covers modes 0/1 (see MODE_COMPLEX note)
         elif backend == "pallas" and jax.default_backend() != "tpu":
             # Interpret-mode TPU PRNG is a zero stub — sampling would be
             # degenerate. Never train with it off-TPU.
@@ -500,5 +617,6 @@ class RBM:
         rbm = cls(spec["hps"], spec["output_dim"], name=spec.get("name"),
                   mode=spec.get("mode", MODE_VISIBLE_BERNOULLI))
         rbm.params = params
-        rbm.input_dim = params["rbm_weight"].shape[0]
+        stored = params["rbm_weight"].shape[0]
+        rbm.input_dim = stored // 2 if rbm.mode == MODE_COMPLEX else stored
         return rbm

@@ -27,7 +27,7 @@ def _ocp():
 class CheckpointManager:
     """Thin wrapper over orbax CheckpointManager for ku train states."""
 
-    def __init__(self, directory: str, max_to_keep: int = 3,
+    def __init__(self, directory: str, max_to_keep: Optional[int] = 3,
                  save_interval_steps: int = 1):
         ocp = _ocp()
         self.directory = os.path.abspath(directory)
@@ -68,10 +68,11 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_train_state(path: str, state: Any, step: int = 0):
+def save_train_state(path: str, state: Any, step: int = 0,
+                     max_to_keep: Optional[int] = 10):
     """One-shot full-state save (epoch-save parity with gan.py:982-988,
-    but including optimizer state)."""
-    mgr = CheckpointManager(path, max_to_keep=None or 10)
+    but including optimizer state). ``max_to_keep=None`` keeps every step."""
+    mgr = CheckpointManager(path, max_to_keep=max_to_keep)
     mgr.save(step, state, force=True)
     mgr.wait_until_finished()
     mgr.close()

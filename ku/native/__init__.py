@@ -97,9 +97,10 @@ class NativeImagePipeline:
 
     def get(self) -> np.ndarray:
         """Blocking pop of one preprocessed (out_h, out_w, channels) f32
-        image in [-1, 1]. Completion order may differ from submit order
-        (workers run concurrently). Raises if nothing was submitted (no
-        deadlock on over-popping)."""
+        image in [-1, 1]. Results are delivered in SUBMIT order (workers
+        complete concurrently; the loader reorders by sequence id), so
+        per-submit metadata such as labels stays paired. Raises if nothing
+        was submitted (no deadlock on over-popping)."""
         out = np.empty((self.out_h, self.out_w, self.channels), np.float32)
         status = self._lib.ku_loader_get(
             self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))

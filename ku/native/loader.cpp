@@ -12,19 +12,24 @@
 // C ABI (ctypes-friendly, no pybind11 dependency):
 //   ku_loader_create(n_threads, capacity, out_h, out_w, channels) -> handle
 //   ku_loader_submit(handle, img_u8, h, w, c)   // enqueue one HWC image
-//   ku_loader_get(handle, out_f32)              // blocking pop (out_h*out_w*ch)
+//   ku_loader_get(handle, out_f32)              // blocking pop, SUBMIT order
 //   ku_loader_pending(handle)                   // submitted - popped
 //   ku_loader_destroy(handle)
+//
+// Delivery order: get() returns results in the exact order submit() was
+// called (jobs carry sequence ids; workers complete out of order but
+// results are reordered before delivery), so a consumer pairing popped
+// images with per-submit metadata (labels) stays aligned.
 //
 // Output: float32 in [-1, 1], aspect-preserving letterbox into
 // (out_h, out_w), zero padding — matching
 // ku.image_utils.resize_image_to_target_symmeric_size semantics.
 
-#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -34,23 +39,29 @@ namespace {
 struct Job {
   std::vector<uint8_t> data;
   int h, w, c;
+  long seq;
 };
 
+// Results are returned in SUBMIT order regardless of worker completion
+// order: each job carries a sequence id, finished results land in an
+// ordered map, and get() blocks until the next-in-order id is ready.
+// Workers still run fully concurrently — only delivery is ordered, so
+// image/label pairing done by the submitter stays aligned.
 struct Loader {
   int out_h, out_w, channels;
   size_t out_size;
   size_t capacity;
 
   std::deque<Job> in_queue;
-  std::deque<std::vector<float>> out_queue;
+  std::map<long, std::vector<float>> out_map;  // seq -> result
   std::mutex mu;
   std::condition_variable cv_in;    // workers wait for jobs
   std::condition_variable cv_out;   // consumers wait for results
   std::condition_variable cv_space; // producers wait for queue space
   std::vector<std::thread> workers;
-  std::atomic<bool> stop{false};
-  std::atomic<long> submitted{0};
-  std::atomic<long> popped{0};
+  bool stop = false;           // guarded by mu
+  long next_submit = 0;        // guarded by mu: seq of the next submit
+  long next_pop = 0;           // guarded by mu: seq the next get() returns
 
   void worker_loop() {
     for (;;) {
@@ -67,9 +78,11 @@ struct Loader {
       process(job, out.data());
       {
         std::unique_lock<std::mutex> lock(mu);
-        out_queue.push_back(std::move(out));
+        out_map.emplace(job.seq, std::move(out));
       }
-      cv_out.notify_one();
+      // Consumers wait for a specific seq; wake them all so the one
+      // waiting on job.seq re-checks its predicate.
+      cv_out.notify_all();
     }
   }
 
@@ -144,42 +157,45 @@ void ku_loader_submit(void* handle, const uint8_t* img, int h, int w, int c) {
   {
     std::unique_lock<std::mutex> lock(L->mu);
     L->cv_space.wait(lock, [L] {
-      return L->in_queue.size() + L->out_queue.size() < L->capacity;
+      return L->in_queue.size() + L->out_map.size() < L->capacity;
     });
+    // Seq assignment + queue push are one atomic step under mu, so the
+    // "will a result for seq s ever arrive" predicate in get() is exact.
+    job.seq = L->next_submit++;
     L->in_queue.push_back(std::move(job));
   }
-  L->submitted++;
   L->cv_in.notify_one();
 }
 
-// Returns 0 on success, 1 if the loader is stopping / nothing was or will
-// be produced (the consumer must not interpret `out` in that case).
+// Returns 0 on success, 1 if the loader is stopping or nothing was
+// submitted for this pop (the consumer must not interpret `out` then).
+// Results come back in SUBMIT order; concurrent consumers each claim a
+// distinct sequence slot under the mutex.
 int ku_loader_get(void* handle, float* out) {
   auto* L = static_cast<Loader*>(handle);
   std::vector<float> result;
   {
     std::unique_lock<std::mutex> lock(L->mu);
-    L->cv_out.wait(lock, [L] {
-      // Also wake when stopping, or when no result can ever arrive
-      // (nothing queued, nothing in flight) — prevents a consumer that
-      // over-pops from deadlocking or outliving destroy().
-      return !L->out_queue.empty() || L->stop ||
-             (L->in_queue.empty() &&
-              L->submitted.load() == L->popped.load());
+    // Over-pop: no job with this seq was ever submitted → no deadlock.
+    if (L->next_pop >= L->next_submit) return 1;
+    const long want = L->next_pop++;
+    L->cv_out.wait(lock, [L, want] {
+      return L->stop || L->out_map.count(want) != 0;
     });
-    if (L->out_queue.empty()) return 1;
-    result = std::move(L->out_queue.front());
-    L->out_queue.pop_front();
+    auto it = L->out_map.find(want);
+    if (it == L->out_map.end()) return 1;  // stopping
+    result = std::move(it->second);
+    L->out_map.erase(it);
     L->cv_space.notify_one();
   }
-  L->popped++;
   std::memcpy(out, result.data(), result.size() * sizeof(float));
   return 0;
 }
 
 long ku_loader_pending(void* handle) {
   auto* L = static_cast<Loader*>(handle);
-  return L->submitted.load() - L->popped.load();
+  std::unique_lock<std::mutex> lock(L->mu);
+  return L->next_submit - L->next_pop;
 }
 
 void ku_loader_destroy(void* handle) {

@@ -148,12 +148,16 @@ def _make_kernel(lr: float, k: int, mode: int, grid_rank: int = 1):
             if i == 0:
                 v_neg_first = v_neg
             act_neg = _dot(v_neg, w) + bh
-            h_neg = (
-                jax.nn.sigmoid(act_neg) if mode == MODE_VISIBLE_BERNOULLI
-                else jnp.maximum(act_neg, 0.0)
-            ) * hmask * mrow
+            # Negative-phase statistics use sigmoid in BOTH modes
+            # (reference rbm.py:124/:145); only *sampling* keeps the
+            # Gaussian relu quirk.
+            h_neg = jax.nn.sigmoid(act_neg) * hmask * mrow
             if i < k - 1:
-                h = (_uniform(h_neg.shape) < h_neg).astype(jnp.float32)
+                p_h = (
+                    h_neg if mode == MODE_VISIBLE_BERNOULLI
+                    else jnp.maximum(act_neg, 0.0) * hmask * mrow
+                )
+                h = (_uniform(p_h.shape) < p_h).astype(jnp.float32)
 
         # Score BEFORE the update (reference computes it on pre-step params
         # only in effect of its K.function ordering; we match cd_update).

@@ -21,6 +21,12 @@ class Callback:
     def on_train_begin(self, engine):
         pass
 
+    def on_train_batch_end(self, engine, step: int, logs: dict):
+        """Per logical batch step (reference gan.py:426-434 routes
+        train_on_batch logs here). With ``steps_per_call`` dispatch fusion
+        the engine still reports each fused step individually from the
+        scanned loss arrays."""
+
     def on_epoch_end(self, engine, epoch: int, logs: dict):
         pass
 
@@ -95,14 +101,20 @@ class CheckpointCallback(Callback):
 class LambdaCallback(Callback):
     def __init__(self, on_epoch_end: Optional[Callable] = None,
                  on_train_begin: Optional[Callable] = None,
-                 on_train_end: Optional[Callable] = None):
+                 on_train_end: Optional[Callable] = None,
+                 on_train_batch_end: Optional[Callable] = None):
         self._epoch_end = on_epoch_end
         self._train_begin = on_train_begin
         self._train_end = on_train_end
+        self._batch_end = on_train_batch_end
 
     def on_train_begin(self, engine):
         if self._train_begin:
             self._train_begin(engine)
+
+    def on_train_batch_end(self, engine, step, logs):
+        if self._batch_end:
+            self._batch_end(engine, step, logs)
 
     def on_epoch_end(self, engine, epoch, logs):
         if self._epoch_end:

@@ -121,6 +121,79 @@ def test_lambda_callback(rng):
     assert seen == [0, 1]
 
 
+def test_g_step_consumes_fresh_batch(rng):
+    """Each logical step must pull disc_k_step + 1 batches — the G update
+    trains on a FRESH batch, not the last D batch (reference gan.py:774
+    gen_gen_disc_data_fun)."""
+    pulls = []
+
+    def counting_iter():
+        base = _iter(rng)
+        while True:
+            pulls.append(1)
+            yield next(base)
+
+    engine = GAN(_conf(epochs=1, batch_step=2, disc_k_step=2),
+                 ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    engine.fit_generator(counting_iter(), verbose=0)
+    assert len(pulls) == 2 * (2 + 1)  # batch_step × (k + 1)
+
+
+def test_per_batch_callback_granularity(rng):
+    """on_train_batch_end fires once per logical step — including under
+    steps_per_call fusion (reference gan.py:426-434)."""
+    seen = []
+    cb = LambdaCallback(
+        on_train_batch_end=lambda e, s, logs: seen.append((s, logs)))
+    engine = GAN(_conf(epochs=2, batch_step=3, disc_k_step=1),
+                 ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    engine.fit_generator(_iter(rng), verbose=0, callbacks=[cb])
+    assert len(seen) == 2 * 3
+    assert [s for s, _ in seen] == [0, 1, 2, 0, 1, 2]
+    assert all(np.isfinite(l["disc_ext_loss"]) for _, l in seen)
+
+    seen.clear()
+    engine2 = GAN(_conf(epochs=1, batch_step=4, steps_per_call=4,
+                        disc_k_step=1),
+                  ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    engine2.fit_generator(_iter(rng), verbose=0, callbacks=[cb])
+    assert [s for s, _ in seen] == [0, 1, 2, 3]  # fused dispatch, 4 logs
+
+
+def test_initial_epoch_auto_resume(rng, tmp_path):
+    """Kill training at epoch k, resume with initial_epoch='auto': the run
+    continues from k+1 to exactly `epochs` (reference gan.py:392)."""
+    ckpt_dir = str(tmp_path / "resume_ckpt")
+    # Phase 1: "crash" after 2 of 4 epochs.
+    engine = GAN(_conf(epochs=2, batch_step=2), ToyGen(), ToyDisc())
+    engine.compose_gan_with_mode().compile()
+    cb = CheckpointCallback(ckpt_dir, every=1)
+    engine.fit_generator(_iter(rng), verbose=0, callbacks=[cb])
+    assert cb.mgr.latest_step() == 1
+
+    # Phase 2: fresh engine, full 4-epoch target, auto resume.
+    hist = History()
+    engine2 = GAN(_conf(epochs=4, batch_step=2), ToyGen(), ToyDisc())
+    engine2.compose_gan_with_mode().compile()
+    cb2 = CheckpointCallback(ckpt_dir, every=1)
+    engine2.fit_generator(_iter(rng), verbose=0, callbacks=[cb2, hist],
+                          initial_epoch="auto")
+    # Epochs 2 and 3 ran — not 0..3 again.
+    assert hist.epochs == [2, 3]
+    assert cb2.mgr.latest_step() == 3
+    # Resumed state came from the checkpoint (params match phase 1's end
+    # before further training... verify step count advanced from restore).
+    assert int(engine2.state["step"]) == int(engine.state["step"]) + 2 * 2
+
+
+def test_evaluate_requires_state(rng):
+    import pytest
+
+    engine = GAN(_conf(), ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    with pytest.raises(RuntimeError):
+        engine.evaluate(_iter(rng), steps=1)
+
+
 def test_fit_generator_progressively_base_class(rng):
     """AbstractGAN.fit_generator_progressively with a factory that grows
     the generator (reference :508-804 surface)."""

@@ -88,6 +88,67 @@ def test_native_faster_than_python(rng):
     assert native_t < python_t, (native_t, python_t)
 
 
+def test_results_arrive_in_submit_order(rng):
+    """Submit N distinguishable images of varying sizes on 4 threads —
+    larger images take longer, so completion order differs from submit
+    order. Delivery must still be submit order (image/label pairing
+    depends on it — the FFHQ sequence pairs popped images with
+    submit-order labels)."""
+    n = 48
+    pipe = NativeImagePipeline(out_h=8, out_w=8, n_threads=4, capacity=64)
+    # Constant-valued square images: value i identifies submit index i.
+    # Alternate tiny/large sizes so worker completion order scrambles.
+    sizes = [8 if i % 2 == 0 else 300 for i in range(n)]
+    for i in range(n):
+        img = np.full((sizes[i], sizes[i], 3), i, np.uint8)
+        pipe.submit(img)
+    for i in range(n):
+        out = pipe.get()
+        # Constant image → every output pixel equals the submit index
+        # (after the [-1,1] normalization).
+        val = out[4, 4, 0] if np.isfinite(out[4, 4, 0]) else out[0, 0, 0]
+        recovered = int(round((val + 1.0) * 255.0 / 2.0))
+        assert recovered == i, (i, recovered)
+    pipe.close()
+
+
+def test_ffhq_sequence_label_pairing(rng, tmp_path):
+    """End-to-end: the StyleGAN FFHQ sequence pairs native-loaded images
+    with submit-order labels; with constant-valued files, each popped
+    image must carry the pixel value of its own file index."""
+    import sys, os
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "style_based_gan"))
+    try:
+        from style_based_gan import TrainingSequenceFFHQ
+    finally:
+        sys.path.pop(0)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+    n_files = 12
+    for i in range(n_files):
+        img = np.full((32 + 16 * (i % 3), 32, 3), i * 20, np.uint8)
+        mpimg.imsave(tmp_path / f"{i:05d}.png", img)
+    seq = TrainingSequenceFFHQ(
+        str(tmp_path),
+        hps={"batch_size": 8},
+        nn_arch={"resolution": 16, "label_usage": True},
+        map_nn_arch={"latent_dim": 4, "num_classes": n_files},
+        batch_shuffle=True, seed=3,
+    )
+    if getattr(seq, "_native", None) is None:
+        pytest.skip("sequence fell back to the Python path")
+    for _ in range(4):
+        batch = next(seq)
+        labels = batch["label"].reshape(-1).astype(int)
+        # Center pixel of each image recovers the file index it came from.
+        vals = ((batch["x"][:, 8, 8, 0] + 1.0) * 255.0 / 2.0 / 20.0)
+        recovered = np.round(vals).astype(int)
+        np.testing.assert_array_equal(recovered % n_files, labels % n_files)
+
+
 def test_overpop_raises_instead_of_deadlocking(rng):
     pipe = NativeImagePipeline(out_h=8, out_w=8, n_threads=2)
     pipe.submit(rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8))

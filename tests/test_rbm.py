@@ -8,10 +8,12 @@ import pytest
 
 from ku.ebm import (
     DBN,
+    MODE_COMPLEX,
     MODE_VISIBLE_BERNOULLI,
     MODE_VISIBLE_GAUSSIAN,
     RBM,
     cd_update,
+    complex_to_stacked,
     free_energy,
     init_rbm_params,
 )
@@ -72,6 +74,38 @@ def test_cd_update_matches_manual_sampling(key, rng):
     fe = -(v @ bv + np.log1p(np.exp(v @ w + bh)).sum(-1))
     fe_p = -(v_neg @ bv + np.log1p(np.exp(v_neg @ w + bh)).sum(-1))
     np.testing.assert_allclose(float(score), np.abs(fe - fe_p).mean(), rtol=1e-4)
+
+
+def test_cd_update_gaussian_h_neg_uses_sigmoid(key, rng):
+    """Gaussian-mode parity (reference rbm.py:145): the negative-phase
+    hidden probabilities use SIGMOID even though hidden *sampling* uses
+    the relu quirk. Replays cd_update's exact key splits in numpy."""
+    params = _params(key)
+    v = rng.normal(size=(8, 6)).astype(np.float32)
+    step_key = jax.random.key(11)
+    lr = 0.01
+    new_params, _ = cd_update(params, jnp.asarray(v), step_key, lr,
+                              mode=MODE_VISIBLE_GAUSSIAN)
+
+    keys = jax.random.split(step_key, 3)
+    w = np.asarray(params["rbm_weight"])
+    bh = np.asarray(params["hidden_bias"])
+    bv = np.asarray(params["visible_bias"])
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    u_h = np.asarray(jax.random.uniform(keys[0], (8, 4)))
+    h_pos = (u_h < np.maximum(v @ w + bh, 0.0)).astype(np.float32)  # relu quirk
+    noise = np.asarray(jax.random.normal(keys[1], (8, 6)))
+    v_neg = h_pos @ w.T + bv + noise  # v ~ N(hWᵀ+b_v, I)
+    h_neg = sig(v_neg @ w + bh)  # SIGMOID (reference :145), not relu
+
+    np.testing.assert_allclose(
+        np.asarray(new_params["rbm_weight"]),
+        w + lr * (v.T @ h_pos - v_neg.T @ h_neg),
+        rtol=1e-4, atol=1e-5,
+    )
 
 
 def test_masked_rows_do_not_contribute(key, rng):
@@ -210,6 +244,81 @@ def test_pcd_training_and_sampling(rng):
     d0 = np.abs(s - protos[0]).sum(-1)
     d1 = np.abs(s - protos[1]).sum(-1)
     assert float(np.minimum(d0, d1).mean()) < 2.5  # uniform noise ≈ 4
+
+
+def test_complex_mode_free_energy_and_cd_oracle(rng):
+    """MODE_COMPLEX (ku extension; reference reserves the constant at
+    rbm.py:16 but implements nothing): free energy + one CD-1 update vs a
+    numpy oracle on the stacked-real representation."""
+    V = 3  # complex visible units → stacked dim 6
+    params = init_rbm_params(jax.random.key(2), 2 * V, 4)
+    v_c = (rng.normal(size=(5, V)) + 1j * rng.normal(size=(5, V))).astype(
+        np.complex64
+    )
+    v_s = np.concatenate([v_c.real, v_c.imag], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(complex_to_stacked(jnp.asarray(v_c))), v_s, rtol=1e-6
+    )
+
+    w = np.asarray(params["rbm_weight"])
+    bh = np.asarray(params["hidden_bias"])
+    bv = np.asarray(params["visible_bias"])
+
+    fe = np.asarray(free_energy(params, jnp.asarray(v_s), MODE_COMPLEX))
+    act = 2.0 * (v_s @ w) + bh
+    fe_exp = ((v_s - bv) ** 2).sum(-1) - np.log1p(np.exp(act)).sum(-1)
+    np.testing.assert_allclose(fe, fe_exp, rtol=1e-4)
+
+    # CD-1 oracle with the exact key splits of cd_update.
+    step_key = jax.random.key(13)
+    new_params, _ = cd_update(params, jnp.asarray(v_s), step_key, 0.01,
+                              mode=MODE_COMPLEX)
+    keys = jax.random.split(step_key, 3)
+
+    def sig(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    u_h = np.asarray(jax.random.uniform(keys[0], (5, 4)))
+    h_pos = (u_h < sig(2.0 * (v_s @ w) + bh)).astype(np.float32)
+    noise = np.asarray(jax.random.normal(keys[1], (5, 2 * V)))
+    v_neg = h_pos @ w.T + bv + np.sqrt(0.5) * noise  # CN: Re/Im ~ N(μ, ½)
+    h_neg = sig(2.0 * (v_neg @ w) + bh)
+    np.testing.assert_allclose(
+        np.asarray(new_params["rbm_weight"]),
+        w + 0.01 * (v_s.T @ h_pos - v_neg.T @ h_neg),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_complex_mode_fit_and_roundtrip(rng):
+    """Complex RBM learns a two-prototype complex dataset: free energy of
+    the data drops below that of random noise; transform/inv_transform
+    round-trip complex dtypes."""
+    protos = np.array(
+        [[1 + 1j, -1 - 1j, 1 - 1j, -1 + 1j],
+         [-1 + 0j, 1 + 0j, 1j, -1j]], np.complex64
+    )
+    data = protos[rng.integers(0, 2, size=256)]
+    data = data + 0.1 * (rng.normal(size=data.shape)
+                         + 1j * rng.normal(size=data.shape)).astype(
+        np.complex64
+    )
+    rbm = RBM({"lr": 0.005, "batch_size": 32, "epochs": 10,
+               "backend": "scan"}, 8, mode=MODE_COMPLEX, seed=4)
+    rbm.fit(data, verbose=0)
+    assert rbm.params["rbm_weight"].shape == (8, 8)  # stacked 2·4 visible
+    assert np.isfinite(np.asarray(rbm.params["rbm_weight"])).all()
+
+    h = rbm.transform(data[:16], key=jax.random.key(0))
+    assert h.shape == (16, 8)
+    v = rbm.inv_transform(h, key=jax.random.key(1))
+    assert v.shape == (16, 4) and np.iscomplexobj(np.asarray(v))
+
+    fe_data = float(np.mean(np.asarray(rbm.cal_free_energy(data[:64]))))
+    noise = (3 * rng.normal(size=(64, 4))
+             + 3j * rng.normal(size=(64, 4))).astype(np.complex64)
+    fe_noise = float(np.mean(np.asarray(rbm.cal_free_energy(noise))))
+    assert fe_data < fe_noise  # data manifold has lower energy
 
 
 def test_scan_backend_deterministic(rng):
