@@ -524,10 +524,28 @@ class RBM:
         mask[:n] = 1.0
 
         if mesh is not None:
-            from ku.dist.mesh import cd_epoch_dp
-
             v_all_d = jnp.asarray(v_all)
             mask_d = jnp.asarray(mask)
+            n_dev = mesh.shape.get("data", 1)
+            if backend == "pallas" and batch_size % max(n_dev, 1) == 0:
+                # Fused multi-chip path: the whole run is one dispatch per
+                # device, params VMEM-resident, CD statistics ring-psum'd
+                # inside the kernel each step (ku/pallas/cd_gibbs.py::
+                # cd_train_pallas_dp).
+                from ku.pallas.cd_gibbs import cd_train_pallas_dp
+
+                self.params, scores = cd_train_pallas_dp(
+                    mesh, self.params, v_all_d, mask_d, self._keys(), lr,
+                    k, self.mode, batch_size, epochs,
+                )
+                if verbose:
+                    per_epoch = np.asarray(scores).reshape(epochs, -1).mean(1)
+                    for e, s in enumerate(per_epoch):
+                        print(f"{e + 1}/{epochs} epochs, score: {s:f}")
+                self.last_scores = np.asarray(scores)
+                return self
+            from ku.dist.mesh import cd_epoch_dp
+
             for e in range(epochs):
                 self.params, scores = cd_epoch_dp(
                     mesh, self.params, v_all_d, mask_d, self._keys(), lr, k,
@@ -536,6 +554,7 @@ class RBM:
                 if verbose:
                     print(f"{e + 1}/{epochs} epochs, "
                           f"score: {float(jnp.mean(scores)):f}")
+            self.last_scores = None if scores is None else np.asarray(scores)
             return self
 
         v_all_d = jnp.asarray(v_all)

@@ -253,8 +253,16 @@ class StyleGANGenerator(nn.Module):
             dtype=self.dtype,
             name="map",
         )
-        d1 = mapping(z1, label)
-        d2 = mapping(z2, label)
+        # One mapping pass over [z1; z2] instead of two half-size passes —
+        # per-sample math is identical and every mapping matmul runs at 2B
+        # rows (the net is M-dim-starved at the reference batch of 12).
+        batch_n = z1.shape[0]
+        zz = jnp.concatenate([z1, z2], axis=0)
+        ll = None if label is None else jnp.concatenate(
+            [jnp.asarray(label)] * 2, axis=0
+        )
+        dd = mapping(zz, ll)
+        d1, d2 = dd[:batch_n], dd[batch_n:]
         d = StyleMixingRegularization(mixing_prob=self.mixing_prob,
                                       name="style_mixing")(
             [d1, d2], deterministic=deterministic

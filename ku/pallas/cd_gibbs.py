@@ -283,6 +283,344 @@ def cd_epoch_pallas(params, v_all, mask, key, lr: float, k: int, mode: int,
                            1, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Data-parallel fused kernel: per-device whole-run kernels with an in-grid
+# RDMA ring all-reduce of the CD statistics each batch step.
+# ---------------------------------------------------------------------------
+
+
+def _make_dp_kernel(lr: float, k: int, mode: int, n_dev: int,
+                    axis_name: str, shards):
+    """Per-device CD kernel with ring-psum'd statistics.
+
+    Weights are stored TRANSPOSED (Hp, Vp) inside this kernel so the ring
+    payload (h-major statistics) and both Gibbs matmuls need no in-kernel
+    transposes. Ring protocol (see the credit/barrier notes inline): two
+    communication slots per device, a credit semaphore gating slot reuse
+    within a step, and a neighbor barrier between grid steps gating reuse
+    across steps — without both, a fast neighbor overwrites a slot before
+    it is forwarded/accumulated (verified failure mode in interpret mode).
+    ``shards``: static list of (row_start, row_end) payload shards, one
+    comm scratch buffer per shard.
+    """
+
+    def kernel(
+        seed_ref,   # (1,1) int32 SMEM
+        v_ref,      # (local_batch, Vp)
+        m_ref,      # (local_batch, 1)
+        wt_in,      # (Hp, Vp)  — W transposed
+        bh_in,      # (1, Hp)
+        bv_in,      # (1, Vp)
+        vmask_ref,  # (1, Vp)
+        hmask_ref,  # (1, Hp)
+        wt_out,
+        bh_out,
+        bv_out,
+        score_ref,  # (total_steps, LANE)
+        *scratch,   # comms[n_shards] (2, rows_i, Cp), acc (Hp+3, Cp),
+                    # send/recv DMA sems (2, n_shards), credit REGULAR
+    ):
+        comms = scratch[:len(shards)]
+        acc, send_sem, recv_sem, credit_sem = scratch[len(shards):]
+        step = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+        my_id = jax.lax.axis_index(axis_name)
+        left = jax.lax.rem(my_id - 1 + n_dev, n_dev)
+        right = jax.lax.rem(my_id + 1, n_dev)
+
+        @pl.when(step == 0)
+        def _():
+            wt_out[:] = wt_in[:]
+            bh_out[:] = bh_in[:]
+            bv_out[:] = bv_in[:]
+
+        # Cross-step barrier: my neighbors must have finished accumulating
+        # the PREVIOUS step's final ring message before this step's first
+        # RDMA may land in their slots (slot-reuse hazard across steps).
+        if n_dev > 1:
+            @pl.when(step > 0)
+            def _():
+                barrier = pltpu.get_barrier_semaphore()
+                pltpu.semaphore_signal(
+                    barrier, inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                pltpu.semaphore_signal(
+                    barrier, inc=1, device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                pltpu.semaphore_wait(barrier, 2)
+
+        # Distinct PRNG stream per (device, step).
+        pltpu.prng_seed(seed_ref[0, 0] + step * n_dev + my_id)
+
+        wt = wt_out[:]
+        bh = bh_out[:]
+        bv = bv_out[:]
+        vmask = vmask_ref[:]
+        hmask = hmask_ref[:]
+        mrow = m_ref[:]
+        v_pos = v_ref[:]
+
+        hp = wt.shape[0]
+        vp = wt.shape[1]
+        cp = acc.shape[1]
+
+        # --- local Gibbs chain (same math as the single-device kernel) ---
+        act_pos = _dot_t(v_pos, wt) + bh
+        h_prob_pos = (
+            jax.nn.sigmoid(act_pos) if mode == MODE_VISIBLE_BERNOULLI
+            else jnp.maximum(act_pos, 0.0)
+        )
+        h_pos = (
+            (_uniform(h_prob_pos.shape) < h_prob_pos).astype(jnp.float32)
+            * hmask * mrow
+        )
+        h = h_pos
+        v_neg = v_pos
+        v_neg_first = v_pos
+        h_neg = h_prob_pos
+        for i in range(k):
+            stat = _dot(h, wt) + bv
+            if mode == MODE_VISIBLE_BERNOULLI:
+                p_v = jax.nn.sigmoid(stat)
+                v_neg = (_uniform(p_v.shape) < p_v).astype(jnp.float32)
+            else:
+                v_neg = stat + _normal(stat.shape)
+            v_neg = v_neg * vmask * mrow
+            if i == 0:
+                v_neg_first = v_neg
+            act_neg = _dot_t(v_neg, wt) + bh
+            h_neg = jax.nn.sigmoid(act_neg) * hmask * mrow
+            if i < k - 1:
+                p_h = (
+                    h_neg if mode == MODE_VISIBLE_BERNOULLI
+                    else jnp.maximum(act_neg, 0.0) * hmask * mrow
+                )
+                h = (_uniform(p_h.shape) < p_h).astype(jnp.float32)
+
+        def fe(vv):
+            a = _dot_t(vv, wt) + bh
+            sp = jnp.where(a > 30.0, a, jnp.log1p(jnp.exp(jnp.minimum(a, 30.0))))
+            return -(
+                jnp.sum(vv * bv, axis=1, keepdims=True)
+                + jnp.sum(sp * hmask, axis=1, keepdims=True)
+            )
+
+        v_pos_m = v_pos * mrow
+        diff = jnp.abs(fe(v_pos) - fe(v_neg_first)) * mrow
+
+        # --- pack local stats into acc (the running global sum) ---
+        # rows [0:Hp]   : d_wT  (Hp × Vp)
+        # row  Hp       : d_bh  in [0:Hp]
+        # row  Hp+1     : d_bv  in [0:Vp]
+        # row  Hp+2     : [0]=score_sum, [1]=count
+        d_wt = _dot_tt(h_pos, v_pos_m) - _dot_tt(h_neg, v_neg)
+        acc[:hp, :vp] = d_wt
+        d_bh = jnp.sum(h_pos, axis=0, keepdims=True) - jnp.sum(
+            h_neg, axis=0, keepdims=True
+        )
+        d_bv = jnp.sum(v_pos_m, axis=0, keepdims=True) - jnp.sum(
+            v_neg, axis=0, keepdims=True
+        )
+        # Unwritten column tails of these rows carry scratch garbage — the
+        # ring transmits and accumulates them, but reads below slice only
+        # the written ranges.
+        acc[hp:hp + 1, :hp] = d_bh
+        acc[hp + 1:hp + 2, :vp] = d_bv
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+        acc[hp + 2:hp + 3, :] = jnp.where(
+            col == 0, jnp.sum(diff),
+            jnp.where(col == 1, jnp.sum(mrow), 0.0),
+        )
+
+        # --- ring all-reduce (pass-through): n-1 hops, 2 slots, credits ---
+        # The payload is split across the per-shard comm buffers: multiple
+        # ≤32 KB RDMAs pipeline on the ICI link per hop, and RDMA-addressed
+        # buffers beyond ~48 KB also deadlock the CPU interpreter in CI.
+        for i, (r0, r1) in enumerate(shards):
+            comms[i][0] = acc[r0:r1]
+        for hop in range(n_dev - 1):
+            send_slot = hop % 2
+            recv_slot = (hop + 1) % 2
+            # Msg `hop` lands in dst slot (hop+1)%2 — freed by dst's send
+            # at hop-1. Wait for that credit from hop 1 on (slot 1 is
+            # guaranteed free at hop 0 by the cross-step barrier).
+            if hop >= 1:
+                pltpu.semaphore_wait(credit_sem, 1)
+            rdmas = []
+            for i in range(len(shards)):
+                rdmas.append(pltpu.make_async_remote_copy(
+                    src_ref=comms[i].at[send_slot],
+                    dst_ref=comms[i].at[recv_slot],
+                    send_sem=send_sem.at[send_slot, i],
+                    recv_sem=recv_sem.at[recv_slot, i],
+                    device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                ))
+            for r in rdmas:
+                r.start()
+            for r in rdmas:
+                r.wait()
+            # My send slot is free → left may deliver its next message.
+            pltpu.semaphore_signal(
+                credit_sem, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            for i, (r0, r1) in enumerate(shards):
+                acc[r0:r1] = acc[r0:r1] + comms[i][recv_slot]
+        if n_dev > 1:
+            pltpu.semaphore_wait(credit_sem, 1)  # drain the unconsumed credit
+
+        # --- apply the GLOBAL update (identical on every device) ---
+        wt_out[:] = wt + lr * acc[:hp, :vp]
+        bh_out[:] = bh + lr * acc[hp:hp + 1, :hp]
+        bv_out[:] = bv + lr * acc[hp + 1:hp + 2, :vp]
+        score_ref[pl.ds(step, 1), :] = jnp.full(
+            (1, _LANE),
+            acc[hp + 2, 0] / jnp.maximum(acc[hp + 2, 1], 1.0),
+            jnp.float32,
+        )
+
+    return kernel
+
+
+def _cd_pallas_dp_device_fn(params_t, v_local, m_local, seed, lr, k, mode,
+                            local_batch, epochs, n_dev, axis_name,
+                            interpret):
+    """Per-device body (runs inside shard_map): one pallas_call for the
+    whole multi-epoch run, ring-reducing stats each step."""
+    hp, vp = params_t["wt"].shape
+    num_steps = v_local.shape[0] // local_batch
+    cp = max(vp, hp)
+    grid = (epochs, num_steps)
+    const2 = lambda e, i: (0, 0)
+    data2 = lambda e, i: (i, 0)
+    total_steps = epochs * num_steps
+    # Payload shards: each comm buffer ≤ ~32 KB (pipelines on ICI; larger
+    # RDMA-addressed buffers also deadlock the CPU interpreter in CI).
+    rows_total = hp + 3
+    rows_per_shard = max(1, (32 * 1024) // (cp * 4))
+    shards = [
+        (r0, min(r0 + rows_per_shard, rows_total))
+        for r0 in range(0, rows_total, rows_per_shard)
+    ]
+
+    out_shape = (
+        jax.ShapeDtypeStruct((hp, vp), jnp.float32),
+        jax.ShapeDtypeStruct((1, hp), jnp.float32),
+        jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        jax.ShapeDtypeStruct((total_steps, _LANE), jnp.float32),
+    )
+    interpret_mode = pltpu.InterpretParams() if interpret else False
+    wt_new, bh_new, bv_new, scores = pl.pallas_call(
+        _make_dp_kernel(float(lr), int(k), int(mode), int(n_dev), axis_name,
+                        shards),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((local_batch, vp), data2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((local_batch, 1), data2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, vp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((hp, vp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vp), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((total_steps, _LANE), const2,
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((2, r1 - r0, cp), jnp.float32) for r0, r1 in shards]
+            + [
+                pltpu.VMEM((hp + 3, cp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, len(shards))),
+                pltpu.SemaphoreType.DMA((2, len(shards))),
+                pltpu.SemaphoreType.REGULAR,
+            ]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=0,
+        ),
+        interpret=interpret_mode,
+    )(seed, v_local, m_local, params_t["wt"], params_t["bh"],
+      params_t["bv"], params_t["vmask"], params_t["hmask"])
+    return wt_new, bh_new, bv_new, scores
+
+
+def cd_train_pallas_dp(mesh, params, v_all, mask, key, lr: float, k: int,
+                       mode: int, batch_size: int, epochs: int,
+                       axis_name: str = "data",
+                       interpret: bool | None = None):
+    """Data-parallel fused CD training run (VERDICT r1 item 4).
+
+    Same contract as :func:`cd_train_pallas` plus a mesh: the GLOBAL batch
+    is sharded over ``axis_name`` (``batch_size % n_dev == 0``), each
+    device runs the whole multi-epoch grid with its weights VMEM-resident,
+    and the CD statistics are all-reduced per batch step by an RDMA ring
+    INSIDE the kernel — parameters never leave VMEM between steps, unlike
+    :func:`ku.dist.mesh.cd_epoch_dp` (scan + psum, params reloaded every
+    step). Returns (params, scores of shape (epochs·steps,)).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_dev = mesh.shape[axis_name]
+    assert batch_size % n_dev == 0, "batch_size must divide over the mesh"
+    local_batch = batch_size // n_dev
+    v_dim = v_all.shape[1]
+    h_dim = params["rbm_weight"].shape[1]
+    vp = _round_up(v_dim, _LANE)
+    hp = _round_up(h_dim, _LANE)
+    num_steps = v_all.shape[0] // batch_size
+
+    # (steps, dev, local, Vp) — axis 1 sharded over the mesh.
+    v_pad = jnp.pad(v_all, ((0, 0), (0, vp - v_dim)))
+    v_b = v_pad.reshape(num_steps, n_dev, local_batch, vp)
+    m_b = mask.reshape(num_steps, n_dev, local_batch, 1)
+
+    params_t = {
+        "wt": jnp.pad(params["rbm_weight"],
+                      ((0, vp - v_dim), (0, hp - h_dim))).T,
+        "bh": jnp.pad(params["hidden_bias"], (0, hp - h_dim))[None, :],
+        "bv": jnp.pad(params["visible_bias"], (0, vp - v_dim))[None, :],
+        "vmask": (jnp.arange(vp) < v_dim).astype(jnp.float32)[None, :],
+        "hmask": (jnp.arange(hp) < h_dim).astype(jnp.float32)[None, :],
+    }
+    seed = jax.random.randint(key, (1, 1), 0, np.int32(2**31 - 1), jnp.int32)
+
+    def per_device(params_t, v_shard, m_shard, seed):
+        v_local = v_shard.reshape(num_steps * local_batch, vp)
+        m_local = m_shard.reshape(num_steps * local_batch, 1)
+        outs = _cd_pallas_dp_device_fn(
+            params_t, v_local, m_local, seed, lr, k, mode, local_batch,
+            epochs, n_dev, axis_name, interpret,
+        )
+        # Stack a leading device axis: replicated (P()) pallas outputs from
+        # shard_map hang the TPU interpret machinery on CPU meshes, so the
+        # results (identical on every device after the ring) come back
+        # device-stacked and are unstacked below.
+        return jax.tree.map(lambda t: t[None], outs)
+
+    fn = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(None, axis_name), P(None, axis_name), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    wt_new, bh_new, bv_new, scores = jax.jit(fn)(params_t, v_b, m_b, seed)
+    new_params = {
+        "rbm_weight": wt_new[0].T[:v_dim, :h_dim],
+        "hidden_bias": bh_new[0, 0, :h_dim],
+        "visible_bias": bv_new[0, 0, :v_dim],
+    }
+    return new_params, scores[0, :, 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("lr", "k", "mode", "batch_size", "epochs", "interpret"),

@@ -1,15 +1,29 @@
-"""Flash attention — Pallas TPU kernel with an XLA blockwise fallback.
+"""Flash attention — streaming Pallas TPU kernels with an XLA fallback.
 
 Serves the ``scaled`` similarity path of :class:`ku.nn.MultiHeadAttention`
 (reference attention is full-N² softmax(QKᵀ/√d)V on one device,
 ku/layer_ext/attention.py:120-136; SURVEY §5 long-context: "implement it
 as a Pallas flash-attention kernel").
 
-Kernel design: grid = (B·H, N/BLOCK_Q). Each program owns one query block
-in VMEM and streams key/value blocks with an online-softmax running
-(max, sum, accumulator) carry — the N×N score matrix never exists. All
-matmuls hit the MXU with f32 accumulation. Ring attention over a sharded
-sequence axis lives in :func:`ring_attention` (shard_map + ppermute).
+Kernel design (forward): grid = (B·H, N/BLOCK_Q, KN/BLOCK_K) with the
+key axis innermost — K/V blocks are STREAMED HBM→VMEM by the Pallas
+pipeline (double-buffered), so sequence length is bounded by HBM, not
+VMEM. The online-softmax running (max, sum, accumulator) lives in VMEM
+scratch that persists across the key-block grid steps; the N×N score
+matrix never exists. The forward also emits the log-sum-exp (LSE) per
+query row, which the backward consumes.
+
+Backward: the classic flash-attention two-kernel scheme —
+- ``dq`` kernel: grid (B·H, N/BLOCK_Q, KN/BLOCK_K), streams K/V, recomputes
+  p = exp(s − lse) (no online max needed — LSE is known), accumulates
+  dq += (p ⊙ (do·Vᵀ − Δ))·K·scale with Δ = rowsum(do ⊙ o).
+- ``dkv`` kernel: grid (B·H, KN/BLOCK_K, N/BLOCK_Q), streams Q/dO,
+  accumulates dv += pᵀ·do and dk += (p ⊙ (do·Vᵀ − Δ))ᵀ·Q·scale.
+All matmuls hit the MXU with f32 accumulation.
+
+Ring attention over a sharded sequence axis lives in
+:func:`ring_attention` (shard_map + ppermute): causal-capable, blockwise
+local updates (no full local score matrix), differentiable.
 """
 
 from __future__ import annotations
@@ -24,49 +38,120 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, kv_len,
-                  causal):
-    """One (batch·head, q-block) program: online softmax over k blocks."""
-    q = q_ref[0].astype(jnp.float32)  # (BLOCK_Q, D)
-    block_q, d = q.shape
-    num_kb = pl.cdiv(kv_len, block_k)
+# ---------------------------------------------------------------------------
+# Forward kernel: streaming K/V, persistent online-softmax scratch.
+# ---------------------------------------------------------------------------
 
-    def body(kb, carry):
-        m_prev, l_prev, acc = carry
-        start = kb * block_k
-        k_blk = k_ref[0, pl.ds(start, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(start, block_k), :].astype(jnp.float32)
 
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale, kv_len, causal):
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+    block_q = q_ref.shape[1]
+    block_k = k_ref.shape[1]
+
+    @pl.when(kb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    start = kb * block_k
+    q_start = pl.program_id(1) * block_q
+    # Causal: key blocks entirely above the diagonal contribute nothing.
+    live = (start <= q_start + block_q - 1) if causal else True
+
+    @pl.when(live if causal else kb >= 0)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k_blk = k_ref[0].astype(jnp.float32)
+        v_blk = v_ref[0].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (BLOCK_Q, BLOCK_K)
 
-        # Mask key positions beyond the true sequence length.
         key_idx = start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
         s = jnp.where(key_idx < kv_len, s, _NEG_INF)
         if causal:
-            q_idx = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
+            q_idx = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
             s = jnp.where(key_idx <= q_idx, s, _NEG_INF)
 
+        m_prev = m_scr[:]
+        l_prev = l_scr[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m_prev - m_new)
-        l_new = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * corr + jnp.dot(
+        m_scr[:] = m_new
+        l_scr[:] = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * corr + jnp.dot(
             p, v_blk, preferred_element_type=jnp.float32
         )
-        return m_new, l_new, acc_new
 
-    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    @pl.when(kb == num_kb - 1)
+    def _():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, :1] + jnp.log(l[:, :1])
+
+
+def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret):
+    b, h, n, d = q.shape
+    kn = k.shape[2]
+    dv = v.shape[-1]
+    block_q = min(block_q, max(8, n))
+    block_k = min(block_k, max(8, kn))
+    nq_pad = pl.cdiv(n, block_q) * block_q
+    nk_pad = pl.cdiv(kn, block_k) * block_k
+
+    qf = q.reshape(b * h, n, d)
+    kf = k.reshape(b * h, kn, d)
+    vf = v.reshape(b * h, kn, dv)
+    if nq_pad != n:
+        qf = jnp.pad(qf, ((0, 0), (0, nq_pad - n), (0, 0)))
+    if nk_pad != kn:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_pad - kn), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_pad - kn), (0, 0)))
+
+    grid = (b * h, nq_pad // block_q, nk_pad // block_k)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=softmax_scale, kv_len=kn,
+                          causal=causal),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dv), lambda bh, qi, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, dv), lambda bh, qi, kb: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi, kb: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nq_pad, dv), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq_pad, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(qf, kf, vf)
+    return (out[:, :n, :].reshape(b, h, n, dv),
+            lse[:, :n, 0].reshape(b, h, n))
 
 
 @functools.partial(
@@ -78,48 +163,238 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
                            block_q: int = 128, block_k: int = 128,
                            interpret: bool | None = None,
                            causal: bool = False):
-    """Pallas flash attention. q: (B, H, N, D), k/v: (B, H, KN, D)."""
+    """Streaming Pallas flash attention. q: (B, H, N, D), k/v: (B, H, KN, D).
+    Sequence length is HBM-bounded (K/V blocks stream through the grid)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    out, _ = _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal,
+                         interpret)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, scale, kv_len, causal):
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+    block_q = q_ref.shape[1]
+    block_k = k_ref.shape[1]
+
+    @pl.when(kb == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    start = kb * block_k
+    q_start = pl.program_id(1) * block_q
+    live = (start <= q_start + block_q - 1) if causal else True
+
+    @pl.when(live if causal else kb >= 0)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k_blk = k_ref[0].astype(jnp.float32)
+        v_blk = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        key_idx = start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+        if causal:
+            q_idx = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            s = jnp.where(key_idx <= q_idx, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq_scr[:] = dq_scr[:] + scale * jnp.dot(
+            ds, k_blk, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len,
+                    q_len, causal):
+    qi = pl.program_id(2)
+    num_qb = pl.num_programs(2)
+    block_k = k_ref.shape[1]
+    block_q = q_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    k_start = pl.program_id(1) * block_k
+    q_start = qi * block_q
+    # Causal: query blocks entirely above this key block contribute nothing.
+    live = (q_start + block_q - 1 >= k_start) if causal else True
+
+    @pl.when(live if causal else qi >= 0)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k_blk = k_ref[0].astype(jnp.float32)
+        v_blk = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        key_idx = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        q_idx = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
+        # Padded query rows (q_idx >= q_len) have lse = 0 from padding —
+        # mask p explicitly so they contribute nothing.
+        valid_q = q_idx < q_len
+        if causal:
+            s = jnp.where(key_idx <= q_idx, s, _NEG_INF)
+        p = jnp.where(valid_q, jnp.exp(s - lse), 0.0)
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = jnp.where(valid_q, p * (dp - delta), 0.0)
+        dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == num_qb - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
+                causal, interpret):
     b, h, n, d = q.shape
     kn = k.shape[2]
-
+    dv_dim = v.shape[-1]
     block_q = min(block_q, max(8, n))
     block_k = min(block_k, max(8, kn))
     nq_pad = pl.cdiv(n, block_q) * block_q
     nk_pad = pl.cdiv(kn, block_k) * block_k
 
-    qf = q.reshape(b * h, n, d)
-    kf = k.reshape(b * h, kn, d)
-    vf = v.reshape(b * h, kn, v.shape[-1])
-    if nq_pad != n:
-        qf = jnp.pad(qf, ((0, 0), (0, nq_pad - n), (0, 0)))
-    if nk_pad != kn:
-        kf = jnp.pad(kf, ((0, 0), (0, nk_pad - kn), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, nk_pad - kn), (0, 0)))
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
-    grid = (b * h, nq_pad // block_q)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=softmax_scale, block_k=block_k, kv_len=kn,
-            causal=causal,
-        ),
-        grid=grid,
+    def padq(x):
+        return jnp.pad(x, ((0, 0), (0, nq_pad - n)) + ((0, 0),) * (x.ndim - 2))
+
+    def padk(x):
+        return jnp.pad(x, ((0, 0), (0, nk_pad - kn)) + ((0, 0),) * (x.ndim - 2))
+
+    qf = padq(q.reshape(b * h, n, d))
+    kf = padk(k.reshape(b * h, kn, d))
+    vf = padk(v.reshape(b * h, kn, dv_dim))
+    dof = padq(do.reshape(b * h, n, dv_dim))
+    lsef = padq(lse.reshape(b * h, n, 1))
+    deltaf = padq(delta.reshape(b * h, n, 1))
+
+    interpret_mode = pltpu.InterpretParams() if interpret else False
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=softmax_scale, kv_len=kn,
+                          causal=causal),
+        grid=(b * h, nq_pad // block_q, nk_pad // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad, d), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, kb: (bh, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad, vf.shape[-1]), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, block_k, dv_dim), lambda bh, qi, kb: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dv_dim), lambda bh, qi, kb: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi, kb: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, vf.shape[-1]),
-                               lambda bh, qi: (bh, qi, 0),
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, qi, kb: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, vf.shape[-1]), q.dtype),
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(qf, kf, vf)
-    return out[:, :n, :].reshape(b, h, n, vf.shape[-1])
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode,
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=softmax_scale, kv_len=kn,
+                          q_len=n, causal=causal),
+        grid=(b * h, nk_pad // block_k, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, kb, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, kb, qi: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dv_dim), lambda bh, kb, qi: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, dv_dim), lambda bh, kb, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, kb, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, kb, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda bh, kb, qi: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, dv_dim), lambda bh, kb, qi: (bh, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, nk_pad, dv_dim), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, dv_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret_mode,
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    return (dq[:, :n].reshape(b, h, n, d),
+            dk[:, :kn].reshape(b, h, kn, d),
+            dv[:, :kn].reshape(b, h, kn, dv_dim))
+
+
+# ---------------------------------------------------------------------------
+# XLA blockwise fallback (portable; also the non-TPU backward path).
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(
@@ -172,27 +447,50 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
     return acc / jnp.maximum(l, 1e-30)[..., None]
 
 
+# ---------------------------------------------------------------------------
+# Differentiable dispatch: Pallas fwd+bwd on TPU, XLA elsewhere.
+# ---------------------------------------------------------------------------
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_dispatch(q, k, v, softmax_scale, causal):
-    # VMEM guard: the Pallas kernel keeps the full K/V for one (b, h) in
-    # VMEM; beyond ~10 MB fall back to the XLA blockwise path.
-    kv_bytes = 2 * k.shape[2] * k.shape[3] * 4
-    if jax.default_backend() == "tpu" and kv_bytes <= 10 * 1024 * 1024:
+    if jax.default_backend() == "tpu":
         return flash_attention_pallas(q, k, v, softmax_scale=softmax_scale,
                                       causal=causal)
     return flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
                                causal=causal)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("softmax_scale", "causal", "interpret")
+)
+def _fwd_with_lse(q, k, v, softmax_scale, causal, interpret):
+    return _fwd_pallas(q, k, v, softmax_scale, 128, 128, causal, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("softmax_scale", "causal", "interpret")
+)
+def _bwd_jit(q, k, v, o, lse, do, softmax_scale, causal, interpret):
+    return _bwd_pallas(q, k, v, o, lse, do, softmax_scale, 128, 128,
+                       causal, interpret)
+
+
 def _flash_fwd(q, k, v, softmax_scale, causal):
-    return _flash_dispatch(q, k, v, softmax_scale, causal), (q, k, v)
+    if jax.default_backend() == "tpu":
+        o, lse = _fwd_with_lse(q, k, v, softmax_scale, causal, False)
+        return o, (q, k, v, o, lse)
+    o = flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
+                            causal=causal)
+    return o, (q, k, v, None, None)
 
 
 def _flash_bwd(softmax_scale, causal, residuals, g):
-    # Backward via the blockwise-XLA formulation (recompute; still O(N)
-    # memory) — the classic flash-attention recipe of trading FLOPs for
-    # the N² matrix.
-    q, k, v = residuals
+    q, k, v, o, lse = residuals
+    if o is not None and jax.default_backend() == "tpu":
+        # Pallas backward: recompute p per block from the saved LSE — no
+        # N² matrix, no full-graph recompute.
+        return _bwd_jit(q, k, v, o, lse, g, softmax_scale, causal, False)
     _, vjp = jax.vjp(
         lambda qq, kk, vv: flash_attention_xla(
             qq, kk, vv, softmax_scale=softmax_scale, causal=causal
@@ -207,19 +505,68 @@ _flash_dispatch.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, softmax_scale: float = 1.0,
                     causal: bool = False):
-    """Dispatch: Pallas kernel on TPU, XLA blockwise elsewhere.
-    Differentiable (custom VJP recomputes blockwise in the backward).
-    For explicit block-size control call :func:`flash_attention_pallas`
-    or :func:`flash_attention_xla` directly."""
+    """Dispatch: streaming Pallas kernels (fwd AND bwd) on TPU, XLA
+    blockwise elsewhere. Differentiable. For explicit block-size control
+    call :func:`flash_attention_pallas` or :func:`flash_attention_xla`."""
     return _flash_dispatch(q, k, v, softmax_scale, causal)
 
 
+# ---------------------------------------------------------------------------
+# Ring attention (sequence parallelism).
+# ---------------------------------------------------------------------------
+
+
+def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
+                         k_pos_start, k_len, causal, chunk: int = 512):
+    """Merge one K/V block into an online-softmax carry, processing the
+    block in ``chunk``-sized pieces so only a (B,H,Lq,chunk) score slab is
+    ever materialized (blockwise — neither the full local score matrix nor
+    a full local mask exists). ``q_pos``: (Lq,) global query positions;
+    ``k_pos_start``: global position of the block's first key (traced);
+    ``k_len``: true (unpadded) key count in the block."""
+    kn = k_blk.shape[2]
+    chunk = min(chunk, kn)
+    num = -(-kn // chunk)
+    pad = num * chunk - kn
+    if pad:
+        k_blk = jnp.pad(k_blk, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v_blk = jnp.pad(v_blk, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kc = jnp.moveaxis(k_blk.reshape(*k_blk.shape[:2], num, chunk, -1), 2, 0)
+    vc = jnp.moveaxis(v_blk.reshape(*v_blk.shape[:2], num, chunk, -1), 2, 0)
+
+    def body(carry, xs):
+        m, l, acc = carry
+        k_i, v_i, ci = xs
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_i) * scale
+        k_pos_i = k_pos_start + ci * chunk + jnp.arange(chunk)
+        mask_i = (k_pos_i - k_pos_start < k_len)[None, :]
+        if causal:
+            mask_i = mask_i & (k_pos_i[None, :] <= q_pos[:, None])
+        s = jnp.where(mask_i[None, None], s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_i
+        )
+        return (m_new, l_new, acc_new), None
+
+    (m, l, acc), _ = jax.lax.scan(body, (m, l, acc),
+                                  (kc, vc, jnp.arange(num)))
+    return m, l, acc
+
+
 def ring_attention(q, k, v, mesh, axis_name: str = "data",
-                   softmax_scale: float = 1.0):
+                   softmax_scale: float = 1.0, causal: bool = False,
+                   chunk: int = 512):
     """Sequence-parallel attention: q/k/v sharded on the sequence axis over
     ``axis_name``; K/V blocks rotate around the ring with ``ppermute``
     while each device keeps an online-softmax carry (SURVEY §5 long-context
-    entry — the reference has no equivalent).
+    entry — the reference has no equivalent). Blockwise local updates (the
+    full local score matrix is never materialized), causal-capable via
+    global-position masking, and differentiable (JAX differentiates
+    through ppermute + scan).
 
     q, k, v: (B, H, N, D) GLOBAL arrays (host side); returns the global
     attention output. N must divide by the ring size.
@@ -229,38 +576,38 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
     n_dev = mesh.shape[axis_name]
     b, h, n, d = q.shape
     assert n % n_dev == 0
+    local = n // n_dev
 
     def local_fn(q_loc, k_loc, v_loc):
-        axis_idx = jax.lax.axis_index(axis_name)
+        my = jax.lax.axis_index(axis_name)
+        q_pos = my * local + jnp.arange(local)
 
         def step(carry, i):
             m, l, acc, k_blk, v_blk = carry
-            s = jnp.einsum("bhqd,bhkd->bhqk", q_loc, k_blk) * softmax_scale
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-            p = jnp.exp(s - m_new[..., None])
-            corr = jnp.exp(m - m_new)
-            l_new = l * corr + jnp.sum(p, axis=-1)
-            acc_new = acc * corr[..., None] + jnp.einsum(
-                "bhqk,bhkd->bhqd", p, v_blk
+            # K/V block currently held came from rank (my - i) mod n_dev.
+            src = jax.lax.rem(my - i + n_dev, n_dev)
+            m, l, acc = _online_block_update(
+                q_loc, k_blk, v_blk, m, l, acc, softmax_scale,
+                q_pos, src * local, local, causal, chunk
             )
             # Rotate K/V to the next device in the ring.
             perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
             k_next = jax.lax.ppermute(k_blk, axis_name, perm)
             v_next = jax.lax.ppermute(v_blk, axis_name, perm)
-            return (m_new, l_new, acc_new, k_next, v_next), None
+            return (m, l, acc, k_next, v_next), None
 
-        # pvary: the fresh accumulators must be marked device-varying to
-        # match the loop outputs under shard_map's manual-axes typing.
-        init = jax.lax.pvary(
+        # The fresh accumulators must be marked device-varying to match
+        # the loop outputs under shard_map's manual-axes typing.
+        init = jax.lax.pcast(
             (
-                jnp.full(q_loc.shape[:3], -jnp.inf, q_loc.dtype),
-                jnp.zeros(q_loc.shape[:3], q_loc.dtype),
-                jnp.zeros(q_loc.shape[:3] + (v_loc.shape[-1],), q_loc.dtype),
+                jnp.full(q_loc.shape[:3], _NEG_INF, jnp.float32),
+                jnp.zeros(q_loc.shape[:3], jnp.float32),
+                jnp.zeros(q_loc.shape[:3] + (v_loc.shape[-1],), jnp.float32),
             ),
-            axis_name,
+            axis_name, to="varying",
         ) + (k_loc, v_loc)
         (m, l, acc, _, _), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
-        return acc / l[..., None]
+        return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q_loc.dtype)
 
     seq_sharded = NamedSharding(mesh, P(None, None, axis_name, None))
     shard = jax.shard_map(

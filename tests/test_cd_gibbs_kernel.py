@@ -81,6 +81,46 @@ def test_pallas_gaussian_mode_finite(rng):
     assert np.isfinite(np.asarray(s)).all()
 
 
+@pytest.mark.parametrize("epochs", [1, 2])
+def test_dp_ring_kernel_matches_single_device(rng, epochs):
+    """The data-parallel fused kernel (in-grid RDMA ring psum of CD stats,
+    8-device CPU mesh, interpret mode) must produce the SAME parameter
+    trajectory as the single-device fused kernel on the same global data
+    in the deterministic saturation regime — the ring-summed shard
+    statistics equal the full-batch statistics, which transitively matches
+    cd_epoch_dp's scan+psum math (cd_epoch_pallas == cd_epoch_scan is
+    covered above)."""
+    from ku.dist import make_mesh
+    from ku.pallas.cd_gibbs import cd_train_pallas, cd_train_pallas_dp
+
+    params = _saturated_params()
+    batch, steps = 32, 3  # 32 global = 4 rows/device on 8 devices
+    data = rng.integers(0, 2, size=(batch * steps, 6)).astype(np.float32)
+    mask = np.ones((batch * steps,), np.float32)
+    mask[-3:] = 0.0  # ragged tail inside the last shard
+    key = jax.random.key(17)
+    mesh = make_mesh({"data": 8})
+
+    p_dp, s_dp = cd_train_pallas_dp(
+        mesh, params, jnp.asarray(data), jnp.asarray(mask), key, 1e-3, 1,
+        MODE_VISIBLE_BERNOULLI, batch, epochs, interpret=True,
+    )
+    from ku.pallas.cd_gibbs import cd_train_pallas as _single
+
+    p_1, s_1 = _single(
+        params, jnp.asarray(data), jnp.asarray(mask), key, 1e-3, 1,
+        MODE_VISIBLE_BERNOULLI, batch, epochs, interpret=True,
+    )
+    for name in ("rbm_weight", "hidden_bias", "visible_bias"):
+        np.testing.assert_allclose(
+            np.asarray(p_dp[name]), np.asarray(p_1[name]),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+    assert s_dp.shape == (epochs * steps,)
+    np.testing.assert_allclose(np.asarray(s_dp), np.asarray(s_1),
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.skipif(
     jax.default_backend() != "tpu",
     reason="interpret-mode TPU PRNG is a zero-stub; needs real hardware",

@@ -103,6 +103,43 @@ def test_gan_actually_learns_mean(rng):
     assert mean_after > 0.8, f"generator mean {mean_after} did not move toward 2.0"
 
 
+def test_lazy_r1_interval(rng):
+    """r1_interval > 1 (lazy regularization, StyleGAN2 §B extension):
+    trains finite, and at interval=1 the loss graph equals the default."""
+    conf = {
+        "hps": {
+            "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
+            "epochs": 2, "batch_step": 3, "disc_k_step": 1, "r_gamma": 10.0,
+            "r1_interval": 2,
+            "disc_ext_hps": {"lr": 1e-3, "beta_1": 0.0, "beta_2": 0.99},
+            "gen_disc_hps": {"lr": 1e-3, "beta_1": 0.0, "beta_2": 0.99},
+        }
+    }
+    engine = GAN(conf, ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    h = engine.fit_generator(
+        _data_iter(rng, STYLE_GAN_SOFTPLUS_INVERSE_R1_GP), verbose=0)
+    assert np.isfinite(h["disc_ext_loss"]).all()
+    assert np.isfinite(h["gen_disc_loss"]).all()
+
+    # interval=1 must reproduce the always-on R1 loss exactly.
+    conf1 = {"hps": dict(conf["hps"], r1_interval=1)}
+    e1 = GAN(conf1, ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    batch = next(_data_iter(np.random.default_rng(0),
+                            STYLE_GAN_SOFTPLUS_INVERSE_R1_GP))
+    e1.init_state(jax.tree.map(jnp.asarray, batch), seed=0)
+    d1 = float(e1._disc_loss(e1.state["disc_params"], e1.state,
+                             jax.tree.map(jnp.asarray, batch),
+                             jax.random.key(2)))
+    conf0 = {"hps": {k: v for k, v in conf["hps"].items()
+                     if k != "r1_interval"}}
+    e0 = GAN(conf0, ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    e0.init_state(jax.tree.map(jnp.asarray, batch), seed=0)
+    d0 = float(e0._disc_loss(e0.state["disc_params"], e0.state,
+                             jax.tree.map(jnp.asarray, batch),
+                             jax.random.key(2)))
+    np.testing.assert_allclose(d1, d0, rtol=1e-6)
+
+
 def test_save_load_roundtrip(rng, tmp_path):
     conf = {"hps": {"composing_mode": LSGAN, "epochs": 1, "batch_step": 2,
                     "disc_k_step": 1}}
