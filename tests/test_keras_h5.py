@@ -1,0 +1,158 @@
+"""Keras .h5 checkpoint ingest (ku/io/keras_h5.py) — reading the reference's
+save format and grafting onto flax param trees."""
+
+import subprocess
+import sys
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ku.io import (
+    graft_keras_weights,
+    load_keras_h5_weights,
+    load_reference_rbm_h5,
+)
+
+
+def _write_keras2_h5(path, layers, model_weights_group=True):
+    """Synthesize the Keras-2 h5 weight layout (layer_names/weight_names
+    attrs, datasets named '<layer>/<name>:0')."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        root = f.create_group("model_weights") if model_weights_group else f
+        root.attrs["layer_names"] = np.array(
+            [n.encode() for n in layers], dtype="S"
+        )
+        for lname, weights in layers.items():
+            g = root.create_group(lname)
+            wnames = []
+            for wname, arr in weights.items():
+                full = f"{lname}/{wname}:0"
+                g.create_dataset(full, data=arr)
+                wnames.append(full.encode())
+            g.attrs["weight_names"] = np.array(wnames, dtype="S")
+
+
+def test_load_and_graft_dense(rng, tmp_path):
+    path = str(tmp_path / "ref_model.h5")
+    k1 = rng.normal(size=(4, 8)).astype(np.float32)
+    b1 = rng.normal(size=(8,)).astype(np.float32)
+    k2 = rng.normal(size=(8, 2)).astype(np.float32)
+    b2 = rng.normal(size=(2,)).astype(np.float32)
+    _write_keras2_h5(path, {
+        "dense_a": {"kernel": k1, "bias": b1},
+        "dense_b": {"kernel": k2, "bias": b2},
+    })
+
+    loaded = load_keras_h5_weights(path)
+    assert set(loaded) == {"dense_a", "dense_b"}
+    np.testing.assert_array_equal(loaded["dense_a"]["kernel"], k1)
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(8, name="dense_a")(x)
+            return nn.Dense(2, name="dense_b")(nn.relu(x))
+
+    m = Model()
+    variables = m.init(jax.random.key(0), jnp.zeros((1, 4)))
+    new_params, report = graft_keras_weights(variables["params"], loaded,
+                                             strict=True)
+    assert len(report["grafted"]) == 4 and not report["unmatched"]
+
+    x = rng.normal(size=(3, 4)).astype(np.float32)
+    got = m.apply({"params": new_params}, jnp.asarray(x))
+    want = np.maximum(x @ k1 + b1, 0.0) @ k2 + b2
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_graft_rename_and_shape_fallback(rng, tmp_path):
+    """Layer renamed + a nonstandard weight name resolved by unique shape."""
+    path = str(tmp_path / "w.h5")
+    k = rng.normal(size=(4, 8)).astype(np.float32)
+    b = rng.normal(size=(8,)).astype(np.float32)
+    _write_keras2_h5(path, {"old_name": {"some_matrix": k, "some_vec": b}},
+                     model_weights_group=False)
+    loaded = load_keras_h5_weights(path)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(8, name="new_name")(x)
+
+    variables = M().init(jax.random.key(0), jnp.zeros((1, 4)))
+    new_params, report = graft_keras_weights(
+        variables["params"], loaded, rename={"new_name": "old_name"},
+        strict=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_params["new_name"]["kernel"]), k)
+    np.testing.assert_array_equal(
+        np.asarray(new_params["new_name"]["bias"]), b)
+
+
+def test_load_reference_rbm_layout(rng, tmp_path):
+    """The reference RBM layer registers rbm_weight + rbm_hidden_bias (its
+    visible_bias is a raw K.variable that never reaches the h5 — reference
+    rbm.py:38-40); ku restores it as zeros, documented."""
+    path = str(tmp_path / "digit_classification_model.h5")
+    w = rng.normal(size=(64, 16)).astype(np.float32)
+    bh = rng.normal(size=(16,)).astype(np.float32)
+    _write_keras2_h5(path, {
+        "rbm": {"rbm_weight": w, "rbm_hidden_bias": bh},
+        "dense": {"kernel": rng.normal(size=(16, 10)).astype(np.float32),
+                  "bias": np.zeros(10, np.float32)},
+    })
+    params = load_reference_rbm_h5(path)
+    np.testing.assert_array_equal(params["rbm_weight"], w)
+    np.testing.assert_array_equal(params["hidden_bias"], bh)
+    assert (params["visible_bias"] == 0).all()
+
+    from ku.ebm import RBM
+
+    rbm = RBM({"lr": 1e-3, "batch_size": 8, "epochs": 1}, 16, input_dim=64)
+    rbm.params = {k: jnp.asarray(v) for k, v in params.items()}
+    h = rbm.transform(rng.integers(0, 2, size=(4, 64)).astype(np.float32))
+    assert h.shape == (4, 16)
+
+
+@pytest.mark.skipif(
+    subprocess.run([sys.executable, "-c", "import tf_keras"],
+                   capture_output=True).returncode != 0,
+    reason="tf_keras not installed",
+)
+def test_real_keras_h5_roundtrip(tmp_path):
+    """Integration: a REAL Keras h5 (written by tf_keras in a subprocess so
+    TF never loads into the test process) reads back through the ingest
+    path and grafts onto a flax Dense model."""
+    path = str(tmp_path / "real.h5")
+    code = f"""
+import numpy as np
+import tf_keras as keras
+m = keras.Sequential([
+    keras.layers.Dense(8, name="dense_a", input_shape=(4,)),
+    keras.layers.Dense(2, name="dense_b"),
+])
+m.save({path!r})
+np.save({str(tmp_path / 'k1.npy')!r}, m.get_layer("dense_a").kernel.numpy())
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    loaded = load_keras_h5_weights(path)
+    k1 = np.load(tmp_path / "k1.npy")
+    np.testing.assert_array_equal(loaded["dense_a"]["kernel"], k1)
+
+    class Model(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(8, name="dense_a")(x)
+            return nn.Dense(2, name="dense_b")(x)
+
+    variables = Model().init(jax.random.key(0), jnp.zeros((1, 4)))
+    _, report = graft_keras_weights(variables["params"], loaded, strict=True)
+    assert len(report["grafted"]) == 4
