@@ -203,6 +203,9 @@ class AbstractGAN:
         g_hps = self.hps.get(
             "gen_disc_hps", self.conf.get("gen_disc_hps", self.hps)
         )
+        # (measured: optax.flatten'ing these gains nothing on TPU — the
+        # ravel/unravel concat offsets the per-tensor op savings — so the
+        # plain per-tensor Adam stays for checkpoint/TP-sharding clarity)
         self.disc_opt = disc_ext_opt if disc_ext_opt is not None else optax.adam(
             d_hps.get("lr", 1e-4), b1=d_hps.get("beta_1", 0.0),
             b2=d_hps.get("beta_2", 0.99),
@@ -296,17 +299,26 @@ class AbstractGAN:
 
     # -- the jitted alternating step ---------------------------------------
 
-    def _disc_loss(self, disc_params, state, batch, key):
-        """Mode-dependent discriminator loss (one D step)."""
+    def _gen_fake(self, state, batch, key):
+        """Generate the (stop-gradient) fake batch for a D step."""
+        fake_raw, _ = self._gen_apply(
+            state["gen_params"], state["gen_stats"], batch["z"], key,
+            train=True,
+        )
+        return jax.lax.stop_gradient(self._gen_output_image(fake_raw))
+
+    def _disc_loss(self, disc_params, state, batch, key, fake=None):
+        """Mode-dependent discriminator loss (one D step). ``fake``: the
+        pre-generated fake batch (the train step generates all D-steps'
+        fakes in ONE vmapped pass — gen params don't change during D
+        updates); generated here when absent (evaluate path)."""
         lc = self.loss_conf
         losses = lc["disc_ext_losses"]
         weights = lc["disc_ext_loss_weights"]
         mode = self.composing_mode
 
-        fake_raw, _ = self._gen_apply(
-            state["gen_params"], state["gen_stats"], batch["z"], key, train=True
-        )
-        fake = jax.lax.stop_gradient(self._gen_output_image(fake_raw))
+        if fake is None:
+            fake = self._gen_fake(state, batch, key)
         x_real = batch["x"]
 
         def d_of(x):
@@ -428,13 +440,26 @@ class AbstractGAN:
         for the generator update — matching the reference, which draws a
         new batch (new z, new reals) via ``gen_gen_disc_data_fun`` for the
         G step (reference gan.py:774) instead of reusing the last D batch.
+
+        All D-steps' fake images are generated in ONE vmapped generator
+        pass up front (exact semantics — generator params don't change
+        during the D updates, and per-slice RNG keys reproduce the
+        per-step draws), batching every generator op at k·B rows.
         """
+        d_stack = jax.tree.map(lambda x: x[:disc_k_step], batches)
+        d_keys = jnp.stack(
+            [jax.random.fold_in(key, i) for i in range(disc_k_step)]
+        )
+        fakes = jax.vmap(
+            lambda b, kk: self._gen_fake(state, b, kk)
+        )(d_stack, d_keys)
+
         d_losses = []
         for i in range(disc_k_step):
             batch = jax.tree.map(lambda x: x[i], batches)
             k_i = jax.random.fold_in(key, i)
             d_loss, d_grads = jax.value_and_grad(self._disc_loss)(
-                state["disc_params"], state, batch, k_i
+                state["disc_params"], state, batch, k_i, fakes[i]
             )
             updates, d_opt = self.disc_opt.update(
                 d_grads, state["disc_opt"], state["disc_params"]
