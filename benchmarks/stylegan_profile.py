@@ -44,13 +44,20 @@ def scalarize(fn):
 
 
 def bench(fn, *args, n=5):
-    fn = jax.jit(scalarize(fn))
-    out = fn(*args)
-    _ = np.asarray(out)  # compile + fence
+    # A per-iteration salt feeds the output so repeated timing calls never
+    # present identical (executable, args) pairs — the axon tunnel may
+    # dedupe identical dispatches (CLAUDE.md), which would under-measure.
+    base = jax.jit(scalarize(fn))
+
+    def salted(salt, *a):
+        return base(*a) + 0.0 * salt
+
+    f = jax.jit(salted)
+    _ = np.asarray(f(jnp.float32(0), *args))  # compile + fence
     best = float("inf")
-    for _ in range(n):
+    for i in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = f(jnp.float32(i + 1), *args)
         _ = np.asarray(out)
         best = min(best, time.perf_counter() - t0)
     return round(best * 1e3, 3)  # ms

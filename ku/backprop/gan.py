@@ -307,11 +307,15 @@ class AbstractGAN:
         )
         return jax.lax.stop_gradient(self._gen_output_image(fake_raw))
 
-    def _disc_loss(self, disc_params, state, batch, key, fake=None):
+    def _disc_loss(self, disc_params, state, batch, key, fake=None,
+                   lazy_r1: bool = True):
         """Mode-dependent discriminator loss (one D step). ``fake``: the
         pre-generated fake batch (the train step generates all D-steps'
         fakes in ONE vmapped pass — gen params don't change during D
-        updates); generated here when absent (evaluate path)."""
+        updates); generated here when absent (evaluate path).
+        ``lazy_r1=False`` forces the always-on R1 penalty regardless of
+        ``hps['r1_interval']`` — evaluation losses must not depend on
+        which training step the model happens to be at."""
         lc = self.loss_conf
         losses = lc["disc_ext_losses"]
         weights = lc["disc_ext_loss_weights"]
@@ -356,7 +360,7 @@ class AbstractGAN:
         elif mode == STYLE_GAN_SOFTPLUS_INVERSE_R1_GP:
             # R1 on the real-input head (reference :1110 + loss conf :75-83).
             _, r_gamma = losses[1]
-            interval = int(self.hps.get("r1_interval", 1))
+            interval = int(self.hps.get("r1_interval", 1)) if lazy_r1 else 1
 
             def r1_term():
                 grads = jax.grad(lambda xx: jnp.sum(d_of(xx)))(x_real)
@@ -687,7 +691,8 @@ class AbstractGAN:
         gen+disc forward (incl. the R1 grad) every call."""
         if not hasattr(self, "_eval_jit_fn"):
             def fn(state, batch, key):
-                d = self._disc_loss(state["disc_params"], state, batch, key)
+                d = self._disc_loss(state["disc_params"], state, batch, key,
+                                    lazy_r1=False)
                 g, _ = self._gen_loss(
                     state["gen_params"], state, batch,
                     jax.random.fold_in(key, 1),

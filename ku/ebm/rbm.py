@@ -531,21 +531,36 @@ class RBM:
                 # Fused multi-chip path: the whole run is one dispatch per
                 # device, params VMEM-resident, CD statistics ring-psum'd
                 # inside the kernel each step (ku/pallas/cd_gibbs.py::
-                # cd_train_pallas_dp).
+                # cd_train_pallas_dp). Chunk epochs like the single-device
+                # path so the VMEM-resident (epochs·steps, 128) score
+                # buffer stays bounded.
                 from ku.pallas.cd_gibbs import cd_train_pallas_dp
 
-                self.params, scores = cd_train_pallas_dp(
-                    mesh, self.params, v_all_d, mask_d, self._keys(), lr,
-                    k, self.mode, batch_size, epochs,
+                num_steps_dp = v_all.shape[0] // batch_size
+                max_epochs_per_call = max(
+                    1, (2 * 1024 * 1024) // max(num_steps_dp * 128 * 4, 1)
                 )
-                if verbose:
-                    per_epoch = np.asarray(scores).reshape(epochs, -1).mean(1)
-                    for e, s in enumerate(per_epoch):
-                        print(f"{e + 1}/{epochs} epochs, score: {s:f}")
-                self.last_scores = np.asarray(scores)
+                done = 0
+                all_scores = []
+                while done < epochs:
+                    chunk = min(max_epochs_per_call, epochs - done)
+                    self.params, scores = cd_train_pallas_dp(
+                        mesh, self.params, v_all_d, mask_d, self._keys(),
+                        lr, k, self.mode, batch_size, chunk,
+                    )
+                    all_scores.append(np.asarray(scores))
+                    if verbose:
+                        per_epoch = all_scores[-1].reshape(chunk, -1).mean(1)
+                        for i, s in enumerate(per_epoch):
+                            print(f"{done + i + 1}/{epochs} epochs, "
+                                  f"score: {s:f}")
+                    done += chunk
+                self.last_scores = (np.concatenate(all_scores)
+                                    if all_scores else None)
                 return self
             from ku.dist.mesh import cd_epoch_dp
 
+            scores = None
             for e in range(epochs):
                 self.params, scores = cd_epoch_dp(
                     mesh, self.params, v_all_d, mask_d, self._keys(), lr, k,

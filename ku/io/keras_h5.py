@@ -99,9 +99,13 @@ def graft_keras_weights(params, h5_weights: Dict[str, Dict[str, np.ndarray]],
 
     rename = rename or {}
     grafted, unmatched = [], []
+    # Per-call bookkeeping of consumed source arrays — the caller's
+    # h5_weights dict is never mutated (it may be grafted onto several
+    # models, e.g. gen and disc from the same file).
+    used_by_layer: Dict[str, set] = {}
 
-    def pick(layer_arrays, pname, shape):
-        used = layer_arrays.setdefault("__used__", set())
+    def pick(layer, layer_arrays, pname, shape):
+        used = used_by_layer.setdefault(layer, set())
         for cand in _NAME_SYNONYMS.get(pname, (pname,)):
             if cand in layer_arrays and cand not in used:
                 if layer_arrays[cand].shape == tuple(shape):
@@ -109,8 +113,7 @@ def graft_keras_weights(params, h5_weights: Dict[str, Dict[str, np.ndarray]],
                     return layer_arrays[cand]
         # Fallback: unique shape match.
         hits = [k for k, v in layer_arrays.items()
-                if k != "__used__" and k not in used
-                and getattr(v, "shape", None) == tuple(shape)]
+                if k not in used and getattr(v, "shape", None) == tuple(shape)]
         if len(hits) == 1:
             used.add(hits[0])
             return layer_arrays[hits[0]]
@@ -129,7 +132,7 @@ def graft_keras_weights(params, h5_weights: Dict[str, Dict[str, np.ndarray]],
         if layer is None:
             unmatched.append("/".join(names))
             return leaf
-        arr = pick(h5_weights[layer], names[-1], leaf.shape)
+        arr = pick(layer, h5_weights[layer], names[-1], leaf.shape)
         if arr is None:
             unmatched.append("/".join(names))
             return leaf

@@ -140,6 +140,34 @@ def test_lazy_r1_interval(rng):
     np.testing.assert_allclose(d1, d0, rtol=1e-6)
 
 
+def test_evaluate_uses_always_on_r1(rng):
+    """evaluate() must report the always-on R1 loss regardless of the
+    lazy-R1 training interval or the current step parity — otherwise two
+    evaluations one step apart differ by an arbitrary interval-scaled
+    penalty."""
+    base_hps = {
+        "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
+        "epochs": 1, "batch_step": 1, "disc_k_step": 1, "r_gamma": 10.0,
+        "disc_ext_hps": {"lr": 1e-3, "beta_1": 0.0, "beta_2": 0.99},
+        "gen_disc_hps": {"lr": 1e-3, "beta_1": 0.0, "beta_2": 0.99},
+    }
+    batch = next(_data_iter(np.random.default_rng(3),
+                            STYLE_GAN_SOFTPLUS_INVERSE_R1_GP))
+
+    def eval_loss(hps, step):
+        e = GAN({"hps": dict(hps)}, ToyGen(), ToyDisc())
+        e.compose_gan_with_mode().compile()
+        e.init_state(jax.tree.map(jnp.asarray, batch), seed=0)
+        e.state["step"] = jnp.asarray(step, jnp.int32)
+        return e.evaluate(iter([batch] * 2), steps=1, seed=4)["disc_ext_loss"]
+
+    lazy_at_odd = eval_loss(dict(base_hps, r1_interval=16), step=7)
+    lazy_at_mult = eval_loss(dict(base_hps, r1_interval=16), step=16)
+    always = eval_loss(base_hps, step=7)
+    np.testing.assert_allclose(lazy_at_odd, always, rtol=1e-5)
+    np.testing.assert_allclose(lazy_at_mult, always, rtol=1e-5)
+
+
 def test_save_load_roundtrip(rng, tmp_path):
     conf = {"hps": {"composing_mode": LSGAN, "epochs": 1, "batch_step": 2,
                     "disc_k_step": 1}}

@@ -70,6 +70,29 @@ def test_load_and_graft_dense(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
 
 
+def test_graft_twice_from_same_weights(rng, tmp_path):
+    """Grafting must not mutate the loaded weights dict — the same file is
+    commonly grafted onto several models (e.g. gen and disc)."""
+    path = str(tmp_path / "w.h5")
+    k = rng.normal(size=(4, 8)).astype(np.float32)
+    b = rng.normal(size=(8,)).astype(np.float32)
+    _write_keras2_h5(path, {"dense_a": {"kernel": k, "bias": b}})
+    loaded = load_keras_h5_weights(path)
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(8, name="dense_a")(x)
+
+    v1 = M().init(jax.random.key(0), jnp.zeros((1, 4)))
+    v2 = M().init(jax.random.key(1), jnp.zeros((1, 4)))
+    _, r1 = graft_keras_weights(v1["params"], loaded, strict=True)
+    p2, r2 = graft_keras_weights(v2["params"], loaded, strict=True)
+    assert len(r1["grafted"]) == len(r2["grafted"]) == 2
+    np.testing.assert_array_equal(np.asarray(p2["dense_a"]["kernel"]), k)
+    assert "__used__" not in loaded["dense_a"]  # input not polluted
+
+
 def test_graft_rename_and_shape_fallback(rng, tmp_path):
     """Layer renamed + a nonstandard weight name resolved by unique shape."""
     path = str(tmp_path / "w.h5")

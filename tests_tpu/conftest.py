@@ -8,6 +8,11 @@ without a TPU every test is skipped (the CPU suite under ``tests/`` is the
 no-hardware lane).
 """
 
+import os
+
+# Must precede the jax import — jax reads the cache dir at import time.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
 import numpy as np
 import pytest
 

@@ -9,10 +9,6 @@ persistent compilation cache (JAX_COMPILATION_CACHE_DIR) makes repeats
 fast. Keep shapes small.
 """
 
-import os
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-
 import jax
 import jax.numpy as jnp
 import numpy as np
