@@ -168,6 +168,7 @@ class StyleGAN(AbstractGAN):
             trunc_cutoff=h.get("trunc_cutoff"),
             trunc_momentum=float(h.get("trunc_momentum", 0.99)),
             dtype=dtype,
+            lane_packing=bool(n.get("lane_packing", True)),
         )
         disc = StyleGANDiscriminator(
             resolution=resolution,
@@ -175,6 +176,7 @@ class StyleGAN(AbstractGAN):
             dropout_rate=float(self.disc_nn_arch.get("dropout_rate", 0.0)),
             label_usage=bool(n["label_usage"]),
             dtype=dtype,
+            lane_packing=bool(n.get("lane_packing", True)),
         )
         return gen, disc
 

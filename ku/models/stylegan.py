@@ -107,6 +107,25 @@ class MappingNetwork(nn.Module):
         return jnp.repeat(x[:, None, :], self.num_broadcast_layers, axis=1)
 
 
+class _ApplyNoisePacked(nn.Module):
+    """:class:`_ApplyNoise` on a lane-packed tensor (ku/nn/packed.py).
+
+    Owns the same ``noise_weight`` (C,) param path, so param trees are
+    identical whether the synthesis net runs packed or not.
+    """
+
+    @nn.compact
+    def __call__(self, xp, deterministic: bool = False):
+        from ku.nn import packed as _pk
+
+        c = xp.shape[-1] // _pk.PHASES
+        w = self.param("noise_weight", nn.initializers.ones, (c,))
+        if deterministic:
+            return xp
+        n = jax.random.normal(self.make_rng("noise"), xp.shape[1:], xp.dtype)
+        return xp + n[None] * _pk.tile_channels(w).reshape(1, 1, 1, -1)
+
+
 class _FusedStyleBlock(nn.Module):
     """Pallas-fused epilogue variant of the style block; owns the same
     ``noise_weight`` param path as :class:`_ApplyNoise` so param trees are
@@ -132,6 +151,13 @@ class SynthesisNetwork(nn.Module):
     ``fused_epilogue=True`` runs each style block's
     noise+LReLU+pixel-norm+AdaIN chain as one Pallas VMEM pass
     (ku/pallas/fused_synthesis.py) instead of separate XLA ops.
+
+    ``lane_packing=True`` runs every layer at feature-map sizes
+    >= ``lane_pack_min`` on a 2x2 space-to-depth packed layout
+    (ku/nn/packed.py): same math, same parameter tree, ~4x less
+    lane-padded HBM/VPU traffic and denser MXU matmuls for the reference
+    config's narrow high-resolution channels. Takes precedence over
+    ``fused_epilogue`` inside the packed section.
     """
 
     resolution: int = 128
@@ -139,12 +165,23 @@ class SynthesisNetwork(nn.Module):
     max_ch: int = 512
     dtype: Optional[jnp.dtype] = None
     fused_epilogue: bool = False
+    lane_packing: bool = False
+    lane_pack_min: int = 64
 
-    def _style_block(self, x, dlatents, layer_idx: int, deterministic: bool):
+    def _style_block(self, x, dlatents, layer_idx: int, deterministic: bool,
+                     packed: bool = False):
         """noise → LReLU → pixel-norm → AdaIN(style) (reference :304-328)."""
+        from ku.nn import packed as _pk
+
+        ch = x.shape[-1] // (_pk.PHASES if packed else 1)
         style = EqualizedLRDense(
-            x.shape[-1] * 2, name=f"style_dense_{layer_idx}", dtype=self.dtype
+            ch * 2, name=f"style_dense_{layer_idx}", dtype=self.dtype
         )(dlatents[:, layer_idx])
+        if packed:
+            x = _ApplyNoisePacked(name=f"noise_{layer_idx}")(x, deterministic)
+            x = nn.leaky_relu(x, 0.2)
+            x = _pk.packed_pixel_norm(x)
+            return _pk.packed_adain_with_style(x, style, eps=1e-8)
         if self.fused_epilogue:
             return _FusedStyleBlock(name=f"noise_{layer_idx}")(
                 x, style, deterministic
@@ -158,8 +195,11 @@ class SynthesisNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, dlatents, deterministic: bool = False):
+        from ku.nn import packed as _pk
+
         res_log2 = int(math.log2(self.resolution))
         assert self.resolution == 2**res_log2 and self.resolution >= 4
+        assert self.lane_pack_min >= 8
         nch = lambda i: cal_num_chs(i, self.ch_base, self.max_ch)
         dtype = self.dtype or dlatents.dtype
 
@@ -175,38 +215,51 @@ class SynthesisNetwork(nn.Module):
                               dtype=self.dtype)(x)
         x = self._style_block(x, dlatents, 1, deterministic)
 
+        packed = False
         for res in range(3, res_log2 + 1):
             layer_idx = res * 2 - 4
             out_size = 2**res
+            want = self.lane_packing and out_size >= self.lane_pack_min
             if out_size >= 128:
                 # Fused upsample+conv for large maps (reference :268-271).
                 x = FusedEqualizedLRConv2DTranspose(
                     nch(res - 1), 3, strides=2, padding="same",
                     name=f"up_fused_{res}", dtype=self.dtype,
+                    lane_packed=packed,
                 )(x)
+                if want and not packed:
+                    x, packed = _pk.space_to_depth(x), True
             else:
+                if packed:  # bilinear resize runs unpacked
+                    x, packed = _pk.depth_to_space(x), False
                 x = jax.image.resize(
                     x, (x.shape[0], out_size, out_size, x.shape[-1]),
                     method="bilinear",
                 )
+                if want:
+                    x, packed = _pk.space_to_depth(x), True
                 x = EqualizedLRConv2D(
                     nch(res - 1), 3, padding="same", name=f"up_conv_{res}",
-                    dtype=self.dtype,
+                    dtype=self.dtype, lane_packed=packed,
                 )(x)
-            x = BlurDepthwiseConv2D(padding="same", name=f"blur_{res}")(x)
-            x = self._style_block(x, dlatents, layer_idx, deterministic)
+            x = BlurDepthwiseConv2D(padding="same", name=f"blur_{res}",
+                                    lane_packed=packed)(x)
+            x = self._style_block(x, dlatents, layer_idx, deterministic,
+                                  packed)
             x = EqualizedLRConv2D(
                 nch(res - 1), 3, padding="same", name=f"conv_{res}",
-                dtype=self.dtype,
+                dtype=self.dtype, lane_packed=packed,
             )(x)
-            x = self._style_block(x, dlatents, layer_idx + 1, deterministic)
+            x = self._style_block(x, dlatents, layer_idx + 1, deterministic,
+                                  packed)
 
         # to-RGB (reference :289-293) — the fixed tail for progressive
         # mode; computed and returned in f32 for a stable tanh output.
-        return EqualizedLRConv2D(
+        out = EqualizedLRConv2D(
             3, 1, activation="tanh", padding="same", name="to_rgb",
-            dtype=jnp.float32,
+            dtype=jnp.float32, lane_packed=packed,
         )(x.astype(jnp.float32))
+        return _pk.depth_to_space(out) if packed else out
 
 
 class StyleGANGenerator(nn.Module):
@@ -233,6 +286,8 @@ class StyleGANGenerator(nn.Module):
     trunc_momentum: float = 0.99
     dtype: Optional[jnp.dtype] = None  # bf16 compute, f32 params/output
     fused_epilogue: bool = False
+    lane_packing: bool = False
+    lane_pack_min: int = 64
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = False):
@@ -274,7 +329,9 @@ class StyleGANGenerator(nn.Module):
         return SynthesisNetwork(
             resolution=self.resolution, ch_base=self.ch_base,
             max_ch=self.max_ch, dtype=self.dtype,
-            fused_epilogue=self.fused_epilogue, name="synthesis",
+            fused_epilogue=self.fused_epilogue,
+            lane_packing=self.lane_packing,
+            lane_pack_min=self.lane_pack_min, name="synthesis",
         )(d, deterministic=deterministic)
 
 
@@ -288,32 +345,42 @@ class StyleGANDiscriminator(nn.Module):
     dropout_rate: float = 0.0
     label_usage: bool = True
     dtype: Optional[jnp.dtype] = None
+    lane_packing: bool = False
+    lane_pack_min: int = 64
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True):
+        from ku.nn import packed as _pk
+
         if self.label_usage:
             images, labels = inputs
         else:
             images, labels = inputs, None
         res_log2 = int(math.log2(self.resolution))
+        assert self.lane_pack_min >= 8
         nch = lambda i: cal_num_chs(i, self.ch_base, self.max_ch)
         if self.dtype is not None:
             images = images.astype(self.dtype)
 
+        packed = self.lane_packing and self.resolution >= self.lane_pack_min
+        if packed:
+            images = _pk.space_to_depth(images)
         x = EqualizedLRConv2D(
             nch(res_log2 - 1), 1, padding="same", name="from_rgb",
-            dtype=self.dtype,
+            dtype=self.dtype, lane_packed=packed,
         )(images)
         x = nn.leaky_relu(x, 0.2)
 
         for res in range(res_log2, 2, -1):
+            cur_size = 2**res
             x = EqualizedLRConv2D(
                 nch(res - 1), 3, padding="same", name=f"conv_{res}_a",
-                dtype=self.dtype,
+                dtype=self.dtype, lane_packed=packed,
             )(x)
             x = nn.leaky_relu(x, 0.2)
-            x = BlurDepthwiseConv2D(padding="same", name=f"blur_{res}")(x)
-            if min(x.shape[1:3]) * 2 >= 128:
+            x = BlurDepthwiseConv2D(padding="same", name=f"blur_{res}",
+                                    lane_packed=packed)(x)
+            if cur_size * 2 >= 128:
                 # Reference :398-401 applies the fused conv with stride 1,
                 # which never downsamples large maps (latent bug); the
                 # intended NVIDIA op is the fused blur+downscale conv —
@@ -321,14 +388,28 @@ class StyleGANDiscriminator(nn.Module):
                 x = FusedEqualizedLRConv2D(
                     nch(res - 2), 3, strides=2, padding="same",
                     name=f"conv_{res}_b", dtype=self.dtype,
+                    lane_packed=packed,
                 )(x)
             else:
                 x = EqualizedLRConv2D(
                     nch(res - 2), 3, padding="same", name=f"conv_{res}_b",
-                    dtype=self.dtype,
+                    dtype=self.dtype, lane_packed=packed,
                 )(x)
-                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                if packed:
+                    # 2x2/stride-2 avg-pool == mean over the packed phases.
+                    b, hp, wp_, c4 = x.shape
+                    c = c4 // _pk.PHASES
+                    x = x.reshape(b, hp, wp_, _pk.PHASES, c).mean(axis=3)
+                    packed = False
+                else:
+                    x = nn.avg_pool(x, (2, 2), strides=(2, 2))
             x = nn.leaky_relu(x, 0.2)
+            new_size = cur_size // 2
+            keep = self.lane_packing and new_size >= self.lane_pack_min
+            if packed and not keep:
+                x, packed = _pk.depth_to_space(x), False
+            elif keep and not packed:
+                x, packed = _pk.space_to_depth(x), True
 
         x = MinibatchStddevConcat(name="mbstd")(x)
         x = EqualizedLRConv2D(nch(1), 3, padding="same", name="conv_4x4",

@@ -18,6 +18,11 @@ Reference: ku/layer_ext/convolution.py —
   XLA tiles onto the MXU directly — no host loop.
 
 All layers are NHWC / NDHWC (TPU-native layout).
+
+``lane_packed=True`` (2-D layers only) runs the layer on a 2x2
+space-to-depth packed input — (B, H/2, W/2, 4C) instead of (B, H, W, C) —
+computing the identical function with identical parameter shapes; see
+ku/nn/packed.py for the layout and the TPU lane-utilization rationale.
 """
 
 from __future__ import annotations
@@ -100,6 +105,7 @@ class _EqualizedLRConvBase(nn.Module):
     lrmul: float = 1.0
     fused: bool = False
     dtype: Optional[jnp.dtype] = None
+    lane_packed: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -108,8 +114,18 @@ class _EqualizedLRConvBase(nn.Module):
         strides = normalize_tuple(self.strides, rank)
         dilation = normalize_tuple(self.dilation_rate, rank)
 
+        in_ch = x.shape[-1]
+        if self.lane_packed:
+            from ku.nn import packed as _pk
+
+            assert rank == 2 and dilation == (1, 1), "packing is 2-D only"
+            assert str(self.padding).lower() == "same"
+            assert strides[0] == strides[1]
+            in_ch = x.shape[-1] // _pk.PHASES
+
         # Reference fan-in quirk: prod of ALL non-batch input dims
-        # (convolution.py:66-68), spatial dims included.
+        # (convolution.py:66-68), spatial dims included. Invariant under
+        # packing: H'*W'*4C == H*W*C.
         fan_in = 1
         for d in x.shape[1:]:
             fan_in *= d
@@ -118,18 +134,26 @@ class _EqualizedLRConvBase(nn.Module):
         kernel = self.param(
             "kernel",
             truncated_normal_init(1.0 / self.lrmul),
-            ksize + (x.shape[-1], self.filters),
+            ksize + (in_ch, self.filters),
         )
         scaled = kernel * runtime_coeff
         if self.fused:
             scaled = _fuse_kernel(scaled, rank, average=True)
 
         dtype = self.dtype or x.dtype
-        y = conv_nd(
-            x.astype(dtype), scaled.astype(dtype), strides, self.padding, rank, dilation
-        )
+        if self.lane_packed:
+            y = _pk.packed_conv2d(
+                x.astype(dtype), scaled.astype(dtype), strides[0]
+            )
+        else:
+            y = conv_nd(
+                x.astype(dtype), scaled.astype(dtype), strides, self.padding,
+                rank, dilation,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.filters,))
+            if self.lane_packed:
+                bias = _pk.tile_channels(bias)
             y = y + bias.astype(dtype)
         return resolve_activation(self.activation)(y)
 
@@ -195,11 +219,19 @@ class FusedEqualizedLRConv2DTranspose(nn.Module):
     gain: float = math.sqrt(2.0)
     lrmul: float = 1.0
     dtype: Optional[jnp.dtype] = None
+    lane_packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         ksize = normalize_tuple(self.kernel_size, 2)
         strides = normalize_tuple(self.strides, 2)
+
+        in_ch = x.shape[-1]
+        if self.lane_packed:
+            from ku.nn import packed as _pk
+
+            assert strides == (2, 2) and str(self.padding).lower() == "same"
+            in_ch = x.shape[-1] // _pk.PHASES
 
         fan_in = 1
         for d in x.shape[1:]:
@@ -209,20 +241,27 @@ class FusedEqualizedLRConv2DTranspose(nn.Module):
         kernel = self.param(
             "kernel",
             truncated_normal_init(1.0 / self.lrmul),
-            ksize + (x.shape[-1], self.filters),
+            ksize + (in_ch, self.filters),
         )
         fused = _fuse_kernel(kernel * runtime_coeff, 2, average=False)
 
         dtype = self.dtype or x.dtype
-        y = lax.conv_transpose(
-            x.astype(dtype),
-            fused.astype(dtype),
-            strides=strides,
-            padding=_padding(self.padding),
-            dimension_numbers=_DIMNUMS[2],
-        )
+        if self.lane_packed:
+            y = _pk.packed_conv_transpose2x(
+                x.astype(dtype), fused.astype(dtype)
+            )
+        else:
+            y = lax.conv_transpose(
+                x.astype(dtype),
+                fused.astype(dtype),
+                strides=strides,
+                padding=_padding(self.padding),
+                dimension_numbers=_DIMNUMS[2],
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.filters,))
+            if self.lane_packed:
+                bias = _pk.tile_channels(bias)
             y = y + bias.astype(dtype)
         return resolve_activation(self.activation)(y)
 
@@ -251,10 +290,17 @@ class BlurDepthwiseConv2D(nn.Module):
     depth_multiplier: int = 1
     use_bias: bool = True
     trainable: bool = True
+    lane_packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
+        if self.lane_packed:
+            from ku.nn import packed as _pk
+
+            assert self.depth_multiplier == 1 and self.strides == 1
+            assert str(self.padding).lower() == "same"
+            in_ch = x.shape[-1] // _pk.PHASES
         k = len(self.blur_kernel)
 
         def blur_init(key, shape, dtype=jnp.float32):
@@ -268,12 +314,17 @@ class BlurDepthwiseConv2D(nn.Module):
         if not self.trainable:
             kernel = lax.stop_gradient(kernel)
         strides = normalize_tuple(self.strides, 2)
-        y = _depthwise_nd(x, kernel.astype(x.dtype), strides, self.padding, 2)
+        if self.lane_packed:
+            y = _pk.packed_depthwise_conv2d(x, kernel.astype(x.dtype))
+        else:
+            y = _depthwise_nd(x, kernel.astype(x.dtype), strides, self.padding, 2)
         if self.use_bias:
             # The reference allocates a non-trainable zero bias (:696-700).
             bias = self.param(
                 "bias", nn.initializers.zeros, (in_ch * self.depth_multiplier,)
             )
+            if self.lane_packed:
+                bias = _pk.tile_channels(bias)
             y = y + lax.stop_gradient(bias).astype(x.dtype)
         return y
 
