@@ -29,7 +29,7 @@ from ku.models import StyleGANDiscriminator, StyleGANGenerator
 B = 12
 RES = 128
 DTYPE = jnp.bfloat16
-S = 16  # fused steps per dispatch
+S = int(os.environ.get("KU_SCAN_S", "16"))  # fused steps per dispatch
 K = 2  # disc_k_step
 
 

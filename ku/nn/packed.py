@@ -224,25 +224,55 @@ def packed_conv_transpose2x(xp: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray
 
 
 # -- packed elementwise / normalization helpers ------------------------------
+#
+# These deliberately avoid reshaping the big activation to (..., PHASES, C):
+# on TPU that view re-tiles the tensor with a 16-wide minor dim (padded back
+# to 128 lanes) — a full-tensor relayout that costs more than the op itself.
+# Per-phase-group reductions instead go through a tiny 0/1 block matrix on
+# the MXU (pixel norm) or through lane-aligned spatial moments followed by a
+# (B, 4C) phase combine (instance stats).
+
+
+def _phase_group_matrix(c4: int, dtype) -> jnp.ndarray:
+    """(4C, 4C) 0/1 matrix; x @ M sums the C channels within each phase.
+
+    Block-diagonal ones: output p*C+c receives sum_d x[p*C+d] — the
+    per-original-pixel (= per-phase) channel sum pixel norm needs.
+    """
+    c = c4 // PHASES
+    blocks = np.kron(np.eye(PHASES, dtype=np.float32), np.ones((c, c), np.float32))
+    return jnp.asarray(blocks, dtype)
 
 
 def packed_pixel_norm(xp: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Per-original-pixel feature norm: reduce the C axis only, not phases."""
-    b, hp, wp_, c4 = xp.shape
-    c = c4 // PHASES
-    sq = jnp.square(xp).reshape(b, hp, wp_, PHASES, c)
-    denom = lax.rsqrt(jnp.mean(sq, axis=-1, keepdims=True) + eps)
-    return (xp.reshape(b, hp, wp_, PHASES, c) * denom).reshape(xp.shape)
+    c = xp.shape[-1] // PHASES
+    m = _phase_group_matrix(xp.shape[-1], xp.dtype)
+    sumsq = lax.dot_general(
+        jnp.square(xp), m,
+        dimension_numbers=(((xp.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    denom = lax.rsqrt(sumsq / c + eps).astype(xp.dtype)
+    return xp * denom
 
 
 def packed_instance_stats(xp: jnp.ndarray):
-    """Per-(sample, original-channel) mean/std over spatial axes + phases."""
-    b, hp, wp_, c4 = xp.shape
+    """Per-(sample, original-channel) mean/std over spatial axes + phases.
+
+    Moment form (std = sqrt(E[x^2] - E[x]^2), algebraically equal to the
+    unpacked ``jnp.std``): the spatial reductions stay in the lane-aligned
+    (B, 4C) layout; only the tiny (B, 4, C) combine is reshaped.
+    """
+    b, _, _, c4 = xp.shape
     c = c4 // PHASES
-    r = xp.reshape(b, hp, wp_, PHASES, c)
-    mean = jnp.mean(r, axis=(1, 2, 3))
-    std = jnp.std(r, axis=(1, 2, 3))
-    return mean, std
+    x32 = xp.astype(jnp.float32)
+    m1 = jnp.mean(x32, axis=(1, 2)).reshape(b, PHASES, c).mean(axis=1)
+    m2 = jnp.mean(jnp.square(x32), axis=(1, 2)).reshape(b, PHASES, c).mean(
+        axis=1
+    )
+    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
+    return m1.astype(xp.dtype), jnp.sqrt(var).astype(xp.dtype)
 
 
 def packed_adain_with_style(
