@@ -43,8 +43,42 @@ _NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 
 
+def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
+                 block_k):
+    """Apply key-padding and causal masks to a score block, eliding the
+    work where statically or dynamically unnecessary (interior blocks pay
+    no iota/select passes — at large N the masks otherwise cost more VPU
+    time than the matmuls)."""
+    if pad_mask:
+        # Only the last key block can contain padded keys.
+        key_idx = start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        s = jax.lax.cond(
+            start + block_k > kv_len,
+            lambda s: jnp.where(key_idx < kv_len, s, _NEG_INF),
+            lambda s: s,
+            s,
+        )
+    if causal:
+        key_idx = start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        q_idx = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        # Triangle mask only on diagonal-crossing blocks.
+        s = jax.lax.cond(
+            start + block_k - 1 > q_start,
+            lambda s: jnp.where(key_idx <= q_idx, s, _NEG_INF),
+            lambda s: s,
+            s,
+        )
+    return s
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale, kv_len, causal):
+                *, scale, kv_len, causal, pad_mask):
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q = q_ref.shape[1]
@@ -63,23 +97,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
     @pl.when(live if causal else kb >= 0)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k_blk = k_ref[0].astype(jnp.float32)
-        v_blk = v_ref[0].astype(jnp.float32)
+        # Matmuls run on the operands' NATIVE dtype with f32 accumulation —
+        # bf16 inputs hit the MXU at full rate instead of the 4x-slower
+        # f32x f32 path (p is computed in f32 and cast back for the PV
+        # matmul, the standard flash-attention mixed-precision scheme).
+        q = q_ref[0]
+        k_blk = k_ref[0]
+        v_blk = v_ref[0]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (BLOCK_Q, BLOCK_K)
+        ) * scale  # (BLOCK_Q, BLOCK_K) f32
 
-        key_idx = start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
-        if causal:
-            q_idx = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            s = jnp.where(key_idx <= q_idx, s, _NEG_INF)
+        s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
+                         pad_mask=pad_mask, block_q=block_q,
+                         block_k=block_k)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
@@ -89,7 +121,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         m_scr[:] = m_new
         l_scr[:] = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
         acc_scr[:] = acc_scr[:] * corr + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
         )
 
     @pl.when(kb == num_kb - 1)
@@ -99,10 +131,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         lse_ref[0] = m_scr[:, :1] + jnp.log(l[:, :1])
 
 
+def _auto_blocks(n, kn, d, dv, block_q, block_k):
+    """Default block sizes: large blocks amortize per-grid-step overhead
+    (mask/exp/scratch update) and cut K/V refetch traffic linearly in
+    block_q; bounded so q/k/v blocks + the f32 score slab fit VMEM."""
+    if block_q is None:
+        block_q = 512 if n >= 2048 and max(d, dv) <= 128 else 128
+    if block_k is None:
+        block_k = 512 if kn >= 2048 and max(d, dv) <= 128 else 128
+    return block_q, block_k
+
+
 def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret):
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv = v.shape[-1]
+    block_q, block_k = _auto_blocks(n, kn, d, dv, block_q, block_k)
     block_q = min(block_q, max(8, n))
     block_k = min(block_k, max(8, kn))
     nq_pad = pl.cdiv(n, block_q) * block_q
@@ -120,7 +164,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret):
     grid = (b * h, nq_pad // block_q, nk_pad // block_k)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=softmax_scale, kv_len=kn,
-                          causal=causal),
+                          causal=causal, pad_mask=nk_pad != kn),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
@@ -160,7 +204,8 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret):
                      "causal"),
 )
 def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
-                           block_q: int = 128, block_k: int = 128,
+                           block_q: int | None = None,
+                           block_k: int | None = None,
                            interpret: bool | None = None,
                            causal: bool = False):
     """Streaming Pallas flash attention. q: (B, H, N, D), k/v: (B, H, KN, D).
@@ -178,7 +223,7 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_scr, *, scale, kv_len, causal):
+                   dq_scr, *, scale, kv_len, causal, pad_mask):
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q = q_ref.shape[1]
@@ -194,10 +239,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     @pl.when(live if causal else kb >= 0)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k_blk = k_ref[0].astype(jnp.float32)
-        v_blk = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k_blk = k_ref[0]
+        v_blk = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0]
         delta = delta_ref[0]
 
@@ -205,21 +250,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        key_idx = start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
-        if causal:
-            q_idx = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            s = jnp.where(key_idx <= q_idx, s, _NEG_INF)
+        s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
+                         pad_mask=pad_mask, block_q=block_q,
+                         block_k=block_k)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         dq_scr[:] = dq_scr[:] + scale * jnp.dot(
             ds, k_blk, preferred_element_type=jnp.float32
         )
@@ -231,7 +270,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len,
-                    q_len, causal):
+                    q_len, causal, pad_mask, q_pad_mask):
     qi = pl.program_id(2)
     num_qb = pl.num_programs(2)
     block_k = k_ref.shape[1]
@@ -249,10 +288,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(live if causal else qi >= 0)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k_blk = k_ref[0].astype(jnp.float32)
-        v_blk = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k_blk = k_ref[0]
+        v_blk = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0]
         delta = delta_ref[0]
 
@@ -260,28 +299,32 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        key_idx = k_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        q_idx = q_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        s = jnp.where(key_idx < kv_len, s, _NEG_INF)
-        # Padded query rows (q_idx >= q_len) have lse = 0 from padding —
-        # mask p explicitly so they contribute nothing.
-        valid_q = q_idx < q_len
-        if causal:
-            s = jnp.where(key_idx <= q_idx, s, _NEG_INF)
-        p = jnp.where(valid_q, jnp.exp(s - lse), 0.0)
+        s = _mask_scores(s, q_start, k_start, kv_len=kv_len, causal=causal,
+                         pad_mask=pad_mask, block_q=block_q,
+                         block_k=block_k)
+        p = jnp.exp(s - lse)
+        if q_pad_mask:
+            # Padded query rows (q_idx >= q_len) have lse = 0 from padding
+            # and zero q rows (s = 0, p = 1) — mask them out. Only the last
+            # query block can contain padding.
+            q_idx = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            p = jax.lax.cond(
+                q_start + block_q > q_len,
+                lambda p: jnp.where(q_idx < q_len, p, 0.0),
+                lambda p: p,
+                p,
+            )
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = jnp.where(valid_q, p * (dp - delta), 0.0)
+        ds = (p * (dp - delta)).astype(q.dtype)
         dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -298,6 +341,7 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv_dim = v.shape[-1]
+    block_q, block_k = _auto_blocks(n, kn, d, dv_dim, block_q, block_k)
     block_q = min(block_q, max(8, n))
     block_k = min(block_k, max(8, kn))
     nq_pad = pl.cdiv(n, block_q) * block_q
@@ -322,7 +366,7 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=softmax_scale, kv_len=kn,
-                          causal=causal),
+                          causal=causal, pad_mask=nk_pad != kn),
         grid=(b * h, nq_pad // block_q, nk_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
@@ -351,7 +395,8 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=softmax_scale, kv_len=kn,
-                          q_len=n, causal=causal),
+                          q_len=n, causal=causal, pad_mask=nk_pad != kn,
+                          q_pad_mask=nq_pad != n),
         grid=(b * h, nk_pad // block_k, nq_pad // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, kb, qi: (bh, qi, 0),
@@ -465,14 +510,14 @@ def _flash_dispatch(q, k, v, softmax_scale, causal):
     jax.jit, static_argnames=("softmax_scale", "causal", "interpret")
 )
 def _fwd_with_lse(q, k, v, softmax_scale, causal, interpret):
-    return _fwd_pallas(q, k, v, softmax_scale, 128, 128, causal, interpret)
+    return _fwd_pallas(q, k, v, softmax_scale, None, None, causal, interpret)
 
 
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "causal", "interpret")
 )
 def _bwd_jit(q, k, v, o, lse, do, softmax_scale, causal, interpret):
-    return _bwd_pallas(q, k, v, o, lse, do, softmax_scale, 128, 128,
+    return _bwd_pallas(q, k, v, o, lse, do, softmax_scale, None, None,
                        causal, interpret)
 
 
