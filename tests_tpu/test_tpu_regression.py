@@ -167,9 +167,50 @@ def test_flash_attention_compiled_fwd_bwd(rng):
                                    rtol=2e-2, atol=2e-2, err_msg=name)
 
 
+def test_stylegan_packed_matches_unpacked_on_tpu(rng):
+    """Compiled lane-packed generator/discriminator vs the unpacked path on
+    REAL hardware (same params; f32 so only float reassociation differs —
+    the CPU suite proves exactness, this gates the compiled TPU lowering)."""
+    from ku.models import StyleGANDiscriminator, StyleGANGenerator
+
+    gen_kw = dict(resolution=32, ch_base=256, max_ch=128, latent_dim=16,
+                  dlatent_dim=64, dense1_dim=64, num_mapping_layers=3,
+                  num_classes=8, label_usage=True, mixing_prob=0.9,
+                  trunc_psi=0.7, trunc_cutoff=4)
+    ref = StyleGANGenerator(**gen_kw)
+    pk = StyleGANGenerator(**gen_kw, lane_packing=True, lane_pack_min=8)
+    z1 = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    z2 = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 8, size=(2, 1)))
+    inputs = (z1, label, z2)
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1),
+            "style": jax.random.key(2)}
+    variables = ref.init(rngs, inputs, deterministic=True)
+    img_ref = jax.jit(lambda v: ref.apply(v, inputs, deterministic=True))(
+        variables
+    )
+    img_pk = jax.jit(lambda v: pk.apply(v, inputs, deterministic=True))(
+        variables
+    )
+    np.testing.assert_allclose(np.asarray(img_pk), np.asarray(img_ref),
+                               rtol=2e-2, atol=2e-2)
+
+    dref = StyleGANDiscriminator(resolution=32, ch_base=256, max_ch=128)
+    dpk = StyleGANDiscriminator(resolution=32, ch_base=256, max_ch=128,
+                                lane_packing=True, lane_pack_min=8)
+    imgs = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    labf = label.astype(np.float32)
+    dv = dref.init(jax.random.key(3), (imgs, labf))
+    out_ref = jax.jit(lambda v: dref.apply(v, (imgs, labf)))(dv)
+    out_pk = jax.jit(lambda v: dpk.apply(v, (imgs, labf)))(dv)
+    np.testing.assert_allclose(np.asarray(out_pk), np.asarray(out_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_stylegan_bf16_train_smoke(rng):
-    """Two bf16 StyleGAN train steps at 32px: losses finite, params move
-    (exercises the bf16 MXU path + the R1 grad-of-grad on hardware)."""
+    """Two bf16 StyleGAN train steps at 32px with lane packing (the example
+    default): losses finite, params move (exercises the bf16 MXU path, the
+    packed convs, and the R1 grad-of-grad on hardware)."""
     from ku.backprop import STYLE_GAN_SOFTPLUS_INVERSE_R1_GP, GAN
     from ku.models import StyleGANDiscriminator, StyleGANGenerator
 
@@ -178,10 +219,11 @@ def test_stylegan_bf16_train_smoke(rng):
         resolution=res, ch_base=256, max_ch=128, latent_dim=latent,
         dlatent_dim=64, dense1_dim=64, num_mapping_layers=3, num_classes=8,
         label_usage=True, mixing_prob=0.9, trunc_psi=0.7, trunc_cutoff=4,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, lane_packing=True, lane_pack_min=8,
     )
     disc = StyleGANDiscriminator(resolution=res, ch_base=256, max_ch=128,
-                                 dtype=jnp.bfloat16)
+                                 dtype=jnp.bfloat16, lane_packing=True,
+                                 lane_pack_min=8)
     conf = {"hps": {
         "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
         "epochs": 1, "batch_step": 2, "disc_k_step": 2, "r_gamma": 10.0,
