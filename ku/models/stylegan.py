@@ -112,6 +112,13 @@ class _ApplyNoisePacked(nn.Module):
 
     Owns the same ``noise_weight`` (C,) param path, so param trees are
     identical whether the synthesis net runs packed or not.
+
+    Documented deviation: the noise field is drawn directly in the packed
+    layout, so for the SAME ``'noise'`` RNG key the packed and unpacked
+    generators produce different (identically distributed, iid N(0,1))
+    noise — seed-level trajectories differ between ``lane_packing``
+    settings even though the math and parameters are identical.
+    Deterministic mode (and every parameterized computation) is exact.
     """
 
     @nn.compact
@@ -396,10 +403,7 @@ class StyleGANDiscriminator(nn.Module):
                     dtype=self.dtype, lane_packed=packed,
                 )(x)
                 if packed:
-                    # 2x2/stride-2 avg-pool == mean over the packed phases.
-                    b, hp, wp_, c4 = x.shape
-                    c = c4 // _pk.PHASES
-                    x = x.reshape(b, hp, wp_, _pk.PHASES, c).mean(axis=3)
+                    x = _pk.packed_avg_pool2x(x)
                     packed = False
                 else:
                     x = nn.avg_pool(x, (2, 2), strides=(2, 2))

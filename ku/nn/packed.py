@@ -295,3 +295,14 @@ def packed_adain_with_style(
 def tile_channels_batched(v: jnp.ndarray) -> jnp.ndarray:
     """(B, C) per-channel vector -> (B, 4C) packed channels (phase-major)."""
     return jnp.tile(v, (1, PHASES))
+
+
+def packed_avg_pool2x(xp: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 average pool on a packed tensor == mean over phases.
+
+    Returns the UNPACKED half-resolution result (B, H', W', C) — pooling
+    by the packing factor consumes the phase dimension entirely.
+    """
+    b, hp, wp_, c4 = xp.shape
+    c = c4 // PHASES
+    return xp.reshape(b, hp, wp_, PHASES, c).mean(axis=3)

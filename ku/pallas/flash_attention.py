@@ -49,31 +49,30 @@ def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
     work where statically or dynamically unnecessary (interior blocks pay
     no iota/select passes — at large N the masks otherwise cost more VPU
     time than the matmuls)."""
-    if pad_mask:
-        # Only the last key block can contain padded keys.
-        key_idx = start + jax.lax.broadcasted_iota(
+    def key_idx():
+        # Inside the cond branches so interior blocks pay no iota passes.
+        return start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
+
+    if pad_mask:
+        # Only the last key block can contain padded keys.
         s = jax.lax.cond(
             start + block_k > kv_len,
-            lambda s: jnp.where(key_idx < kv_len, s, _NEG_INF),
+            lambda s: jnp.where(key_idx() < kv_len, s, _NEG_INF),
             lambda s: s,
             s,
         )
     if causal:
-        key_idx = start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        q_idx = q_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
+
+        def tri(s):
+            q_idx = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            return jnp.where(key_idx() <= q_idx, s, _NEG_INF)
+
         # Triangle mask only on diagonal-crossing blocks.
-        s = jax.lax.cond(
-            start + block_k - 1 > q_start,
-            lambda s: jnp.where(key_idx <= q_idx, s, _NEG_INF),
-            lambda s: s,
-            s,
-        )
+        s = jax.lax.cond(start + block_k - 1 > q_start, tri, lambda s: s, s)
     return s
 
 
@@ -307,15 +306,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             # Padded query rows (q_idx >= q_len) have lse = 0 from padding
             # and zero q rows (s = 0, p = 1) — mask them out. Only the last
             # query block can contain padding.
-            q_idx = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            p = jax.lax.cond(
-                q_start + block_q > q_len,
-                lambda p: jnp.where(q_idx < q_len, p, 0.0),
-                lambda p: p,
-                p,
-            )
+            def qmask(p):
+                q_idx = q_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                return jnp.where(q_idx < q_len, p, 0.0)
+
+            p = jax.lax.cond(q_start + block_q > q_len, qmask,
+                             lambda p: p, p)
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -207,10 +207,12 @@ def test_stylegan_packed_matches_unpacked_on_tpu(rng):
                                rtol=2e-2, atol=2e-2)
 
 
-def test_stylegan_bf16_train_smoke(rng):
-    """Two bf16 StyleGAN train steps at 32px with lane packing (the example
-    default): losses finite, params move (exercises the bf16 MXU path, the
-    packed convs, and the R1 grad-of-grad on hardware)."""
+@pytest.mark.parametrize("lane_packing", [False, True])
+def test_stylegan_bf16_train_smoke(rng, lane_packing):
+    """Two bf16 StyleGAN train steps at 32px, with AND without lane
+    packing (packed is the example default, unpacked stays user-reachable
+    via nn_arch): losses finite, params move (exercises the bf16 MXU
+    path, the packed convs, and the R1 grad-of-grad on hardware)."""
     from ku.backprop import STYLE_GAN_SOFTPLUS_INVERSE_R1_GP, GAN
     from ku.models import StyleGANDiscriminator, StyleGANGenerator
 
@@ -219,10 +221,11 @@ def test_stylegan_bf16_train_smoke(rng):
         resolution=res, ch_base=256, max_ch=128, latent_dim=latent,
         dlatent_dim=64, dense1_dim=64, num_mapping_layers=3, num_classes=8,
         label_usage=True, mixing_prob=0.9, trunc_psi=0.7, trunc_cutoff=4,
-        dtype=jnp.bfloat16, lane_packing=True, lane_pack_min=8,
+        dtype=jnp.bfloat16, lane_packing=lane_packing, lane_pack_min=8,
     )
     disc = StyleGANDiscriminator(resolution=res, ch_base=256, max_ch=128,
-                                 dtype=jnp.bfloat16, lane_packing=True,
+                                 dtype=jnp.bfloat16,
+                                 lane_packing=lane_packing,
                                  lane_pack_min=8)
     conf = {"hps": {
         "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
