@@ -26,7 +26,7 @@ import numpy as np
 from ku.backprop import STYLE_GAN_SOFTPLUS_INVERSE_R1_GP, GAN
 from ku.models import StyleGANDiscriminator, StyleGANGenerator
 
-B = 12
+B = int(os.environ.get("KU_BENCH_B", "12"))
 RES = 128
 DTYPE = jnp.bfloat16
 S = int(os.environ.get("KU_SCAN_S", "16"))  # fused steps per dispatch
@@ -102,8 +102,10 @@ def main():
     rng = np.random.default_rng(0)
     batches = batches_stacked(rng)
     results = {}
+    packed_opts = ((True,) if os.environ.get("KU_PACKED_ONLY")
+                   else (False, True))
     for r1 in (1, 16):
-        for packed in (False, True):
+        for packed in packed_opts:
             tag = f"packed={int(packed)}_r1int={r1}"
             t0 = time.time()
             engine = build_engine(packed, r1)
