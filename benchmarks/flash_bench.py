@@ -80,7 +80,27 @@ def main():
                 2.5 * flops_fwd / (ms / 1e3) / 1e12, 2
             )
             print("bwd", tag, bq, bk, ms, file=sys.stderr, flush=True)
+    out.update(multihead())
     print(json.dumps(out, indent=1))
+
+
+def multihead():
+    """MXU-bound regime: B=4, H=8, N=8192, D=64 — validates the
+    native-dtype matmul path (bf16 should clearly beat f32 here)."""
+    rng = np.random.default_rng(1)
+    B, H, NN = 4, 8, 8192
+    out = {}
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        q = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, dtype)
+        k = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, dtype)
+        v = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, dtype)
+        flops = B * H * 2 * 2 * NN * NN * D * 0.5
+        ms = bench(lambda s: _fwd_pallas(q * s, k, v, 0.125, None, None,
+                                         True, False)[0])
+        out[f"mh_fwd_{tag}_ms"] = ms
+        out[f"mh_fwd_{tag}_tflops"] = round(flops / (ms / 1e3) / 1e12, 2)
+        print("mh", tag, ms, file=sys.stderr, flush=True)
+    return out
 
 
 if __name__ == "__main__":

@@ -191,3 +191,28 @@ def test_packed_gradients_match_unpacked(key, rng):
     for a, b in zip(flat_ref, flat_pk):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_progressive_stage_transfer_with_packing(key, rng):
+    """Progressive growth across the packing boundary: a 16px (never
+    packed) stage's params graft into a 32px packed stage by name with
+    identical shapes, and the packed stage runs with the grafted tree —
+    packing keeps parameter trees layout-independent across resolutions."""
+    from ku.backprop.gan import _merge_shared
+
+    small = _gen(False, res=16)
+    big = _gen(True, res=32)  # lane_pack_min=8 -> 16/32px layers packed
+    rngs = {"params": key, "noise": jax.random.key(1),
+            "style": jax.random.key(2)}
+    z1 = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    z2 = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 10, size=(2, 1)))
+    inputs = (z1, label, z2)
+    v_small = small.init(rngs, inputs, deterministic=True)
+    v_big = big.init(rngs, inputs, deterministic=True)
+    merged = _merge_shared(v_big["params"], v_small["params"])
+    img = big.apply({"params": merged,
+                     "batch_stats": v_big["batch_stats"]},
+                    inputs, deterministic=True)
+    assert img.shape == (2, 32, 32, 3)
+    assert np.all(np.isfinite(np.asarray(img)))
