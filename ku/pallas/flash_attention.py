@@ -134,10 +134,14 @@ def _auto_blocks(n, kn, d, dv, block_q, block_k):
     """Default block sizes: large blocks amortize per-grid-step overhead
     (mask/exp/scratch update) and cut K/V refetch traffic linearly in
     block_q; bounded so q/k/v blocks + the f32 score slab fit VMEM."""
+    small_head = max(d, dv) <= 128
     if block_q is None:
-        block_q = 512 if n >= 2048 and max(d, dv) <= 128 else 128
+        # 1024x512 measured best at 64k causal D=64 (benchmarks/flash_bench).
+        block_q = 1024 if n >= 4096 and small_head else (
+            512 if n >= 2048 and small_head else 128
+        )
     if block_k is None:
-        block_k = 512 if kn >= 2048 and max(d, dv) <= 128 else 128
+        block_k = 512 if kn >= 2048 and small_head else 128
     return block_q, block_k
 
 
