@@ -40,10 +40,12 @@ def build_engine(lane_packing: bool, r1_interval: int):
         num_classes=1000, label_usage=True, mixing_prob=0.9,
         trunc_psi=0.7, trunc_cutoff=8, dtype=DTYPE,
         lane_packing=lane_packing,
+        lane_pack_min=int(os.environ.get("KU_PACK_MIN", "64")),
     )
     disc = StyleGANDiscriminator(
         resolution=RES, ch_base=1024, max_ch=512, dtype=DTYPE,
         lane_packing=lane_packing,
+        lane_pack_min=int(os.environ.get("KU_PACK_MIN", "64")),
     )
     conf = {
         "hps": {
