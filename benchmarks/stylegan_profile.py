@@ -7,6 +7,14 @@ narrow vs full channel counts, to locate the utilization bound
 
 Timing rule (axon tunnel): fence every measurement with a full
 np.asarray readback; report best-of-N.
+
+SUPERSEDED for absolute numbers: every single dispatch here carries the
+~25-30 ms tunnel round trip (that discovery is recorded in BASELINE.md),
+so these per-call timings measure the tunnel for anything under ~30 ms.
+Use the scan-amortized scripts instead: stylegan_lane_packing.py
+(step-level), stylegan_component_profile.py / stylegan_floor_probe2.py
+(components, KU_SCAN_S>=256), profile_step.py (per-fusion device trace).
+This file is kept for the dispatch-floor ablation itself.
 """
 
 from __future__ import annotations
