@@ -18,7 +18,11 @@ engine (ku/backprop/gan.py) in the reference's default softplus-R1 mode
   transfer between stages by layer name).
 
 Config contract: style_based_gan_conf.json (reference
-style_based_gan_conf.json:1-64).
+style_based_gan_conf.json:1-64). ``nn_arch.lane_packing`` (default true,
+visible in the conf) selects the space-to-depth packed layout
+(ku/nn/packed.py): identical math and parameter trees, but same-seed
+training-noise REALIZATIONS differ packed vs unpacked (see PARITY.md) —
+flip the key only at the start of a run, not across a resume.
 """
 
 from __future__ import annotations
@@ -211,58 +215,53 @@ class StyleGAN(AbstractGAN):
             self._dump_samples(os.path.join(sample_dir, f"epoch_{e + 1}.npy"))
         return hist
 
-    def fit_progressively(self, sample_dir: str = "results"):
+    def fit_progressively(self, sample_dir: str = "results", callbacks=(),
+                          mesh=None, initial_epoch=0):
         """Progressive resolution schedule (reference
         ``fit_generator_progressively``, :851-1159): one stage per entry of
-        ``nn_arch.gen_prog_resolutions``; weights transfer by name."""
+        ``nn_arch.gen_prog_resolutions``; weights transfer by name.
+        Delegates to the engine's hardened progressive loop — callbacks
+        (per-stage checkpoints via CheckpointCallback), ``mesh`` data
+        parallelism, and ``initial_epoch="auto"`` stage resume all work
+        here exactly as in ``fit_generator``."""
         os.makedirs(sample_dir, exist_ok=True)
         self.compile()
         resolutions = self._nn_arch.get(
             "gen_prog_resolutions", [int(self._nn_arch["resolution"])]
         )
-        import itertools
 
-        from ku.backprop.gan import _merge_shared
-
-        prev_state = None
-        for stage, res in enumerate(resolutions):
+        def factory(stage, g_res, d_res):
+            res = int(g_res if g_res else resolutions[-1])
             print(f"[progressive] stage {stage}: resolution {res}")
-            self.gen, self.disc = self._modules_at(int(res))
-            self._rebind_jit()
+            gen, disc = self._modules_at(res)
             nn_arch_stage = dict(self._nn_arch)
-            nn_arch_stage["resolution"] = int(res)
+            nn_arch_stage["resolution"] = res
             seq = TrainingSequenceFFHQ(self.raw_data_path, self._hps,
                                        nn_arch_stage, self.map_nn_arch)
-            # Seed shared-name params from the previous stage BEFORE
-            # training (merging after training would discard the stage's
-            # learning of shared layers).
-            it = iter(seq)
-            first = next(it)
-            it = itertools.chain([first], it)
-            self.state = None
-            self.init_state(jax.tree.map(jnp.asarray, first),
-                            seed=100 + stage)
-            if prev_state is not None:
-                self.state["gen_params"] = _merge_shared(
-                    self.state["gen_params"], prev_state["gen_params"]
-                )
-                self.state["disc_params"] = _merge_shared(
-                    self.state["disc_params"], prev_state["disc_params"]
-                )
-            sub = dict(self.hps)
-            sub["epochs"] = 1
-            old, self.hps = self.hps, sub
-            try:
-                self.fit_generator(it, verbose=1, seed=100 + stage)
-            finally:
-                self.hps = old
-            prev_state = self.state
+            return gen, disc, seq
 
-    def _dump_samples(self, path, n: int = 4):
-        imgs = np.asarray(self.generate_samples(n))
+        sub = dict(self.hps)
+        sub["epochs"] = len(resolutions)
+        old, self.hps = self.hps, sub
+        try:
+            hist = self.fit_generator_progressively(
+                factory, gen_prog_depths=resolutions,
+                disc_prog_depths=self._nn_arch.get(
+                    "disc_prog_resolutions", resolutions),
+                verbose=1, seed=100, mesh=mesh, callbacks=callbacks,
+                initial_epoch=initial_epoch,
+            )
+        finally:
+            self.hps = old
+        self._dump_samples(os.path.join(sample_dir, "progressive_final.npy"))
+        return hist
+
+    def _dump_samples(self, path, n: int = 4, imgs=None):
+        """Write a sample batch as .npy + a PNG grid (reference dumps PNGs
+        via imsave, :825-835 and :1347-1359)."""
+        if imgs is None:
+            imgs = np.asarray(self.generate_samples(n))
         np.save(path, imgs)
-        # PNG grid alongside the raw array (reference dumps PNGs,
-        # :825-835).
         try:
             import matplotlib
 
@@ -293,12 +292,14 @@ class StyleGAN(AbstractGAN):
 
     def evaluate(self, result_dir: str = "results", num_per_class: int = 1,
                  classes=(0,)):
-        """Per-class sample dump (reference :1337-1359)."""
+        """Per-class sample dump as PNGs + raw arrays (reference :1337-1359
+        writes per-class PNGs via imsave)."""
         os.makedirs(result_dir, exist_ok=True)
         for c in classes:
             labels = np.full((num_per_class, 1), c)
             imgs = self.generate_samples(num_per_class, labels=labels, seed=c)
-            np.save(os.path.join(result_dir, f"class_{c}.npy"), imgs)
+            self._dump_samples(os.path.join(result_dir, f"class_{c}.npy"),
+                               imgs=imgs)
 
 
 def main():

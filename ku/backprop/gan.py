@@ -214,6 +214,19 @@ class AbstractGAN:
             g_hps.get("lr", 1e-3), b1=g_hps.get("beta_1", 0.0),
             b2=g_hps.get("beta_2", 0.99),
         )
+        # load_gan_model() before compile() leaves opt states as None (no
+        # optimizer existed to init them) — back-fill from the loaded params
+        # so load → compile → fit works (reference reloads with
+        # compile=False then re-compiles the same way, gan.py:111-124).
+        if self.state is not None:
+            if self.state.get("gen_opt") is None:
+                self.state["gen_opt"] = self.gen_opt.init(
+                    self.state["gen_params"]
+                )
+            if self.state.get("disc_opt") is None:
+                self.state["disc_opt"] = self.disc_opt.init(
+                    self.state["disc_params"]
+                )
         self._rebind_jit()
         self._compiled = True
         return self
@@ -628,10 +641,47 @@ class AbstractGAN:
             cb.on_train_end(self, history)
         return history
 
+    def _prog_stage_setup(self, e: int, generator_factory, gen_prog_depths,
+                          disc_prog_depths, seed: int, mesh,
+                          prev_state=None):
+        """Build stage ``e``'s modules + iterator, init state at the new
+        depth, and seed shared-name params from ``prev_state``."""
+        import itertools
+
+        g_d = gen_prog_depths[e] if e < len(gen_prog_depths) else None
+        d_d = disc_prog_depths[e] if e < len(disc_prog_depths) else None
+        self.gen, self.disc, it = generator_factory(e, g_d, d_d)
+        if not self._compiled:
+            self.compile()
+        self._rebind_jit()  # new modules → never reuse the old graph
+
+        # Re-init at the new depth and SEED shared-name params from the
+        # previous stage BEFORE training (seeding after training would
+        # discard the stage's learning of shared layers).
+        it = iter(it)
+        first = next(it)
+        it = itertools.chain([first], it)
+        self.state = None
+        self.init_state(jax.tree.map(jnp.asarray, first), seed=seed + e)
+        if prev_state is not None:
+            self.state["gen_params"] = _merge_shared(
+                self.state["gen_params"], prev_state["gen_params"]
+            )
+            self.state["disc_params"] = _merge_shared(
+                self.state["disc_params"], prev_state["disc_params"]
+            )
+        if mesh is not None:
+            from ku.dist import shard_gan_state
+
+            self.state = shard_gan_state(self.state, mesh)
+        return it
+
     def fit_generator_progressively(self, generator_factory,
                                     gen_prog_depths: Sequence[int] = (),
                                     disc_prog_depths: Sequence[int] = (),
-                                    verbose: int = 1, seed: int = 0):
+                                    verbose: int = 1, seed: int = 0,
+                                    mesh=None, callbacks=(),
+                                    initial_epoch=0):
         """Progressive training (reference :508-804): per scheduled epoch
         the models are rebuilt at the scheduled depth and trained with the
         same inner loop. Depth-parameterized generators/discriminators
@@ -642,41 +692,53 @@ class AbstractGAN:
         (gen_module, disc_module, batch_iterator) for that stage. Params
         persist across stages per flax name-based trees (shared layer names
         keep their weights).
-        """
-        import itertools
 
+        ``mesh``/``callbacks`` thread into every stage's inner loop (the
+        reference's progressive loop inherits the callback machinery the
+        same way, reference gan.py:694-757); each stage's
+        ``on_epoch_end`` fires with the GLOBAL stage index, so a
+        :class:`~ku.utils.callbacks.CheckpointCallback` writes per-stage
+        checkpoints. ``initial_epoch``: stage to resume from, or
+        ``"auto"`` to restore the latest per-stage checkpoint — stage
+        ``k``'s state is restored into stage-``k`` trees (rebuilt via the
+        factory) and training continues at stage ``k + 1``.
+        """
         epochs = int(self.hps.get("epochs", 1))
         history = []
         prev_state = self.state
-        for e in range(epochs):
-            g_d = gen_prog_depths[e] if e < len(gen_prog_depths) else None
-            d_d = disc_prog_depths[e] if e < len(disc_prog_depths) else None
-            self.gen, self.disc, it = generator_factory(e, g_d, d_d)
-            if not self._compiled:
-                self.compile()
-            self._rebind_jit()  # new modules → never reuse the old graph
 
-            # Re-init at the new depth and SEED shared-name params from the
-            # previous stage BEFORE training (seeding after training would
-            # discard the stage's learning of shared layers).
-            it = iter(it)
-            first = next(it)
-            it = itertools.chain([first], it)
-            self.state = None
-            self.init_state(jax.tree.map(jnp.asarray, first), seed=seed + e)
-            if prev_state is not None:
-                self.state["gen_params"] = _merge_shared(
-                    self.state["gen_params"], prev_state["gen_params"]
+        if initial_epoch == "auto":
+            initial_epoch = 0
+            ckpt = next((cb for cb in callbacks
+                         if hasattr(cb, "maybe_restore")), None)
+            latest = (ckpt.mgr.latest_step()
+                      if ckpt is not None and hasattr(ckpt, "mgr") else None)
+            if latest is not None and latest < epochs:
+                # Rebuild stage `latest`'s trees as the restore template.
+                self._prog_stage_setup(
+                    int(latest), generator_factory, gen_prog_depths,
+                    disc_prog_depths, seed, mesh, prev_state,
                 )
-                self.state["disc_params"] = _merge_shared(
-                    self.state["disc_params"], prev_state["disc_params"]
-                )
+                restored = ckpt.maybe_restore(self)
+                if restored is not None:
+                    prev_state = self.state
+                    initial_epoch = int(restored) + 1
+        initial_epoch = int(initial_epoch)
 
+        for e in range(initial_epoch, epochs):
+            it = self._prog_stage_setup(
+                e, generator_factory, gen_prog_depths, disc_prog_depths,
+                seed, mesh, prev_state,
+            )
+            # Run exactly global epoch `e` inside fit_generator so the
+            # callbacks (and per-stage checkpoints) see the stage index.
             sub_hps = dict(self.hps)
-            sub_hps["epochs"] = 1
+            sub_hps["epochs"] = e + 1
             old_hps, self.hps = self.hps, sub_hps
             try:
-                h = self.fit_generator(it, verbose=verbose, seed=seed + e)
+                h = self.fit_generator(it, verbose=verbose, seed=seed + e,
+                                       mesh=mesh, callbacks=callbacks,
+                                       initial_epoch=e)
             finally:
                 self.hps = old_hps
             prev_state = self.state

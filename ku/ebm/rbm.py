@@ -64,8 +64,9 @@ MODE_VISIBLE_GAUSSIAN = 1
 # visible_bias (2V) = [b_vr, b_vi]; hidden_bias stays real (H). The CD-k
 # statistics keep the reference's raw-sum form (constant factors from
 # ∂E/∂θ fold into lr, as the reference's conventions do). The public
-# surface accepts/returns complex64 arrays; `backend='pallas'` falls back
-# to 'scan' in this mode (the fused kernel covers modes 0/1).
+# surface accepts/returns complex64 arrays; the fused Pallas kernel
+# (ku/pallas/cd_gibbs.py) covers all three modes, mode 2 via the doubled
+# activation + σ=√½ Box-Muller sampling.
 MODE_COMPLEX = 2
 
 
@@ -492,9 +493,7 @@ class RBM:
         backend = self.hps.get("backend")
         if backend is None:
             backend = "pallas" if jax.default_backend() == "tpu" else "scan"
-        if self.mode == MODE_COMPLEX and backend == "pallas":
-            backend = "scan"  # fused kernel covers modes 0/1 (see MODE_COMPLEX note)
-        elif backend == "pallas" and jax.default_backend() != "tpu":
+        if backend == "pallas" and jax.default_backend() != "tpu":
             # Interpret-mode TPU PRNG is a zero stub — sampling would be
             # degenerate. Never train with it off-TPU.
             import warnings

@@ -146,6 +146,76 @@ def graft_keras_weights(params, h5_weights: Dict[str, Dict[str, np.ndarray]],
     return new_params, report
 
 
+def save_keras_h5(path: str, layers: Dict[str, Dict[str, np.ndarray]],
+                  layer_order=None) -> None:
+    """Write ``{layer_name: {weight_name: array}}`` as a Keras-2
+    ``save_weights`` h5 file (the reverse of :func:`load_keras_h5_weights`).
+
+    Produces the exact legacy layout Keras 2 reads back
+    (``tf_keras.Model.load_weights(path, by_name=True)``): root
+    ``layer_names`` attr, per-layer group with a ``weight_names`` attr of
+    ``<layer>/<weight>:0`` entries pointing at the datasets. Closes the
+    ku → reference direction of the h5 interop (the reference both saves
+    and loads this layout, reference ku/backprop/gan.py:982-988, :111-124).
+    """
+    import h5py
+
+    names = list(layers) if layer_order is None else list(layer_order)
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = [n.encode("utf8") for n in names]
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.15.0"
+        for lname in names:
+            g = f.create_group(lname)
+            wnames = [f"{lname}/{w}:0" for w in layers[lname]]
+            g.attrs["weight_names"] = [w.encode("utf8") for w in wnames]
+            for w, arr in layers[lname].items():
+                g.create_dataset(
+                    f"{lname}/{w}:0", data=np.asarray(arr, np.float32)
+                )
+
+
+def flax_to_keras_layers(params, sep: str = ".") -> Dict[str, Dict[str, np.ndarray]]:
+    """Flatten a nested flax param tree to ``{layer: {weight: array}}``.
+
+    A "layer" is any dict node that owns at least one array leaf directly;
+    its name is the ``sep``-joined path from the root (Keras layer names
+    cannot contain ``/``). Feed the result to :func:`save_keras_h5`.
+    """
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return
+        direct = {k: np.asarray(v) for k, v in node.items()
+                  if hasattr(v, "shape") and not isinstance(v, dict)}
+        if direct:
+            out[sep.join(path) if path else "root"] = direct
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + [k])
+
+    walk(params, [])
+    return out
+
+
+def save_reference_rbm_h5(params, path: str, layer_name: str = "rbm") -> None:
+    """Write ku RBM params as the reference's Keras h5 weight layout —
+    the inverse of :func:`load_reference_rbm_h5`.
+
+    Only ``rbm_weight`` and ``rbm_hidden_bias`` are written: the
+    reference's ``visible_bias`` is a raw ``K.variable`` never registered
+    as a layer weight (reference rbm.py:38-40), so a faithful reference
+    file must not contain it (the reference itself silently loses it).
+    """
+    save_keras_h5(path, {
+        layer_name: {
+            "rbm_weight": np.asarray(params["rbm_weight"], np.float32),
+            "rbm_hidden_bias": np.asarray(params["hidden_bias"], np.float32),
+        }
+    })
+
+
 def load_reference_rbm_h5(path: str, layer_name: str = "rbm"):
     """Read the reference RBM's weights out of a Keras h5 save
     (examples/rbm saves the whole classifier via ``model.save``; the RBM

@@ -133,7 +133,10 @@ def pack_conv2d_kernel(kernel: jnp.ndarray, stride: int = 1):
 def _packed_pad(pads, hp: int, stride: int, out_hp: int, d: int) -> Tuple[int, int]:
     lo = pads[0]
     hi = (out_hp - 1) * stride + d - hp - lo
-    return lo, max(hi, 0)
+    # A negative hi would mean the tap layout yields MORE rows than out_hp;
+    # unreachable for in-tree kernel shapes — fail fast rather than clamp.
+    assert hi >= 0, (pads, hp, stride, out_hp, d)
+    return lo, hi
 
 
 def packed_conv2d(

@@ -35,8 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 MODE_VISIBLE_BERNOULLI = 0
 MODE_VISIBLE_GAUSSIAN = 1
+# Stacked-real complex mode (ku/ebm/rbm.py MODE_COMPLEX derivation):
+# hidden activation doubled (2·Re(v^H W) + b_h, sigmoid for sampling AND
+# statistics), visible ~ CN(b_v + Wh, I) i.e. stacked-real noise at
+# σ = √½ per component, free energy ‖v − b_v‖² − Σ softplus(2a + b_h).
+MODE_COMPLEX = 2
 
 _LANE = 128
+_INV_SQRT2 = 0.7071067811865476  # σ = √½ for CN(μ, I) components
 
 
 def _round_up(x: int, m: int) -> int:
@@ -120,11 +126,15 @@ def _make_kernel(lr: float, k: int, mode: int, grid_rank: int = 1):
 
         v_pos = v_ref[:]
 
-        # Positive phase: sample h (reference rbm.py:46-48 / :58-59).
-        act_pos = _dot(v_pos, w) + bh
+        # Positive phase: sample h (reference rbm.py:46-48 / :58-59;
+        # MODE_COMPLEX doubles the activation — rbm.py hidden_prob).
+        act_pos = _dot(v_pos, w)
+        act_pos = (2.0 * act_pos + bh) if mode == MODE_COMPLEX else (
+            act_pos + bh
+        )
         h_prob_pos = (
-            jax.nn.sigmoid(act_pos) if mode == MODE_VISIBLE_BERNOULLI
-            else jnp.maximum(act_pos, 0.0)
+            jnp.maximum(act_pos, 0.0) if mode == MODE_VISIBLE_GAUSSIAN
+            else jax.nn.sigmoid(act_pos)
         )
         h_pos = (
             (_uniform(h_prob_pos.shape) < h_prob_pos).astype(jnp.float32)
@@ -142,32 +152,40 @@ def _make_kernel(lr: float, k: int, mode: int, grid_rank: int = 1):
             if mode == MODE_VISIBLE_BERNOULLI:
                 p_v = jax.nn.sigmoid(stat)
                 v_neg = (_uniform(p_v.shape) < p_v).astype(jnp.float32)
+            elif mode == MODE_COMPLEX:
+                v_neg = stat + _INV_SQRT2 * _normal(stat.shape)
             else:
                 v_neg = stat + _normal(stat.shape)
             v_neg = v_neg * vmask * mrow
             if i == 0:
                 v_neg_first = v_neg
-            act_neg = _dot(v_neg, w) + bh
-            # Negative-phase statistics use sigmoid in BOTH modes
+            act_neg = _dot(v_neg, w)
+            act_neg = (2.0 * act_neg + bh) if mode == MODE_COMPLEX else (
+                act_neg + bh
+            )
+            # Negative-phase statistics use sigmoid in ALL modes
             # (reference rbm.py:124/:145); only *sampling* keeps the
             # Gaussian relu quirk.
             h_neg = jax.nn.sigmoid(act_neg) * hmask * mrow
             if i < k - 1:
                 p_h = (
-                    h_neg if mode == MODE_VISIBLE_BERNOULLI
-                    else jnp.maximum(act_neg, 0.0) * hmask * mrow
+                    jnp.maximum(act_neg, 0.0) * hmask * mrow
+                    if mode == MODE_VISIBLE_GAUSSIAN else h_neg
                 )
                 h = (_uniform(p_h.shape) < p_h).astype(jnp.float32)
 
         # Score BEFORE the update (reference computes it on pre-step params
         # only in effect of its K.function ordering; we match cd_update).
         def fe(vv):
-            a = _dot(vv, w) + bh
+            a = _dot(vv, w)
+            a = (2.0 * a + bh) if mode == MODE_COMPLEX else (a + bh)
             sp = jnp.where(a > 30.0, a, jnp.log1p(jnp.exp(jnp.minimum(a, 30.0))))
-            return -(
-                jnp.sum(vv * bv, axis=1, keepdims=True)
-                + jnp.sum(sp * hmask, axis=1, keepdims=True)
-            )
+            sp_sum = jnp.sum(sp * hmask, axis=1, keepdims=True)
+            if mode == MODE_COMPLEX:
+                # F(v) = ‖v − b_v‖² − Σ softplus (rbm.py free_energy).
+                quad = jnp.sum((vv - bv) ** 2 * vmask, axis=1, keepdims=True)
+                return quad - sp_sum
+            return -(jnp.sum(vv * bv, axis=1, keepdims=True) + sp_sum)
 
         diff = jnp.abs(fe(v_pos) - fe(v_neg_first)) * mrow
         count = jnp.maximum(jnp.sum(mrow), 1.0)
@@ -363,11 +381,15 @@ def _make_dp_kernel(lr: float, k: int, mode: int, n_dev: int,
         vp = wt.shape[1]
         cp = acc.shape[1]
 
-        # --- local Gibbs chain (same math as the single-device kernel) ---
-        act_pos = _dot_t(v_pos, wt) + bh
+        # --- local Gibbs chain (same math as the single-device kernel,
+        # incl. the MODE_COMPLEX doubled activation / σ=√½ sampling) ---
+        act_pos = _dot_t(v_pos, wt)
+        act_pos = (2.0 * act_pos + bh) if mode == MODE_COMPLEX else (
+            act_pos + bh
+        )
         h_prob_pos = (
-            jax.nn.sigmoid(act_pos) if mode == MODE_VISIBLE_BERNOULLI
-            else jnp.maximum(act_pos, 0.0)
+            jnp.maximum(act_pos, 0.0) if mode == MODE_VISIBLE_GAUSSIAN
+            else jax.nn.sigmoid(act_pos)
         )
         h_pos = (
             (_uniform(h_prob_pos.shape) < h_prob_pos).astype(jnp.float32)
@@ -382,27 +404,34 @@ def _make_dp_kernel(lr: float, k: int, mode: int, n_dev: int,
             if mode == MODE_VISIBLE_BERNOULLI:
                 p_v = jax.nn.sigmoid(stat)
                 v_neg = (_uniform(p_v.shape) < p_v).astype(jnp.float32)
+            elif mode == MODE_COMPLEX:
+                v_neg = stat + _INV_SQRT2 * _normal(stat.shape)
             else:
                 v_neg = stat + _normal(stat.shape)
             v_neg = v_neg * vmask * mrow
             if i == 0:
                 v_neg_first = v_neg
-            act_neg = _dot_t(v_neg, wt) + bh
+            act_neg = _dot_t(v_neg, wt)
+            act_neg = (2.0 * act_neg + bh) if mode == MODE_COMPLEX else (
+                act_neg + bh
+            )
             h_neg = jax.nn.sigmoid(act_neg) * hmask * mrow
             if i < k - 1:
                 p_h = (
-                    h_neg if mode == MODE_VISIBLE_BERNOULLI
-                    else jnp.maximum(act_neg, 0.0) * hmask * mrow
+                    jnp.maximum(act_neg, 0.0) * hmask * mrow
+                    if mode == MODE_VISIBLE_GAUSSIAN else h_neg
                 )
                 h = (_uniform(p_h.shape) < p_h).astype(jnp.float32)
 
         def fe(vv):
-            a = _dot_t(vv, wt) + bh
+            a = _dot_t(vv, wt)
+            a = (2.0 * a + bh) if mode == MODE_COMPLEX else (a + bh)
             sp = jnp.where(a > 30.0, a, jnp.log1p(jnp.exp(jnp.minimum(a, 30.0))))
-            return -(
-                jnp.sum(vv * bv, axis=1, keepdims=True)
-                + jnp.sum(sp * hmask, axis=1, keepdims=True)
-            )
+            sp_sum = jnp.sum(sp * hmask, axis=1, keepdims=True)
+            if mode == MODE_COMPLEX:
+                quad = jnp.sum((vv - bv) ** 2 * vmask, axis=1, keepdims=True)
+                return quad - sp_sum
+            return -(jnp.sum(vv * bv, axis=1, keepdims=True) + sp_sum)
 
         v_pos_m = v_pos * mrow
         diff = jnp.abs(fe(v_pos) - fe(v_neg_first)) * mrow

@@ -192,3 +192,80 @@ def test_multi_epoch_fusion_matches_sequential(rng, epochs):
             np.asarray(p_fused[name]), np.asarray(p_seq[name]),
             rtol=1e-5, atol=1e-6, err_msg=name,
         )
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_pallas_complex_mode_matches_inline_oracle(rng, k):
+    """MODE_COMPLEX fused kernel (VERDICT r2 item 8) vs an inline numpy
+    oracle that replicates the interpret-mode PRNG exactly (zero-stub:
+    uniforms = 0 → every Bernoulli draw fires; Box-Muller normal = the
+    constant sqrt(−2·ln 1e−7)). This pins the complex math end-to-end —
+    doubled activation, σ=√½ visible noise, ‖v−b_v‖² free energy, raw-sum
+    CD statistics, multi-step parameter carry."""
+    from ku.ebm.rbm import MODE_COMPLEX
+    from ku.pallas.cd_gibbs import cd_epoch_pallas
+
+    v_dim, h_dim = 6, 4  # stacked-real (3 complex units)
+    batch, steps = 8, 3
+    lr = 1e-3
+    params = {
+        "rbm_weight": jnp.asarray(
+            rng.normal(scale=0.1, size=(v_dim, h_dim)).astype(np.float32)),
+        "hidden_bias": jnp.asarray(
+            rng.normal(scale=0.1, size=(h_dim,)).astype(np.float32)),
+        "visible_bias": jnp.asarray(
+            rng.normal(scale=0.1, size=(v_dim,)).astype(np.float32)),
+    }
+    n = batch * steps - 3  # ragged final batch
+    data = rng.normal(size=(batch * steps, v_dim)).astype(np.float32)
+    data[n:] = 0.0
+    mask = np.zeros((batch * steps,), np.float32)
+    mask[:n] = 1.0
+
+    p_pallas, s_pallas = cd_epoch_pallas(
+        params, jnp.asarray(data), jnp.asarray(mask), jax.random.key(5),
+        lr, k, MODE_COMPLEX, batch, interpret=True,
+    )
+
+    # Inline oracle with the interpreter's deterministic draws.
+    C = np.sqrt(-2.0 * np.log(1e-7))  # Box-Muller at u1=1e-7, u2=0
+    inv_sqrt2 = np.float32(0.7071067811865476)
+    w = np.asarray(params["rbm_weight"], np.float64)
+    bh = np.asarray(params["hidden_bias"], np.float64)
+    bv = np.asarray(params["visible_bias"], np.float64)
+
+    def fe(vv):
+        a = 2.0 * vv @ w + bh
+        sp = np.where(a > 30.0, a, np.log1p(np.exp(np.minimum(a, 30.0))))
+        return np.sum((vv - bv) ** 2, axis=1) - np.sum(sp, axis=1)
+
+    scores = []
+    for s in range(steps):
+        v_pos = data[s * batch:(s + 1) * batch].astype(np.float64)
+        mrow = mask[s * batch:(s + 1) * batch][:, None].astype(np.float64)
+        h_pos = np.ones((batch, h_dim)) * mrow  # u=0 < sigmoid(·) always
+        h = h_pos
+        v_neg_first = None
+        for i in range(kk := k):
+            v_neg = (h @ w.T + bv + inv_sqrt2 * C) * mrow
+            if v_neg_first is None:
+                v_neg_first = v_neg
+            act_neg = 2.0 * v_neg @ w + bh
+            h_neg = (1.0 / (1.0 + np.exp(-act_neg))) * mrow
+            if i < kk - 1:
+                h = (h_neg > 0).astype(np.float64) * mrow
+        diff = np.abs(fe(v_pos) - fe(v_neg_first)) * mrow[:, 0]
+        scores.append(diff.sum() / max(mrow.sum(), 1.0))
+        v_pos_m = v_pos * mrow
+        w = w + lr * (v_pos_m.T @ h_pos - v_neg.T @ h_neg)
+        bh = bh + lr * (h_pos.sum(0) - h_neg.sum(0))
+        bv = bv + lr * (v_pos_m.sum(0) - v_neg.sum(0))
+
+    np.testing.assert_allclose(np.asarray(p_pallas["rbm_weight"]), w,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_pallas["hidden_bias"]), bh,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_pallas["visible_bias"]), bv,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_pallas), np.asarray(scores),
+                               rtol=1e-3, atol=1e-4)

@@ -278,3 +278,78 @@ def test_progressive_seeds_before_training(rng):
         np.asarray(engine.state["gen_params"]["g_in"]["kernel"]),
         np.asarray(engine2.state["gen_params"]["g_in"]["kernel"]),
     )
+
+
+def test_progressive_auto_resume_and_stage_checkpoints(rng, tmp_path):
+    """Progressive hardening (VERDICT r2 weak 5): callbacks thread into
+    every stage (per-STAGE checkpoints with the global stage index), and
+    initial_epoch='auto' resumes a killed progressive run at stage k+1
+    with stage-k weights restored into rebuilt stage-k trees."""
+
+    class GrowGen(nn.Module):
+        width: int = 8
+
+        @nn.compact
+        def __call__(self, z, deterministic: bool = True):
+            h = nn.relu(nn.Dense(self.width, name="g_dense_0")(z))
+            return nn.Dense(8, name="g_out")(h)
+
+    ckpt_dir = str(tmp_path / "prog_ckpt")
+    depths = [8, 16, 32]
+
+    # Phase 1: run 2 of 3 stages, then "crash".
+    engine = GAN(_conf(epochs=2, batch_step=2, disc_k_step=1),
+                 ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    cb = CheckpointCallback(ckpt_dir, every=1)
+
+    def factory(e, gd, dd):
+        return GrowGen(width=gd), ToyDisc(), _iter(rng)
+
+    engine.fit_generator_progressively(
+        factory, gen_prog_depths=depths, disc_prog_depths=[0, 0, 0],
+        verbose=0, callbacks=[cb],
+    )
+    assert cb.mgr.latest_step() == 1  # per-stage checkpoints at 0 and 1
+
+    # Phase 2: fresh engine, 3-stage target, auto resume.
+    engine2 = GAN(_conf(epochs=3, batch_step=2, disc_k_step=1),
+                  ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    cb2 = CheckpointCallback(ckpt_dir, every=1)
+    hist = History()
+    built = []
+
+    def factory2(e, gd, dd):
+        built.append((e, gd))
+        return GrowGen(width=gd), ToyDisc(), _iter(rng)
+
+    h = engine2.fit_generator_progressively(
+        factory2, gen_prog_depths=depths, disc_prog_depths=[0, 0, 0],
+        verbose=0, callbacks=[cb2, hist], initial_epoch="auto",
+    )
+    # Stage 1 rebuilt only as the restore template; stage 2 trained.
+    assert built == [(1, 16), (2, 32)]
+    assert len(h) == 1
+    assert hist.epochs == [2]  # global stage index, not inner 0
+    assert cb2.mgr.latest_step() == 2
+    # Final stage ran at depth 32 with shared weights carried.
+    assert engine2.state["gen_params"]["g_dense_0"]["kernel"].shape == (4, 32)
+    assert np.isfinite(h[0]["disc_ext_loss"]).all()
+
+
+def test_progressive_on_mesh(rng):
+    """Progressive stages train under a data+model mesh (mesh threads
+    through fit_generator_progressively into each stage)."""
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    engine = GAN(_conf(epochs=2, batch_step=2, disc_k_step=1),
+                 ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+
+    def factory(e, gd, dd):
+        return ToyGen(), ToyDisc(), _iter(rng)
+
+    h = engine.fit_generator_progressively(
+        factory, gen_prog_depths=[0, 0], disc_prog_depths=[0, 0],
+        verbose=0, mesh=mesh,
+    )
+    assert len(h) == 2
+    assert all(np.isfinite(hh["disc_ext_loss"]).all() for hh in h)

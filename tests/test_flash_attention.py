@@ -20,8 +20,12 @@ def _dense(q, k, v, scale):
     return np.einsum("bhqk,bhkd->bhqd", p, v)
 
 
-@pytest.mark.parametrize("n,kn", [(32, 32), (40, 72), (128, 256)])
+@pytest.mark.parametrize("n,kn", [(32, 32), (40, 72), (128, 256), (40, 44),
+                                  (20, 44), (44, 20)])
 def test_pallas_flash_matches_dense(rng, n, kn):
+    # (40,44)/(20,44)/(44,20): kn NOT a multiple of block_k (and n of
+    # block_q) so the lax.cond key-pad/q-pad mask branches actually
+    # compile in — with multiples only they are statically elided.
     q = jnp.asarray(rng.normal(size=(2, 2, n, 64)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(2, 2, kn, 64)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(2, 2, kn, 64)).astype(np.float32))
@@ -79,12 +83,14 @@ def test_flash_attention_differentiable(rng):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-def test_pallas_backward_matches_dense(rng, causal):
+@pytest.mark.parametrize("kn", [48, 44])
+def test_pallas_backward_matches_dense(rng, causal, kn):
     """The Pallas backward kernels (dq + dk/dv from the saved LSE) match
-    dense-attention grads — validated in interpret mode."""
+    dense-attention grads — validated in interpret mode. kn=44 exercises
+    the conditional key-padding mask (not a multiple of block_k)."""
     from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
 
-    n, kn, d = 40, 48, 16
+    n, d = 40, 16
     q = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(1, 2, kn, d)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(1, 2, kn, d)).astype(np.float32))

@@ -184,6 +184,27 @@ def test_save_load_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(out1, out2, rtol=1e-6)
 
 
+def test_load_before_compile_then_fit(rng, tmp_path):
+    """load_gan_model() BEFORE compile() must still train: compile()
+    back-fills the opt states that the uncompiled load left as None
+    (regression: previously fit passed None opt state into the jitted
+    step)."""
+    conf = {"hps": {"composing_mode": LSGAN, "epochs": 1, "batch_step": 2,
+                    "disc_k_step": 1}}
+    engine = GAN(conf, ToyGen(), ToyDisc()).compose_gan_with_mode().compile()
+    engine.fit_generator(_data_iter(rng, LSGAN), verbose=0)
+    engine.save_gan_model(str(tmp_path))
+
+    engine2 = GAN(conf, ToyGen(), ToyDisc()).compose_gan_with_mode()
+    engine2.load_gan_model(str(tmp_path))  # not compiled yet
+    assert engine2.state["gen_opt"] is None
+    engine2.compile()
+    assert engine2.state["gen_opt"] is not None
+    assert engine2.state["disc_opt"] is not None
+    h = engine2.fit_generator(_data_iter(rng, LSGAN), verbose=0)
+    assert np.isfinite(h["disc_ext_loss"]).all()
+
+
 def test_compose_gan_with_mode_wrapper():
     engine = compose_gan_with_mode(ToyGen(), ToyDisc(), STYLE_GAN_REGULAR)
     assert engine.composing_mode == STYLE_GAN_REGULAR

@@ -249,3 +249,36 @@ def test_stylegan_bf16_train_smoke(rng, lane_packing):
     h = engine.fit_generator(it(), verbose=0)
     assert np.isfinite(h["disc_ext_loss"]).all()
     assert np.isfinite(h["gen_disc_loss"]).all()
+
+
+def test_cd_kernel_complex_mode_trains(rng):
+    """Compiled MODE_COMPLEX Mosaic kernel with hardware PRNG (VERDICT r2
+    item 8): a complex RBM trained with backend='pallas' learns the same
+    two-prototype complex dataset the scan-backend CPU test uses — the
+    data manifold's free energy drops below random noise — so the fused
+    kernel's doubled-activation / σ=√½ sampling path works end-to-end on
+    hardware, not only in the interpreter."""
+    from ku.ebm import RBM
+    from ku.ebm.rbm import MODE_COMPLEX
+
+    protos = np.array(
+        [[1 + 1j, -1 - 1j, 1 - 1j, -1 + 1j],
+         [-1 + 0j, 1 + 0j, 1j, -1j]], np.complex64
+    )
+    data = protos[rng.integers(0, 2, size=256)]
+    data = data + 0.1 * (rng.normal(size=data.shape)
+                         + 1j * rng.normal(size=data.shape)).astype(
+        np.complex64
+    )
+    rbm = RBM({"lr": 0.005, "batch_size": 32, "epochs": 10,
+               "backend": "pallas"}, 8, mode=MODE_COMPLEX, seed=4)
+    rbm.fit(data, verbose=0)
+    assert rbm.params["rbm_weight"].shape == (8, 8)
+    assert np.isfinite(np.asarray(rbm.params["rbm_weight"])).all()
+    assert np.isfinite(rbm.last_scores).all()
+
+    fe_data = float(np.mean(np.asarray(rbm.cal_free_energy(data[:64]))))
+    noise = (3 * rng.normal(size=(64, 4))
+             + 3j * rng.normal(size=(64, 4))).astype(np.complex64)
+    fe_noise = float(np.mean(np.asarray(rbm.cal_free_energy(noise))))
+    assert fe_data < fe_noise
