@@ -25,28 +25,43 @@ N = 65536
 D = 64
 
 
-def bench(fn, n=4):
-    def salted(salt):
-        out = fn(salt)
+def bench(fn, *arrays, n=4):
+    """Times ``fn(salt, *arrays)``. Arrays MUST be passed here, not
+    closed over: closure constants get embedded in the serialized HLO and
+    large ones blow the axon tunnel's remote-compile body limit
+    (HTTP 413 at ~hundreds of MB — hit at D=128 f32, 134 MB/tensor)."""
+    def salted(salt, *a):
+        out = fn(salt, *a)
         return jax.tree.reduce(
-            lambda a, b: a + b,
+            lambda x, y: x + y,
             jax.tree.map(lambda t: jnp.sum(t.astype(jnp.float32)), out),
         )
 
     f = jax.jit(salted)
-    _ = np.asarray(f(jnp.float32(1)))
+    _ = np.asarray(f(jnp.float32(1), *arrays))
     best = float("inf")
     for i in range(n):
         t0 = time.perf_counter()
-        _ = np.asarray(f(jnp.float32(1 + 1e-6 * i)))
+        _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), *arrays))
         best = min(best, time.perf_counter() - t0)
     return round(best * 1e3, 2)
+
+
+def _want(section: str) -> bool:
+    only = os.environ.get("KU_ONLY")
+    return only is None or section in only.split(",")
 
 
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
     out = {}
+    if not _want("d64"):
+        out.update(multihead() if _want("mh") else {})
+        out.update(mxu_regime() if _want("mxu") else {})
+        out.update(ring_local() if _want("ring") else {})
+        print(json.dumps(out, indent=1))
+        return
     for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         q = jnp.asarray(rng.normal(size=(1, 1, N, D)) * 0.1, dtype)
         k = jnp.asarray(rng.normal(size=(1, 1, N, D)) * 0.1, dtype)
@@ -54,9 +69,10 @@ def main():
         flops_fwd = 2 * 2 * N * N * D * 0.5  # causal
         for bq, bk in ((128, 128), (512, 512), (1024, 512)):
             ms = bench(
-                lambda s, bq=bq, bk=bk: _fwd_pallas(
+                lambda s, q, k, v, bq=bq, bk=bk: _fwd_pallas(
                     q * s, k, v, 0.125, bq, bk, True, False
-                )[0]
+                )[0],
+                q, k, v,
             )
             out[f"fwd_{tag}_b{bq}x{bk}_ms"] = ms
             out[f"fwd_{tag}_b{bq}x{bk}_tflops"] = round(
@@ -71,16 +87,22 @@ def main():
         do = jnp.asarray(rng.normal(size=(1, 1, N, D)) * 0.1, dtype)
         for bq, bk in ((128, 128), (512, 512)):
             ms = bench(
-                lambda s, bq=bq, bk=bk: _bwd_pallas(
+                lambda s, q, k, v, o, lse, do, bq=bq, bk=bk: _bwd_pallas(
                     q * s, k, v, o, lse, do, 0.125, bq, bk, True, False
-                )
+                ),
+                q, k, v, o, lse, do,
             )
             out[f"bwd_{tag}_b{bq}x{bk}_ms"] = ms
             out[f"bwd_{tag}_b{bq}x{bk}_tflops"] = round(
                 2.5 * flops_fwd / (ms / 1e3) / 1e12, 2
             )
             print("bwd", tag, bq, bk, ms, file=sys.stderr, flush=True)
-    out.update(multihead())
+    if _want("mh"):
+        out.update(multihead())
+    if _want("mxu"):
+        out.update(mxu_regime())
+    if _want("ring"):
+        out.update(ring_local())
     print(json.dumps(out, indent=1))
 
 
@@ -95,11 +117,93 @@ def multihead():
         k = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, dtype)
         v = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, dtype)
         flops = B * H * 2 * 2 * NN * NN * D * 0.5
-        ms = bench(lambda s: _fwd_pallas(q * s, k, v, 0.125, None, None,
-                                         True, False)[0])
+        ms = bench(lambda s, q, k, v: _fwd_pallas(
+            q * s, k, v, 0.125, None, None, True, False)[0], q, k, v)
         out[f"mh_fwd_{tag}_ms"] = ms
         out[f"mh_fwd_{tag}_tflops"] = round(flops / (ms / 1e3) / 1e12, 2)
         print("mh", tag, ms, file=sys.stderr, flush=True)
+    return out
+
+
+def ring_local():
+    """Ring-attention local step vs the plain single-chip kernel
+    (VERDICT r3 item 3 'done' criterion): the per-hop kernel call is the
+    SAME streaming kernel plus two SMEM offset scalars and a dynamic
+    causal-liveness check — this measures that the offset variant costs
+    nothing. One 8k-query x 8k-key hop, causal, D=64, bf16."""
+    rng = np.random.default_rng(3)
+    B, H, NN, D_ = 1, 8, 8192, 64
+    q = jnp.asarray(rng.normal(size=(B, H, NN, D_)) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, NN, D_)) * 0.1, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, NN, D_)) * 0.1, jnp.bfloat16)
+    out = {}
+    flops = B * H * 2 * 2 * NN * NN * D_ * 0.5
+    ms_plain = bench(lambda s, q, k, v: _fwd_pallas(
+        q * s, k, v, 0.125, None, None, True, False)[0], q, k, v)
+    # The ring's per-hop call: same shapes, offsets threaded (diagonal
+    # hop: q_off == k_off -> identical masking work to the plain kernel).
+    ms_ring = bench(lambda s, q, k, v: _fwd_pallas(
+        q * s, k, v, 0.125, None, None, True, False,
+        q_offset=jnp.int32(8192), k_offset=jnp.int32(8192))[0], q, k, v)
+    out["ring_local_plain_ms"] = ms_plain
+    out["ring_local_offsets_ms"] = ms_ring
+    out["ring_local_overhead_pct"] = round(
+        (ms_ring - ms_plain) / ms_plain * 100, 1)
+    out["ring_local_tflops"] = round(flops / (ms_ring / 1e3) / 1e12, 2)
+    print("ring_local", ms_plain, ms_ring, file=sys.stderr, flush=True)
+    return out
+
+
+def mxu_regime():
+    """Head dims >= 128 (VERDICT r3 item 2): the MXU-bound regime where
+    the matmul path dominates the VPU exp/reduction work — bf16 operands
+    should pull well clear of f32 here, unlike at D=64. Sweeps block
+    sizes; includes the backward at the best-known blocks."""
+    rng = np.random.default_rng(2)
+    B, H, NN = 4, 8, 8192
+    out = {}
+    for D_ in (128, 256):
+        for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+            q = jnp.asarray(rng.normal(size=(B, H, NN, D_)) * 0.1, dtype)
+            k = jnp.asarray(rng.normal(size=(B, H, NN, D_)) * 0.1, dtype)
+            v = jnp.asarray(rng.normal(size=(B, H, NN, D_)) * 0.1, dtype)
+            scale = 1.0 / np.sqrt(D_)
+            flops = B * H * 2 * 2 * NN * NN * D_ * 0.5  # causal
+            blocks = ((None, None), (256, 512), (512, 512), (1024, 512),
+                      (512, 1024))
+            if D_ == 256 and dtype == jnp.float32:
+                blocks = ((None, None), (256, 512), (512, 512))  # VMEM
+            for bq, bk in blocks:
+                label = "auto" if bq is None else f"b{bq}x{bk}"
+                try:
+                    ms = bench(
+                        lambda s, q, k, v, bq=bq, bk=bk: _fwd_pallas(
+                            q * s, k, v, scale, bq, bk, True, False)[0],
+                        q, k, v,
+                    )
+                except Exception as e:
+                    print(f"D{D_} {tag} {label} FAILED {e}"[:200],
+                          file=sys.stderr, flush=True)
+                    continue
+                out[f"d{D_}_fwd_{tag}_{label}_ms"] = ms
+                out[f"d{D_}_fwd_{tag}_{label}_tflops"] = round(
+                    flops / (ms / 1e3) / 1e12, 2)
+                print(f"D{D_}", tag, label, ms, file=sys.stderr, flush=True)
+            o, lse = jax.jit(
+                lambda q, k, v: _fwd_pallas(q, k, v, scale, None, None,
+                                            True, False)
+            )(q, k, v)
+            do = jnp.asarray(rng.normal(size=(B, H, NN, D_)) * 0.1, dtype)
+            ms = bench(
+                lambda s, q, k, v, o, lse, do: _bwd_pallas(
+                    q * s, k, v, o, lse, do, scale, None, None, True,
+                    False),
+                q, k, v, o, lse, do,
+            )
+            out[f"d{D_}_bwd_{tag}_auto_ms"] = ms
+            out[f"d{D_}_bwd_{tag}_auto_tflops"] = round(
+                2.5 * flops / (ms / 1e3) / 1e12, 2)
+            print(f"D{D_} bwd", tag, ms, file=sys.stderr, flush=True)
     return out
 
 

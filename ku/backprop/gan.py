@@ -310,6 +310,35 @@ class AbstractGAN:
             variables["batch_stats"] = stats
         return self.disc.apply(variables, disc_in)
 
+    _REMAT_POLICIES = {
+        # Save matmul/conv outputs; recompute elementwise chains in the
+        # backward (XLA fuses the recompute into the bwd fusions, cutting
+        # HBM round trips on a traffic-bound step).
+        "dots": "dots_saveable",
+        # Same but batched matmuls are NOT saved either (max recompute).
+        "dots_no_batch": "dots_with_no_batch_dims_saveable",
+        # Save only the function inputs (full recompute).
+        "nothing": "nothing_saveable",
+    }
+
+    def _remat(self, fn, which: str):
+        """Optionally wrap ``fn`` in ``jax.checkpoint`` per
+        ``hps['remat']`` / ``hps['remat_gen']`` / ``hps['remat_disc']``
+        (policy names: dots | dots_no_batch | nothing). Default: off —
+        on the reference StyleGAN conf every policy measured SLOWER
+        (dots 19.1 / disc-only 18.6 / nothing 24.6 vs 16.8 ms/step,
+        benchmarks/stylegan_backward_ab.py): the step's backward is
+        traffic-bound with no fat saved-intermediate redundancy, so
+        recompute adds passes instead of removing them. A remat policy
+        changes only WHAT the backward recomputes, never the math —
+        useful for memory-constrained (bigger-model) configs."""
+        name = self.hps.get(f"remat_{which}", self.hps.get("remat"))
+        if not name:
+            return fn
+        policy = getattr(jax.checkpoint_policies,
+                         self._REMAT_POLICIES[str(name)])
+        return jax.checkpoint(fn, policy=policy)
+
     # -- the jitted alternating step ---------------------------------------
 
     def _gen_fake(self, state, batch, key):
@@ -342,13 +371,35 @@ class AbstractGAN:
             return self._disc_apply(disc_params, state["disc_stats"],
                                     self._disc_input(batch, x))
 
+        d_of = self._remat(d_of, "disc")
+
         # One BATCHED discriminator pass over [real; fake] instead of two
         # half-size passes: vmap over a stacked leading axis doubles the
         # effective batch of every disc op (better MXU/VPU row utilization
         # at small batch) while keeping EXACT per-12-batch semantics —
         # minibatch-stddev groups never straddle the real/fake halves
         # (plain concatenation would mix them; vmap cannot).
-        d_real, d_fake = jax.vmap(d_of)(jnp.stack([x_real, fake]))
+        #
+        # In the always-on-R1 softplus mode, take the stacked pass through
+        # jax.vjp so the R1 input gradient REUSES this forward's
+        # activations instead of re-running D(x_real) (exact same values —
+        # the separate jax.grad recomputed an identical forward).
+        # Default OFF — measured SLOWER on the reference StyleGAN conf
+        # (17.85 vs 16.76 ms/step, benchmarks/stylegan_backward_ab.py):
+        # the stacked vjp backward runs with a zero cotangent on the fake
+        # half that XLA does not eliminate, costing more than the saved
+        # disc forward. Kept as a knob with exactness tests.
+        interval = (int(self.hps.get("r1_interval", 1)) if lazy_r1 else 1)
+        fused_r1 = (
+            mode == STYLE_GAN_SOFTPLUS_INVERSE_R1_GP and interval == 1
+            and bool(self.hps.get("r1_fused_vjp", False))
+        )
+        x_stack = jnp.stack([x_real, fake])
+        if fused_r1:
+            d_stack, d_vjp = jax.vjp(jax.vmap(d_of), x_stack)
+            d_real, d_fake = d_stack[0], d_stack[1]
+        else:
+            d_real, d_fake = jax.vmap(d_of)(x_stack)
         ones = jnp.ones_like(d_real)
         zeros = jnp.zeros_like(d_fake)
 
@@ -373,13 +424,17 @@ class AbstractGAN:
         elif mode == STYLE_GAN_SOFTPLUS_INVERSE_R1_GP:
             # R1 on the real-input head (reference :1110 + loss conf :75-83).
             _, r_gamma = losses[1]
-            interval = int(self.hps.get("r1_interval", 1)) if lazy_r1 else 1
 
             def r1_term():
                 grads = jax.grad(lambda xx: jnp.sum(d_of(xx)))(x_real)
                 return jnp.mean(r_penalty_loss(grads, r_gamma))
 
-            if interval > 1:
+            if fused_r1:
+                # Input grad from the shared stacked forward: cotangent of
+                # ones on the real half, zeros on the fake half.
+                (gx,) = d_vjp(jnp.stack([ones, zeros]))
+                r1 = jnp.mean(r_penalty_loss(gx[0], r_gamma))
+            elif interval > 1:
                 # Lazy regularization (StyleGAN2, Karras et al. 2020 §B):
                 # apply the R1 penalty every `r1_interval` train steps,
                 # scaled by the interval so the time-averaged strength is
@@ -408,14 +463,21 @@ class AbstractGAN:
         losses = lc["gen_disc_losses"]
         weights = lc["gen_disc_loss_weights"]
 
-        fake_raw, new_stats = self._gen_apply(
-            gen_params, state["gen_stats"], batch["z"], key, train=True
+        gen_fn = self._remat(
+            lambda p: self._gen_apply(p, state["gen_stats"], batch["z"], key,
+                                      train=True),
+            "gen",
         )
+        fake_raw, new_stats = gen_fn(gen_params)
         fake = self._gen_output_image(fake_raw)
-        d_fake = self._disc_apply(
-            state["disc_params"], state["disc_stats"],
-            self._disc_input(batch, fake),
+        d_fn = self._remat(
+            lambda xx: self._disc_apply(
+                state["disc_params"], state["disc_stats"],
+                self._disc_input(batch, xx),
+            ),
+            "disc",
         )
+        d_fake = d_fn(fake)
         ones = jnp.ones_like(d_fake)
         total = weights[0] * jnp.mean(losses[0](ones, d_fake))
         if self.composing_mode == PIX2PIX_GAN:

@@ -44,11 +44,13 @@ _NEG_INF = -1e30
 
 
 def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
-                 block_k):
+                 block_k, q_off=0, k_off=0):
     """Apply key-padding and causal masks to a score block, eliding the
     work where statically or dynamically unnecessary (interior blocks pay
     no iota/select passes — at large N the masks otherwise cost more VPU
-    time than the matmuls)."""
+    time than the matmuls). ``q_off``/``k_off``: GLOBAL position offsets
+    (traced int32 scalars in the ring-attention per-hop path, static 0
+    otherwise) added to the local block positions for the causal mask."""
     def key_idx():
         # Inside the cond branches so interior blocks pay no iota passes.
         return start + jax.lax.broadcasted_iota(
@@ -56,7 +58,8 @@ def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
         )
 
     if pad_mask:
-        # Only the last key block can contain padded keys.
+        # Only the last key block can contain padded keys (padding is in
+        # LOCAL coordinates — independent of the global offsets).
         s = jax.lax.cond(
             start + block_k > kv_len,
             lambda s: jnp.where(key_idx() < kv_len, s, _NEG_INF),
@@ -66,18 +69,27 @@ def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
     if causal:
 
         def tri(s):
-            q_idx = q_start + jax.lax.broadcasted_iota(
+            q_idx = q_off + q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            return jnp.where(key_idx() <= q_idx, s, _NEG_INF)
+            return jnp.where(k_off + key_idx() <= q_idx, s, _NEG_INF)
 
         # Triangle mask only on diagonal-crossing blocks.
-        s = jax.lax.cond(start + block_k - 1 > q_start, tri, lambda s: s, s)
+        s = jax.lax.cond(
+            k_off + start + block_k - 1 > q_off + q_start, tri,
+            lambda s: s, s,
+        )
     return s
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale, kv_len, causal, pad_mask):
+def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
+    if offsets:
+        (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+        q_off, k_off = q_off_ref[0, 0], k_off_ref[0, 0]
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        q_off = k_off = 0
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q = q_ref.shape[1]
@@ -91,8 +103,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
     start = kb * block_k
     q_start = pl.program_id(1) * block_q
-    # Causal: key blocks entirely above the diagonal contribute nothing.
-    live = (start <= q_start + block_q - 1) if causal else True
+    # Causal: key blocks entirely above the diagonal contribute nothing
+    # (with traced global offsets the check is dynamic, a lax.cond).
+    live = (k_off + start <= q_off + q_start + block_q - 1) if causal \
+        else True
 
     @pl.when(live if causal else kb >= 0)
     def _():
@@ -100,6 +114,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         # bf16 inputs hit the MXU at full rate instead of the 4x-slower
         # f32x f32 path (p is computed in f32 and cast back for the PV
         # matmul, the standard flash-attention mixed-precision scheme).
+        # (Measured negative: folding scale·log2e into q + exp2 softmax —
+        # ~9% SLOWER at D=128; Mosaic's exp already lowers optimally and
+        # the prescale adds a pass without removing one.)
         q = q_ref[0]
         k_blk = k_ref[0]
         v_blk = v_ref[0]
@@ -110,7 +127,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
-                         block_k=block_k)
+                         block_k=block_k, q_off=q_off, k_off=k_off)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
@@ -133,19 +150,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
 def _auto_blocks(n, kn, d, dv, block_q, block_k):
     """Default block sizes: large blocks amortize per-grid-step overhead
     (mask/exp/scratch update) and cut K/V refetch traffic linearly in
-    block_q; bounded so q/k/v blocks + the f32 score slab fit VMEM."""
-    small_head = max(d, dv) <= 128
+    block_q; bounded so q/k/v blocks + the f32 score slab + accumulator
+    fit VMEM. 1024x512 measured best at 64k causal D=64 AND in the MXU
+    regime (D=128: 16.2 TFLOP/s bf16; D=256: 26.3 — the old <=128-only
+    gate left D=256 at 128x128 blocks and 11.3 TFLOP/s;
+    benchmarks/flash_bench.py mxu_regime)."""
+    def fits(bq, bk):
+        # f32 worst case; x2 on q/k/v for the pipeline double buffer.
+        vmem = 4 * (2 * bq * d + 2 * bk * (d + dv)  # q, k, v blocks
+                    + bq * bk                       # score slab
+                    + bq * dv + 2 * bq)             # acc + m/l scratch
+        return vmem <= 10 * 1024 * 1024
     if block_q is None:
-        # 1024x512 measured best at 64k causal D=64 (benchmarks/flash_bench).
-        block_q = 1024 if n >= 4096 and small_head else (
-            512 if n >= 2048 and small_head else 128
-        )
+        block_q = next(
+            (bq for bq, n_min in ((1024, 4096), (512, 2048), (256, 2048))
+             if n >= n_min and fits(bq, 512)), 128)
     if block_k is None:
-        block_k = 512 if kn >= 2048 and small_head else 128
+        block_k = 512 if kn >= 2048 and fits(block_q, 512) else 128
     return block_q, block_k
 
 
-def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret):
+def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
+                q_offset=None, k_offset=None):
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv = v.shape[-1]
@@ -154,6 +180,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret):
     block_k = min(block_k, max(8, kn))
     nq_pad = pl.cdiv(n, block_q) * block_q
     nk_pad = pl.cdiv(kn, block_k) * block_k
+    offsets = q_offset is not None
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, kn, d)
@@ -164,12 +191,24 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret):
         kf = jnp.pad(kf, ((0, 0), (0, nk_pad - kn), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, nk_pad - kn), (0, 0)))
 
+    smem = lambda: pl.BlockSpec((1, 1), lambda bh, qi, kb: (0, 0),
+                                memory_space=pltpu.SMEM)
+    off_specs, off_args = [], ()
+    if offsets:
+        off_specs = [smem(), smem()]
+        off_args = (
+            jnp.asarray(q_offset, jnp.int32).reshape(1, 1),
+            jnp.asarray(k_offset if k_offset is not None else 0,
+                        jnp.int32).reshape(1, 1),
+        )
+
     grid = (b * h, nq_pad // block_q, nk_pad // block_k)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=softmax_scale, kv_len=kn,
-                          causal=causal, pad_mask=nk_pad != kn),
+                          causal=causal, pad_mask=nk_pad != kn,
+                          offsets=offsets),
         grid=grid,
-        in_specs=[
+        in_specs=off_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, kb: (bh, kb, 0),
@@ -196,7 +235,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(qf, kf, vf)
+    )(*off_args, qf, kf, vf)
     return (out[:, :n, :].reshape(b, h, n, dv),
             lse[:, :n, 0].reshape(b, h, n))
 
@@ -225,8 +264,15 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_scr, *, scale, kv_len, causal, pad_mask):
+def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
+    if offsets:
+        (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+         delta_ref, dq_ref, dq_scr) = refs
+        q_off, k_off = q_off_ref[0, 0], k_off_ref[0, 0]
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+         dq_scr) = refs
+        q_off = k_off = 0
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q = q_ref.shape[1]
@@ -238,7 +284,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     start = kb * block_k
     q_start = pl.program_id(1) * block_q
-    live = (start <= q_start + block_q - 1) if causal else True
+    live = (k_off + start <= q_off + q_start + block_q - 1) if causal \
+        else True
 
     @pl.when(live if causal else kb >= 0)
     def _():
@@ -255,7 +302,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         ) * scale
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
-                         block_k=block_k)
+                         block_k=block_k, q_off=q_off, k_off=k_off)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())),
@@ -271,9 +318,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_scr, dv_scr, *, scale, kv_len,
-                    q_len, causal, pad_mask, q_pad_mask):
+def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
+                    q_pad_mask, offsets):
+    if offsets:
+        (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+         delta_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        q_off, k_off = q_off_ref[0, 0], k_off_ref[0, 0]
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+         dk_scr, dv_scr) = refs
+        q_off = k_off = 0
     qi = pl.program_id(2)
     num_qb = pl.num_programs(2)
     block_k = k_ref.shape[1]
@@ -287,7 +341,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     k_start = pl.program_id(1) * block_k
     q_start = qi * block_q
     # Causal: query blocks entirely above this key block contribute nothing.
-    live = (q_start + block_q - 1 >= k_start) if causal else True
+    live = (q_off + q_start + block_q - 1 >= k_off + k_start) if causal \
+        else True
 
     @pl.when(live if causal else qi >= 0)
     def _():
@@ -304,7 +359,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         ) * scale
         s = _mask_scores(s, q_start, k_start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
-                         block_k=block_k)
+                         block_k=block_k, q_off=q_off, k_off=k_off)
         p = jnp.exp(s - lse)
         if q_pad_mask:
             # Padded query rows (q_idx >= q_len) have lse = 0 from padding
@@ -339,15 +394,22 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
-                causal, interpret):
+                causal, interpret, q_offset=None, k_offset=None):
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv_dim = v.shape[-1]
+    auto_q = block_q is None
     block_q, block_k = _auto_blocks(n, kn, d, dv_dim, block_q, block_k)
+    if auto_q and d + dv_dim >= 384:
+        # The backward kernels hold TWO f32 (bq, bk) slabs (s and dp) plus
+        # q/k/v/do blocks — at D>=192 a 1024-row block exceeds the 16 MB
+        # scoped-vmem stack (measured OOM at D=256 f32).
+        block_q = min(block_q, 512)
     block_q = min(block_q, max(8, n))
     block_k = min(block_k, max(8, kn))
     nq_pad = pl.cdiv(n, block_q) * block_q
     nk_pad = pl.cdiv(kn, block_k) * block_k
+    offsets = q_offset is not None
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
@@ -366,11 +428,27 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
 
     interpret_mode = pltpu.InterpretParams() if interpret else False
 
+    def smem3(_a, _b, _c):
+        return (0, 0)
+
+    off_specs, off_args = [], ()
+    if offsets:
+        off_specs = [
+            pl.BlockSpec((1, 1), smem3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), smem3, memory_space=pltpu.SMEM),
+        ]
+        off_args = (
+            jnp.asarray(q_offset, jnp.int32).reshape(1, 1),
+            jnp.asarray(k_offset if k_offset is not None else 0,
+                        jnp.int32).reshape(1, 1),
+        )
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=softmax_scale, kv_len=kn,
-                          causal=causal, pad_mask=nk_pad != kn),
+                          causal=causal, pad_mask=nk_pad != kn,
+                          offsets=offsets),
         grid=(b * h, nq_pad // block_q, nk_pad // block_k),
-        in_specs=[
+        in_specs=off_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda bh, qi, kb: (bh, kb, 0),
@@ -393,14 +471,14 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode,
-    )(qf, kf, vf, dof, lsef, deltaf)
+    )(*off_args, qf, kf, vf, dof, lsef, deltaf)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=softmax_scale, kv_len=kn,
                           q_len=n, causal=causal, pad_mask=nk_pad != kn,
-                          q_pad_mask=nq_pad != n),
+                          q_pad_mask=nq_pad != n, offsets=offsets),
         grid=(b * h, nk_pad // block_k, nq_pad // block_q),
-        in_specs=[
+        in_specs=off_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, kb, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda bh, kb, qi: (bh, kb, 0),
@@ -432,7 +510,7 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode,
-    )(qf, kf, vf, dof, lsef, deltaf)
+    )(*off_args, qf, kf, vf, dof, lsef, deltaf)
 
     return (dq[:, :n].reshape(b, h, n, d),
             dk[:, :kn].reshape(b, h, kn, d),
@@ -606,14 +684,20 @@ def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
 
 def ring_attention(q, k, v, mesh, axis_name: str = "data",
                    softmax_scale: float = 1.0, causal: bool = False,
-                   chunk: int = 512):
+                   chunk: int = 512, impl: str = "pallas"):
     """Sequence-parallel attention: q/k/v sharded on the sequence axis over
     ``axis_name``; K/V blocks rotate around the ring with ``ppermute``
-    while each device keeps an online-softmax carry (SURVEY §5 long-context
-    entry — the reference has no equivalent). Blockwise local updates (the
-    full local score matrix is never materialized), causal-capable via
-    global-position masking, and differentiable (JAX differentiates
-    through ppermute + scan).
+    while each device keeps a running (output, LSE) carry (SURVEY §5
+    long-context entry — the reference has no equivalent).
+
+    ``impl="pallas"`` (default): each hop's local step IS the streaming
+    flash kernel — :func:`_fwd_pallas` with traced global-position offsets
+    for the causal mask, hop results merged by log-sum-exp; the backward
+    is a second ring pass running the saved-LSE Pallas kernels per hop
+    (dq accumulates locally, dk/dv rotate home with their blocks) — the
+    single-chip kernels' efficiency inside the ring, no autodiff
+    recompute. ``impl="xla"``: the portable chunked online-softmax update
+    (``chunk`` controls its score-slab width).
 
     q, k, v: (B, H, N, D) GLOBAL arrays (host side); returns the global
     attention output. N must divide by the ring size.
@@ -624,8 +708,94 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
     b, h, n, d = q.shape
     assert n % n_dev == 0
     local = n // n_dev
+    perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+    interpret = jax.default_backend() != "tpu"
 
-    def local_fn(q_loc, k_loc, v_loc):
+    def _rot(x):
+        return jax.lax.ppermute(x, axis_name, perm)
+
+    def _varying(tree):
+        return jax.lax.pcast(tree, axis_name, to="varying")
+
+    def _hop_offsets(my, i):
+        """Global offsets of my queries / the hop-i key block."""
+        src = jax.lax.rem(my - i + n_dev, n_dev)
+        return my * local, src * local, src
+
+    def local_fwd_impl(q_loc, k_loc, v_loc):
+        my = jax.lax.axis_index(axis_name)
+
+        def step(carry, i):
+            o_c, lse_c, k_blk, v_blk = carry
+            q_off, k_off, src = _hop_offsets(my, i)
+
+            # Every device enters the kernel on every hop (divergent
+            # participation deadlocks the interpret machinery's
+            # rendezvous); for hops entirely in my causal future the
+            # kernel's per-block liveness check skips all compute and the
+            # result merges as exp(-inf) = 0.
+            o_i, lse_i = _fwd_pallas(
+                q_loc, k_blk, v_blk, softmax_scale, None, None, causal,
+                interpret,
+                q_offset=q_off if causal else None,
+                k_offset=k_off if causal else None,
+            )
+            # Log-sum-exp merge of per-hop partial attention results.
+            lse_new = jnp.logaddexp(lse_c, lse_i)
+            w_c = jnp.exp(lse_c - lse_new)[..., None]
+            w_i = jnp.exp(lse_i - lse_new)[..., None]
+            o_new = o_c * w_c + o_i.astype(jnp.float32) * w_i
+            return (o_new, lse_new, _rot(k_blk), _rot(v_blk)), None
+
+        init = _varying((
+            jnp.zeros(q_loc.shape[:3] + (v_loc.shape[-1],), jnp.float32),
+            jnp.full(q_loc.shape[:3], _NEG_INF, jnp.float32),
+        )) + (k_loc, v_loc)
+        (o, lse, _, _), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
+        return o.astype(q_loc.dtype), lse
+
+    def local_bwd_impl(q_loc, k_loc, v_loc, o, lse, do):
+        my = jax.lax.axis_index(axis_name)
+
+        def step(carry, i):
+            dq_acc, k_blk, v_blk, dk_acc, dv_acc = carry
+            q_off, k_off, src = _hop_offsets(my, i)
+
+            # p recomputed per block from the GLOBAL saved LSE — the
+            # exact softmax-over-all-keys backward, blockwise. All
+            # devices enter every hop (see forward); dead hops produce
+            # zero grads via the in-kernel liveness check.
+            dq_i, dk_i, dv_i = _bwd_pallas(
+                q_loc, k_blk, v_blk, o, lse, do, softmax_scale, None,
+                None, causal, interpret,
+                q_offset=q_off if causal else None,
+                k_offset=k_off if causal else None,
+            )
+            # dq stays home; dk/dv travel with their block around the ring
+            # (after n_dev rotations both are back at the owner).
+            return (dq_acc + dq_i, _rot(k_blk), _rot(v_blk),
+                    _rot(dk_acc + dk_i), _rot(dv_acc + dv_i)), None
+
+        init = _varying((jnp.zeros_like(q_loc),)) + (
+            k_loc, v_loc) + _varying(
+            (jnp.zeros_like(k_loc), jnp.zeros_like(v_loc)))
+        (dq, _, _, dk, dv), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
+        return dq, dk, dv
+
+    @jax.custom_vjp
+    def local_pallas(q_loc, k_loc, v_loc):
+        return local_fwd_impl(q_loc, k_loc, v_loc)[0]
+
+    def local_pallas_fwd(q_loc, k_loc, v_loc):
+        o, lse = local_fwd_impl(q_loc, k_loc, v_loc)
+        return o, (q_loc, k_loc, v_loc, o, lse)
+
+    def local_pallas_bwd(res, g):
+        return local_bwd_impl(*res, g)
+
+    local_pallas.defvjp(local_pallas_fwd, local_pallas_bwd)
+
+    def local_xla(q_loc, k_loc, v_loc):
         my = jax.lax.axis_index(axis_name)
         q_pos = my * local + jnp.arange(local)
 
@@ -637,30 +807,28 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
                 q_loc, k_blk, v_blk, m, l, acc, softmax_scale,
                 q_pos, src * local, local, causal, chunk
             )
-            # Rotate K/V to the next device in the ring.
-            perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
-            k_next = jax.lax.ppermute(k_blk, axis_name, perm)
-            v_next = jax.lax.ppermute(v_blk, axis_name, perm)
-            return (m, l, acc, k_next, v_next), None
+            return (m, l, acc, _rot(k_blk), _rot(v_blk)), None
 
         # The fresh accumulators must be marked device-varying to match
         # the loop outputs under shard_map's manual-axes typing.
-        init = jax.lax.pcast(
-            (
-                jnp.full(q_loc.shape[:3], _NEG_INF, jnp.float32),
-                jnp.zeros(q_loc.shape[:3], jnp.float32),
-                jnp.zeros(q_loc.shape[:3] + (v_loc.shape[-1],), jnp.float32),
-            ),
-            axis_name, to="varying",
-        ) + (k_loc, v_loc)
+        init = _varying((
+            jnp.full(q_loc.shape[:3], _NEG_INF, jnp.float32),
+            jnp.zeros(q_loc.shape[:3], jnp.float32),
+            jnp.zeros(q_loc.shape[:3] + (v_loc.shape[-1],), jnp.float32),
+        )) + (k_loc, v_loc)
         (m, l, acc, _, _), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
         return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q_loc.dtype)
 
+    local_fn = local_pallas if impl == "pallas" else local_xla
     seq_sharded = NamedSharding(mesh, P(None, None, axis_name, None))
     shard = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(None, None, axis_name, None),) * 3,
         out_specs=P(None, None, axis_name, None),
+        # pallas_call outputs carry no vma type under shard_map's
+        # varying-manual-axes checker (same workaround as the CD DP
+        # kernel, ku/pallas/cd_gibbs.py::cd_train_pallas_dp).
+        check_vma=impl != "pallas",
     )
     q_s = jax.device_put(q, seq_sharded)
     k_s = jax.device_put(k, seq_sharded)

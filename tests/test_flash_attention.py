@@ -178,3 +178,76 @@ def test_causal_flash_matches_dense(rng, n):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_x), expected, rtol=2e-4,
                                atol=2e-5)
+
+
+@pytest.mark.parametrize("d", [128, 256])
+def test_pallas_flash_mxu_head_dims(rng, d):
+    """Head dims >= 128 (the MXU regime, VERDICT r3 item 2): forward and
+    backward kernels match the dense oracle at D=128/256."""
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    n = 48
+    q = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32)) * 0.1
+    scale = 1.0 / np.sqrt(d)
+    out = flash_attention_pallas(q, k, v, softmax_scale=scale, block_q=16,
+                                 block_k=16, interpret=True)
+    expected = _dense(np.asarray(q), np.asarray(k), np.asarray(v), scale)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-4,
+                               atol=2e-5)
+
+    g = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32))
+    o, lse = _fwd_pallas(q, k, v, scale, 16, 16, True, True)
+    dq, dk, dv = _bwd_pallas(q, k, v, o, lse, g, scale, 16, 16, True, True)
+
+    def loss_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        mask = jnp.tril(jnp.ones((n, n), bool))
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) * g)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_mha_flash_path_d128(rng):
+    """MultiHeadAttention's flash path at head dim 128 (num_head=2,
+    d_model=256) matches the non-flash scaled path."""
+    import flax.linen as fnn
+
+    from ku.nn import MultiHeadAttention
+
+    b, n, dm = 2, 24, 256
+    q = jnp.asarray(rng.normal(size=(b, n, dm)).astype(np.float32)) * 0.1
+    mha_flash = MultiHeadAttention(num_head=2, d_output=dm, use_flash=True)
+    mha_plain = MultiHeadAttention(num_head=2, d_output=dm, use_flash=False)
+    variables = mha_flash.init(jax.random.key(0), [q, q, q])
+    out_f = mha_flash.apply(variables, [q, q, q])
+    out_p = mha_plain.apply(variables, [q, q, q])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ring_pallas_vs_xla_impls(rng):
+    """The kernel-based ring (impl='pallas') and the chunked-einsum ring
+    (impl='xla') agree, causal and not."""
+    from ku.dist import make_mesh
+
+    mesh = make_mesh({"data": 8})
+    n = 64
+    q = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    for causal in (False, True):
+        out_p = ring_attention(q, k, v, mesh, axis_name="data",
+                               softmax_scale=0.25, causal=causal,
+                               impl="pallas")
+        out_x = ring_attention(q, k, v, mesh, axis_name="data",
+                               softmax_scale=0.25, causal=causal,
+                               impl="xla", chunk=8)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(causal))

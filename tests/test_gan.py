@@ -237,3 +237,67 @@ def test_evaluate_no_updates(rng):
     assert np.isfinite(metrics["gen_disc_loss"])
     after = np.asarray(jax.tree.leaves(engine.state["gen_params"])[0])
     np.testing.assert_allclose(before, after)  # no parameter updates
+
+
+def test_r1_fused_vjp_matches_separate_grad(rng):
+    """The fused-vjp R1 (input grad reusing the stacked forward) must equal
+    the separate jax.grad R1 — same loss AND same parameter grads."""
+    base = {
+        "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
+        "epochs": 1, "batch_step": 1, "disc_k_step": 1, "r_gamma": 10.0,
+        "disc_ext_hps": {"lr": 1e-3, "beta_1": 0.0, "beta_2": 0.99},
+        "gen_disc_hps": {"lr": 1e-3, "beta_1": 0.0, "beta_2": 0.99},
+    }
+    batch = jax.tree.map(jnp.asarray, next(_data_iter(
+        np.random.default_rng(5), STYLE_GAN_SOFTPLUS_INVERSE_R1_GP)))
+
+    def loss_and_grads(hps):
+        e = GAN({"hps": dict(hps)}, ToyGen(), ToyDisc())
+        e.compose_gan_with_mode().compile()
+        e.init_state(batch, seed=0)
+        return jax.value_and_grad(e._disc_loss)(
+            e.state["disc_params"], e.state, batch, jax.random.key(3))
+
+    l_fused, g_fused = loss_and_grads(dict(base, r1_fused_vjp=True))
+    l_sep, g_sep = loss_and_grads(base)  # default: separate-grad R1
+    np.testing.assert_allclose(float(l_fused), float(l_sep), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g_fused, g_sep,
+    )
+
+
+@pytest.mark.parametrize("remat", ["dots", "nothing"])
+def test_remat_policies_match_exact(rng, remat):
+    """Remat changes only what the backward recomputes: losses and grads
+    are identical with any policy."""
+    base = {
+        "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
+        "epochs": 1, "batch_step": 1, "disc_k_step": 1, "r_gamma": 10.0,
+        "disc_ext_hps": {"lr": 1e-3, "beta_1": 0.0, "beta_2": 0.99},
+        "gen_disc_hps": {"lr": 1e-3, "beta_1": 0.0, "beta_2": 0.99},
+    }
+    batch = jax.tree.map(jnp.asarray, next(_data_iter(
+        np.random.default_rng(6), STYLE_GAN_SOFTPLUS_INVERSE_R1_GP)))
+
+    def d_and_g(hps):
+        e = GAN({"hps": dict(hps)}, ToyGen(), ToyDisc())
+        e.compose_gan_with_mode().compile()
+        e.init_state(batch, seed=0)
+        d, dg = jax.value_and_grad(e._disc_loss)(
+            e.state["disc_params"], e.state, batch, jax.random.key(3))
+        (g, _), gg = jax.value_and_grad(e._gen_loss, has_aux=True)(
+            e.state["gen_params"], e.state, batch, jax.random.key(4))
+        return d, dg, g, gg
+
+    d0, dg0, g0, gg0 = d_and_g(base)
+    d1, dg1, g1, gg1 = d_and_g(dict(base, remat=remat))
+    np.testing.assert_allclose(float(d0), float(d1), rtol=1e-6)
+    np.testing.assert_allclose(float(g0), float(g1), rtol=1e-6)
+    for a, b in ((dg0, dg1), (gg0, gg1)):
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6),
+            a, b,
+        )

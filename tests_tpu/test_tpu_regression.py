@@ -282,3 +282,48 @@ def test_cd_kernel_complex_mode_trains(rng):
              + 3j * rng.normal(size=(64, 4))).astype(np.complex64)
     fe_noise = float(np.mean(np.asarray(rbm.cal_free_energy(noise))))
     assert fe_data < fe_noise
+
+
+def test_flash_attention_compiled_d128_bf16(rng):
+    """Compiled Mosaic flash kernels in the MXU regime (D=128, bf16,
+    VERDICT r3 item 2): fwd + bwd vs the XLA fallback / dense grads at
+    bf16 tolerance."""
+    from ku.pallas.flash_attention import (
+        _bwd_pallas,
+        _fwd_pallas,
+        flash_attention_xla,
+    )
+
+    b, h, n, d = 2, 4, 512, 128
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)) * 0.1, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)) * 0.1, jnp.bfloat16)
+
+    o, lse = jax.jit(lambda q, k, v: _fwd_pallas(
+        q, k, v, scale, None, None, True, False))(q, k, v)
+    o_xla = flash_attention_xla(q.astype(jnp.float32),
+                                k.astype(jnp.float32),
+                                v.astype(jnp.float32),
+                                softmax_scale=scale, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(o, np.float32), np.asarray(o_xla), rtol=0.08, atol=0.02)
+
+    do = jnp.asarray(rng.normal(size=(b, h, n, d)) * 0.1, jnp.bfloat16)
+    dq, dk, dv = jax.jit(lambda *a: _bwd_pallas(
+        *a, scale, None, None, True, False))(q, k, v, o, lse, do)
+
+    def loss_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        mask = jnp.tril(jnp.ones((n, n), bool))
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v)
+                       * do.astype(jnp.float32))
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32))
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want),
+            rtol=0.1, atol=0.05, err_msg=name)
