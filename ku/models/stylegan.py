@@ -133,45 +133,25 @@ class _ApplyNoisePacked(nn.Module):
         return xp + n[None] * _pk.tile_channels(w).reshape(1, 1, 1, -1)
 
 
-class _FusedStyleBlock(nn.Module):
-    """Pallas-fused epilogue variant of the style block; owns the same
-    ``noise_weight`` param path as :class:`_ApplyNoise` so param trees are
-    interchangeable with the unfused path."""
-
-    @nn.compact
-    def __call__(self, x, style, deterministic: bool = False):
-        from ku.pallas.fused_synthesis import fused_style_epilogue
-
-        w = self.param("noise_weight", nn.initializers.ones, (x.shape[-1],))
-        if deterministic:
-            noise = jnp.zeros(x.shape[1:], x.dtype)
-        else:
-            noise = jax.random.normal(self.make_rng("noise"), x.shape[1:],
-                                      x.dtype)
-        return fused_style_epilogue(x, noise, w.astype(x.dtype),
-                                    style.astype(x.dtype))
-
-
 class SynthesisNetwork(nn.Module):
     """Broadcast dlatents → image (reference :186-328).
-
-    ``fused_epilogue=True`` runs each style block's
-    noise+LReLU+pixel-norm+AdaIN chain as one Pallas VMEM pass
-    (ku/pallas/fused_synthesis.py) instead of separate XLA ops.
 
     ``lane_packing=True`` runs every layer at feature-map sizes
     >= ``lane_pack_min`` on a 2x2 space-to-depth packed layout
     (ku/nn/packed.py): same math, same parameter tree, ~4x less
     lane-padded HBM/VPU traffic and denser MXU matmuls for the reference
-    config's narrow high-resolution channels. Takes precedence over
-    ``fused_epilogue`` inside the packed section.
+    config's narrow high-resolution channels.
+
+    (A Pallas-fused style-block epilogue existed through round 2
+    [``fused_epilogue``]; it measured at-par-to-worse than XLA's own
+    elementwise fusion and the round-3 remat/restructure A/B confirmed
+    the whole approach is superseded — retired, see BASELINE.md.)
     """
 
     resolution: int = 128
     ch_base: int = 1024
     max_ch: int = 512
     dtype: Optional[jnp.dtype] = None
-    fused_epilogue: bool = False
     lane_packing: bool = False
     lane_pack_min: int = 64
 
@@ -189,10 +169,6 @@ class SynthesisNetwork(nn.Module):
             x = nn.leaky_relu(x, 0.2)
             x = _pk.packed_pixel_norm(x)
             return _pk.packed_adain_with_style(x, style, eps=1e-8)
-        if self.fused_epilogue:
-            return _FusedStyleBlock(name=f"noise_{layer_idx}")(
-                x, style, deterministic
-            )
         x = _ApplyNoise(name=f"noise_{layer_idx}")(x, deterministic)
         x = nn.leaky_relu(x, 0.2)
         x = _pixel_norm(x)
@@ -292,7 +268,6 @@ class StyleGANGenerator(nn.Module):
     trunc_cutoff: Optional[int] = 8
     trunc_momentum: float = 0.99
     dtype: Optional[jnp.dtype] = None  # bf16 compute, f32 params/output
-    fused_epilogue: bool = False
     lane_packing: bool = False
     lane_pack_min: int = 64
 
@@ -336,7 +311,6 @@ class StyleGANGenerator(nn.Module):
         return SynthesisNetwork(
             resolution=self.resolution, ch_base=self.ch_base,
             max_ch=self.max_ch, dtype=self.dtype,
-            fused_epilogue=self.fused_epilogue,
             lane_packing=self.lane_packing,
             lane_pack_min=self.lane_pack_min, name="synthesis",
         )(d, deterministic=deterministic)

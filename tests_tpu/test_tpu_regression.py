@@ -119,22 +119,6 @@ def test_cd_kernel_hardware_prng_trains(rng):
     assert err < 0.4, err
 
 
-def test_fused_epilogue_matches_xla_oracle(rng):
-    """Compiled fused style-epilogue kernel == the XLA composition (the
-    CPU suite can only run it interpreted)."""
-    from ku.pallas.fused_synthesis import _epilogue_xla, fused_style_epilogue
-
-    b, hw, c = 4, 16, 128
-    x = jnp.asarray(rng.normal(size=(b, hw, hw, c)).astype(np.float32))
-    noise = jnp.asarray(rng.normal(size=(hw, hw, c)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
-    style = jnp.asarray(rng.normal(size=(b, 2 * c)).astype(np.float32))
-    got = fused_style_epilogue(x, noise, w, style)
-    want = _epilogue_xla(x, noise, w, style)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=5e-3, atol=5e-3)
-
-
 def test_flash_attention_compiled_fwd_bwd(rng):
     """Compiled streaming flash kernels (fwd + the dq/dkv backward) vs the
     dense oracle, causal."""
