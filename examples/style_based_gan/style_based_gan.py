@@ -113,7 +113,13 @@ class TrainingSequenceFFHQ:
         else:
             idx = self.rng.integers(0, len(self.files), size=b) \
                 if self.batch_shuffle else np.arange(b) % len(self.files)
-            if self._native is not None:
+            if self._native is not None and self._native.supports_files():
+                # Fully native: file read + libpng decode + resize all in
+                # the C++ workers — no Python in the decode path.
+                for i in idx:
+                    self._native.submit_file(self.files[i])
+                x = self._native.get_batch(b)
+            elif self._native is not None:
                 import matplotlib.image as mpimg
 
                 for i in idx:

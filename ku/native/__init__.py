@@ -26,11 +26,17 @@ _build_error: str | None = None
 
 
 def _build() -> None:
-    cmd = [
+    base = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         "-pthread", _SRC, "-o", _SO,
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # Prefer a libpng build (in-worker PNG decode via submit_file); fall
+    # back to a decode-less build when libpng/headers are absent.
+    try:
+        subprocess.run(base + ["-DKU_HAS_PNG", "-lpng", "-lz"], check=True,
+                       capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True)
 
 
 def _load():
@@ -56,6 +62,14 @@ def _load():
             lib.ku_loader_pending.restype = ctypes.c_long
             lib.ku_loader_pending.argtypes = [ctypes.c_void_p]
             lib.ku_loader_destroy.argtypes = [ctypes.c_void_p]
+            lib.ku_loader_submit_file.restype = ctypes.c_int
+            lib.ku_loader_submit_file.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p
+            ]
+            lib.ku_loader_errors.restype = ctypes.c_long
+            lib.ku_loader_errors.argtypes = [ctypes.c_void_p]
+            lib.ku_loader_has_png.restype = ctypes.c_int
+            lib.ku_loader_has_png.argtypes = []
             _lib = lib
         except Exception as e:  # no toolchain / build failure → fallback
             _build_error = str(e)
@@ -94,6 +108,27 @@ class NativeImagePipeline:
             self._handle,
             img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
         )
+
+    def submit_file(self, path: str) -> None:
+        """Enqueue a PNG FILE: read + libpng decode + resize all happen in
+        the worker thread (no Python in the decode path). Requires a
+        libpng build — check :meth:`supports_files`. A corrupt file
+        produces a zeroed output (delivery order holds) and increments
+        :meth:`errors`."""
+        status = self._lib.ku_loader_submit_file(
+            self._handle, os.fsencode(path)
+        )
+        if status != 0:
+            raise RuntimeError("native loader built without libpng; "
+                               "decode in Python and use submit()")
+
+    def supports_files(self) -> bool:
+        """True when the loader was built with libpng (submit_file works)."""
+        return bool(self._lib.ku_loader_has_png())
+
+    def errors(self) -> int:
+        """Failed file decodes so far (each produced a zeroed output)."""
+        return int(self._lib.ku_loader_errors(self._handle))
 
     def get(self) -> np.ndarray:
         """Blocking pop of one preprocessed (out_h, out_w, channels) f32

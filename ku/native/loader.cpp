@@ -25,22 +25,55 @@
 // (out_h, out_w), zero padding — matching
 // ku.image_utils.resize_image_to_target_symmeric_size semantics.
 
+//
+// PNG path (KU_HAS_PNG builds): ku_loader_submit_file(handle, path)
+// enqueues a FILE; the worker thread reads + decodes the PNG with libpng
+// (simplified png_image API) before resizing — the whole decode→resize→
+// normalize chain runs off the GIL. A failed decode produces a zeroed
+// output (delivery order must hold) and bumps ku_loader_errors().
+
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <deque>
 #include <map>
 #include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
+
+#ifdef KU_HAS_PNG
+#include <png.h>
+#endif
 
 namespace {
 
 struct Job {
   std::vector<uint8_t> data;
-  int h, w, c;
+  std::string path;  // non-empty: decode this PNG in the worker
+  int h = 0, w = 0, c = 0;
   long seq;
 };
+
+#ifdef KU_HAS_PNG
+bool decode_png(const char* path, std::vector<uint8_t>& out, int* h, int* w,
+                int* c) {
+  png_image image;
+  std::memset(&image, 0, sizeof image);
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) return false;
+  image.format = PNG_FORMAT_RGB;
+  out.resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, out.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  *h = int(image.height);
+  *w = int(image.width);
+  *c = 3;
+  return true;
+}
+#endif
 
 // Results are returned in SUBMIT order regardless of worker completion
 // order: each job carries a sequence id, finished results land in an
@@ -62,6 +95,7 @@ struct Loader {
   bool stop = false;           // guarded by mu
   long next_submit = 0;        // guarded by mu: seq of the next submit
   long next_pop = 0;           // guarded by mu: seq the next get() returns
+  long errors = 0;             // guarded by mu: failed decodes (zeroed out)
 
   void worker_loop() {
     for (;;) {
@@ -74,10 +108,19 @@ struct Loader {
         in_queue.pop_front();
         cv_space.notify_one();
       }
+      bool ok = true;
+      if (!job.path.empty()) {
+#ifdef KU_HAS_PNG
+        ok = decode_png(job.path.c_str(), job.data, &job.h, &job.w, &job.c);
+#else
+        ok = false;  // submit_file rejects earlier; defensive
+#endif
+      }
       std::vector<float> out(out_size, 0.0f);
-      process(job, out.data());
+      if (ok) process(job, out.data());
       {
         std::unique_lock<std::mutex> lock(mu);
+        if (!ok) ++errors;  // zeroed result keeps delivery order intact
         out_map.emplace(job.seq, std::move(out));
       }
       // Consumers wait for a specific seq; wake them all so the one
@@ -190,6 +233,46 @@ int ku_loader_get(void* handle, float* out) {
   }
   std::memcpy(out, result.data(), result.size() * sizeof(float));
   return 0;
+}
+
+// 1 when this build decodes PNGs in-worker (libpng linked), else 0.
+int ku_loader_has_png(void) {
+#ifdef KU_HAS_PNG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// Enqueue a PNG file for in-worker decode+resize. Returns 0 on success,
+// 1 when this build has no libpng (caller should decode in Python).
+int ku_loader_submit_file(void* handle, const char* path) {
+#ifndef KU_HAS_PNG
+  (void)handle;
+  (void)path;
+  return 1;
+#else
+  auto* L = static_cast<Loader*>(handle);
+  Job job;
+  job.path = path;
+  {
+    std::unique_lock<std::mutex> lock(L->mu);
+    L->cv_space.wait(lock, [L] {
+      return L->in_queue.size() + L->out_map.size() < L->capacity;
+    });
+    job.seq = L->next_submit++;
+    L->in_queue.push_back(std::move(job));
+  }
+  L->cv_in.notify_one();
+  return 0;
+#endif
+}
+
+// Count of failed file decodes so far (each produced a zeroed output).
+long ku_loader_errors(void* handle) {
+  auto* L = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lock(L->mu);
+  return L->errors;
 }
 
 long ku_loader_pending(void* handle) {

@@ -156,3 +156,58 @@ def test_overpop_raises_instead_of_deadlocking(rng):
     with pytest.raises(RuntimeError):
         pipe.get()  # nothing pending — must raise, not hang
     pipe.close()
+
+
+def test_submit_file_decodes_png(rng, tmp_path):
+    """In-worker libpng decode (submit_file) == Python-decoded submit()
+    for the same PNG, and delivery order pairs with submit order."""
+    pipe = NativeImagePipeline(out_h=16, out_w=16, n_threads=2)
+    if not pipe.supports_files():
+        pipe.close()
+        pytest.skip("loader built without libpng")
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+
+    paths, raws = [], []
+    for i in range(6):
+        img = rng.integers(0, 256, size=(24 + 4 * i, 20, 3)).astype(np.uint8)
+        p = tmp_path / f"img_{i}.png"
+        mpimg.imsave(p, img)
+        paths.append(str(p))
+        raws.append(img)
+    for p in paths:
+        pipe.submit_file(p)
+    got_files = pipe.get_batch(len(paths))
+    assert pipe.errors() == 0
+    for raw in raws:
+        pipe.submit(raw)
+    got_mem = pipe.get_batch(len(raws))
+    np.testing.assert_allclose(got_files, got_mem, rtol=1e-5, atol=1e-5)
+    pipe.close()
+
+
+def test_submit_file_decode_error_counted(tmp_path):
+    """A corrupt file yields a zeroed output in the right slot (delivery
+    order holds) and increments errors() instead of wedging the ring."""
+    pipe = NativeImagePipeline(out_h=8, out_w=8, n_threads=2)
+    if not pipe.supports_files():
+        pipe.close()
+        pytest.skip("loader built without libpng")
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"not a png at all")
+    good = np.full((10, 10, 3), 200, np.uint8)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.image as mpimg
+    good_p = tmp_path / "good.png"
+    mpimg.imsave(good_p, good)
+
+    pipe.submit_file(str(bad))
+    pipe.submit_file(str(good_p))
+    out_bad = pipe.get()
+    out_good = pipe.get()
+    assert pipe.errors() == 1
+    assert np.abs(out_bad).max() == 0.0
+    assert np.abs(out_good).max() > 0.1
+    pipe.close()
