@@ -810,18 +810,28 @@ class AbstractGAN:
     # -- evaluation ---------------------------------------------------------
 
     def _evaluate_jit(self):
-        """Cached jitted (disc_loss, gen_loss) for one batch — one dispatch
-        per evaluate batch instead of an eager re-trace of the full
-        gen+disc forward (incl. the R1 grad) every call."""
+        """Cached jitted evaluation over a STACKED batch axis: all
+        ``steps`` eval batches run in one ``lax.scan`` dispatch (on
+        remote-dispatch setups the per-call round trip otherwise dominates
+        small eval batches). Per-batch keys reproduce the historical
+        one-dispatch-per-batch values exactly."""
         if not hasattr(self, "_eval_jit_fn"):
-            def fn(state, batch, key):
-                d = self._disc_loss(state["disc_params"], state, batch, key,
-                                    lazy_r1=False)
-                g, _ = self._gen_loss(
-                    state["gen_params"], state, batch,
-                    jax.random.fold_in(key, 1),
-                )
-                return d, g
+            def fn(state, batches, key):
+                def one(_, xs):
+                    batch, i = xs
+                    k_i = jax.random.fold_in(key, i)
+                    d = self._disc_loss(state["disc_params"], state, batch,
+                                        k_i, lazy_r1=False)
+                    g, _ = self._gen_loss(
+                        state["gen_params"], state, batch,
+                        jax.random.fold_in(k_i, 1),
+                    )
+                    return None, (d, g)
+
+                n = jax.tree.leaves(batches)[0].shape[0]
+                _, (ds, gs) = jax.lax.scan(one, None,
+                                           (batches, jnp.arange(n)))
+                return ds, gs
 
             self._eval_jit_fn = jax.jit(fn)
         return self._eval_jit_fn
@@ -830,8 +840,8 @@ class AbstractGAN:
         """Loss evaluation without updates (reference ``_evaluate_disc_ext``
         / ``_evaluate_gen_disc`` — dead code at gan.py:806-980, working
         copies in the StyleGAN example :1161-1335). Returns mean disc_ext
-        and gen_disc losses over ``steps`` batches. Each batch is ONE
-        cached-jit dispatch. Requires trained/initialized state — it will
+        and gen_disc losses over ``steps`` batches — ALL of them in one
+        scanned dispatch. Requires trained/initialized state — it will
         not silently initialize parameters from an eval batch."""
         if self.state is None:
             raise RuntimeError(
@@ -841,17 +851,12 @@ class AbstractGAN:
             )
         it = iter(generator)
         key = jax.random.key(seed)
-        eval_fn = self._evaluate_jit()
-        d_losses, g_losses = [], []
-        for s in range(steps):
-            batch = jax.tree.map(jnp.asarray, next(it))
-            d_loss, g_loss = eval_fn(self.state, batch,
-                                     jax.random.fold_in(key, s))
-            d_losses.append(float(d_loss))
-            g_losses.append(float(g_loss))
+        batches = [jax.tree.map(jnp.asarray, next(it)) for _ in range(steps)]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        d_losses, g_losses = self._evaluate_jit()(self.state, stacked, key)
         return {
-            "disc_ext_loss": float(np.mean(d_losses)),
-            "gen_disc_loss": float(np.mean(g_losses)),
+            "disc_ext_loss": float(jnp.mean(d_losses)),
+            "gen_disc_loss": float(jnp.mean(g_losses)),
         }
 
     # -- inference / persistence -------------------------------------------

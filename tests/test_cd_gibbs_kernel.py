@@ -269,3 +269,47 @@ def test_pallas_complex_mode_matches_inline_oracle(rng, k):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_pallas), np.asarray(scores),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_dp_ring_kernel_complex_mode_matches_single_device(rng):
+    """MODE_COMPLEX through the data-parallel ring kernel: identical
+    parameter trajectory to the single-device fused kernel on the same
+    global data (interpret PRNG draws are seed-independent constants, so
+    sharding the batch changes nothing but the ring summation — which
+    must equal the full-batch statistics)."""
+    from ku.dist import make_mesh
+    from ku.ebm.rbm import MODE_COMPLEX
+    from ku.pallas.cd_gibbs import cd_train_pallas, cd_train_pallas_dp
+
+    v_dim, h_dim = 6, 4  # stacked-real (3 complex units)
+    params = {
+        "rbm_weight": jnp.asarray(
+            rng.normal(scale=0.1, size=(v_dim, h_dim)).astype(np.float32)),
+        "hidden_bias": jnp.asarray(
+            rng.normal(scale=0.1, size=(h_dim,)).astype(np.float32)),
+        "visible_bias": jnp.asarray(
+            rng.normal(scale=0.1, size=(v_dim,)).astype(np.float32)),
+    }
+    batch, steps = 32, 3
+    data = rng.normal(size=(batch * steps, v_dim)).astype(np.float32)
+    mask = np.ones((batch * steps,), np.float32)
+    mask[-5:] = 0.0
+    data[-5:] = 0.0
+    key = jax.random.key(23)
+    mesh = make_mesh({"data": 8})
+
+    p_dp, s_dp = cd_train_pallas_dp(
+        mesh, params, jnp.asarray(data), jnp.asarray(mask), key, 1e-3, 1,
+        MODE_COMPLEX, batch, 2, interpret=True,
+    )
+    p_1, s_1 = cd_train_pallas(
+        params, jnp.asarray(data), jnp.asarray(mask), key, 1e-3, 1,
+        MODE_COMPLEX, batch, 2, interpret=True,
+    )
+    for name in ("rbm_weight", "hidden_bias", "visible_bias"):
+        np.testing.assert_allclose(
+            np.asarray(p_dp[name]), np.asarray(p_1[name]),
+            rtol=1e-5, atol=1e-6, err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(s_dp), np.asarray(s_1),
+                               rtol=1e-4, atol=1e-5)
