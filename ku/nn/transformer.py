@@ -23,13 +23,18 @@ from ku.nn.attention import SIMILARITY_TYPE_SCALED, MultiHeadAttention
 
 
 class Transformer(nn.Module):
-    """Transformer encoder block (reference transformer.py:23-108)."""
+    """Transformer encoder block (reference transformer.py:23-108).
+
+    ``use_flash`` routes the scaled-similarity attention through the
+    streaming Pallas flash kernel (ku/pallas/flash_attention.py) — same
+    math, HBM-bounded sequence length."""
 
     num_head: int
     d_output: int
     dropout_rate: float = 0.0
     similarity_type: str = SIMILARITY_TYPE_SCALED
     layer_norm_f: bool = True
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True):
@@ -41,6 +46,7 @@ class Transformer(nn.Module):
                 self.d_output,
                 self.dropout_rate,
                 similarity_type=self.similarity_type,
+                use_flash=self.use_flash,
             )([y, y, y, m], deterministic=deterministic)
             y2 = nn.Dropout(self.dropout_rate)(y2, deterministic=deterministic)
             y2 = y + y2
