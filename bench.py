@@ -97,59 +97,20 @@ def stylegan_throughput(s_steps: int = 32, n_best: int = 4):
     lane packing on, r1_interval=1, 2 D-steps + 1 G-step. ``s_steps``
     fused steps per dispatch amortize the ~25-30 ms tunnel round trip
     (BASELINE.md methodology); best-of-N with scalar-readback fencing.
+    Engine/batches/timing come from benchmarks/stylegan_lane_packing.py
+    — ONE shared constructor for every script that measures this conf.
     Returns (imgs_per_sec, ms_per_step)."""
-    import jax
-    import jax.numpy as jnp
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    try:
+        import stylegan_lane_packing as slp
+    finally:
+        sys.path.pop(0)
 
-    from ku.backprop import STYLE_GAN_SOFTPLUS_INVERSE_R1_GP, GAN
-    from ku.models import StyleGANDiscriminator, StyleGANGenerator
-
-    B, RES, K = 12, 128, 2
-    gen = StyleGANGenerator(
-        resolution=RES, ch_base=1024, max_ch=512, latent_dim=64,
-        dlatent_dim=512, dense1_dim=512, num_mapping_layers=8,
-        num_classes=1000, label_usage=True, mixing_prob=0.9,
-        trunc_psi=0.7, trunc_cutoff=8, dtype=jnp.bfloat16,
-        lane_packing=True,
-    )
-    disc = StyleGANDiscriminator(
-        resolution=RES, ch_base=1024, max_ch=512, dtype=jnp.bfloat16,
-        lane_packing=True,
-    )
-    conf = {
-        "hps": {
-            "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
-            "disc_k_step": K, "r_gamma": 10.0, "r1_interval": 1,
-            "disc_ext_hps": {"lr": 1.5e-4, "beta_1": 0.0, "beta_2": 0.99},
-            "gen_disc_hps": {"lr": 1.5e-3, "beta_1": 0.0, "beta_2": 0.99},
-        },
-        "nn_arch": {"gen_rng_streams": ["noise", "style"]},
-    }
-    engine = GAN(conf, gen, disc).compose_gan_with_mode().compile()
-
-    rng = np.random.default_rng(0)
-    n_b = K + 1
-    mk = lambda shape: jnp.asarray(
-        rng.normal(size=(s_steps, n_b) + shape).astype(np.float32))
-    labels_i = jnp.asarray(rng.integers(0, 1000, size=(s_steps, n_b, B, 1)))
-    batches = {
-        "x": mk((B, RES, RES, 3)),
-        "z": (mk((B, 64)), labels_i, mk((B, 64))),
-        "label": labels_i.astype(jnp.float32),
-    }
-    engine.init_state(jax.tree.map(lambda t: t[0, 0], batches), seed=0)
-    st, d, g = engine._train_multi_step(engine.state, batches, K,
-                                        jax.random.key(9))
-    _ = np.asarray(g)  # compile + fence
-    best = float("inf")
-    for i in range(n_best):
-        t0 = time.perf_counter()
-        st, d, g = engine._train_multi_step(
-            st, batches, K, jax.random.fold_in(jax.random.key(9), i))
-        _ = np.asarray(g)
-        best = min(best, time.perf_counter() - t0)
-    ms_per_step = best * 1e3 / s_steps
-    return (K + 1) * B / (ms_per_step / 1e3), ms_per_step
+    engine = slp.build_engine(lane_packing=True, r1_interval=1)
+    batches = slp.batches_stacked(np.random.default_rng(0), s=s_steps, b=12)
+    r = slp.measure(engine, batches, n=n_best)
+    return r["imgs_per_sec"], r["ms_per_step"]
 
 
 def main():

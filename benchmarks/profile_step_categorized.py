@@ -2,8 +2,9 @@
 
 Round-3 result (BASELINE.md "backward-traffic levers" section): loop
 body 15.8 ms/step = ~10.7 ms across ~270 elementwise/mixed fusions
-(largest single fusion 0.154 ms = <1% of the step) + 2.6 ms conv MXU +
-1.15 ms in ~814 sub-2 µs scan-state copies + 0.4 ms reduces. Together
+(largest single fusion 0.154 ms = <1% of the step) + 1.28 ms conv MXU +
+1.31 ms dtype converts + 1.15 ms in ~814 sub-2 µs scan-state copies +
+0.4 ms reduces. Together
 with the all-negative remat/vjp A/B (stylegan_backward_ab.py) this is
 the committed evidence that <10% headroom remains at exact reference
 semantics on this conf.
@@ -36,8 +37,10 @@ cat = collections.Counter(); catn = collections.Counter()
 tot = collections.Counter(); cnt = collections.Counter()
 def classify(n):
     n = n.lower()
-    for key in ("convolution", "conv"):
-        if key in n: return "conv"
+    # NB: "convert" (dtype casts) must NOT count as conv.
+    if "convolution" in n or ("conv" in n and "convert" not in n):
+        return "conv"
+    if "convert" in n: return "convert"
     if n.startswith(("copy", "copy-start", "copy-done")) or "copy" in n: return "copy"
     if "transpose" in n: return "transpose"
     if n.startswith("dot") or "dot" in n: return "dot"

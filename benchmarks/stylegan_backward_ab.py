@@ -32,14 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ku.backprop import STYLE_GAN_SOFTPLUS_INVERSE_R1_GP, GAN
-from ku.models import StyleGANDiscriminator, StyleGANGenerator
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import stylegan_lane_packing as slp  # shared engine/batches/measure
 
 B = int(os.environ.get("KU_BENCH_B", "12"))
-RES = 128
-DTYPE = jnp.bfloat16
 S = int(os.environ.get("KU_SCAN_S", "32"))
-K = 2
+K = slp.K
 
 # Round-3 measured results (S=32, best-of-5, one v5e over the tunnel):
 #   baseline 16.76 ms/step | fused_r1 17.85 | +remat_dots 19.09 |
@@ -63,55 +61,16 @@ VARIANTS = {
 
 
 def build_engine(extra_hps):
-    gen = StyleGANGenerator(
-        resolution=RES, ch_base=1024, max_ch=512, latent_dim=64,
-        dlatent_dim=512, dense1_dim=512, num_mapping_layers=8,
-        num_classes=1000, label_usage=True, mixing_prob=0.9,
-        trunc_psi=0.7, trunc_cutoff=8, dtype=DTYPE, lane_packing=True,
-    )
-    disc = StyleGANDiscriminator(
-        resolution=RES, ch_base=1024, max_ch=512, dtype=DTYPE,
-        lane_packing=True,
-    )
-    hps = {
-        "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
-        "disc_k_step": K, "r_gamma": 10.0, "r1_interval": 1,
-        "disc_ext_hps": {"lr": 1.5e-4, "beta_1": 0.0, "beta_2": 0.99},
-        "gen_disc_hps": {"lr": 1.5e-3, "beta_1": 0.0, "beta_2": 0.99},
-    }
-    hps.update(extra_hps)
-    conf = {"hps": hps, "nn_arch": {"gen_rng_streams": ["noise", "style"]}}
-    return GAN(conf, gen, disc).compose_gan_with_mode().compile()
+    return slp.build_engine(lane_packing=True, r1_interval=1,
+                            extra_hps=extra_hps)
 
 
 def batches_stacked(rng):
-    n_b = K + 1
-    mk = lambda shape: jnp.asarray(
-        rng.normal(size=(S, n_b) + shape).astype(np.float32))
-    labels_i = jnp.asarray(rng.integers(0, 1000, size=(S, n_b, B, 1)))
-    return {
-        "x": mk((B, RES, RES, 3)),
-        "z": (mk((B, 64)), labels_i, mk((B, 64))),
-        "label": labels_i.astype(jnp.float32),
-    }
+    return slp.batches_stacked(rng, s=S, b=B)
 
 
 def measure(engine, batches, n=5):
-    engine.init_state(jax.tree.map(lambda t: t[0, 0], batches), seed=0)
-    st, d, g = engine._train_multi_step(
-        engine.state, batches, K, jax.random.key(9))
-    _ = np.asarray(g)
-    best = float("inf")
-    for i in range(n):
-        t0 = time.perf_counter()
-        st, d, g = engine._train_multi_step(
-            st, batches, K, jax.random.fold_in(jax.random.key(9), i))
-        _ = np.asarray(g)
-        best = min(best, time.perf_counter() - t0)
-    ms = best * 1e3 / S
-    return {"ms_per_step": round(ms, 2),
-            "imgs_per_sec": round((K + 1) * B / (ms / 1e3), 1),
-            "g_loss_tail": float(np.asarray(g)[-1])}
+    return slp.measure(engine, batches, n=n)
 
 
 def main():

@@ -33,7 +33,10 @@ S = int(os.environ.get("KU_SCAN_S", "16"))  # fused steps per dispatch
 K = 2  # disc_k_step
 
 
-def build_engine(lane_packing: bool, r1_interval: int):
+def build_engine(lane_packing: bool, r1_interval: int, extra_hps=None):
+    """Reference-conf engine. This is THE shared constructor — bench.py's
+    flagship gate and benchmarks/stylegan_backward_ab.py reuse it so a
+    conf change cannot silently diverge between the scripts."""
     gen = StyleGANGenerator(
         resolution=RES, ch_base=1024, max_ch=512, latent_dim=64,
         dlatent_dim=512, dense1_dim=512, num_mapping_layers=8,
@@ -47,35 +50,38 @@ def build_engine(lane_packing: bool, r1_interval: int):
         lane_packing=lane_packing,
         lane_pack_min=int(os.environ.get("KU_PACK_MIN", "64")),
     )
-    conf = {
-        "hps": {
-            "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
-            "disc_k_step": K, "r_gamma": 10.0, "r1_interval": r1_interval,
-            "disc_ext_hps": {"lr": 1.5e-4, "beta_1": 0.0, "beta_2": 0.99},
-            "gen_disc_hps": {"lr": 1.5e-3, "beta_1": 0.0, "beta_2": 0.99},
-        },
-        "nn_arch": {"gen_rng_streams": ["noise", "style"]},
+    hps = {
+        "composing_mode": STYLE_GAN_SOFTPLUS_INVERSE_R1_GP,
+        "disc_k_step": K, "r_gamma": 10.0, "r1_interval": r1_interval,
+        "disc_ext_hps": {"lr": 1.5e-4, "beta_1": 0.0, "beta_2": 0.99},
+        "gen_disc_hps": {"lr": 1.5e-3, "beta_1": 0.0, "beta_2": 0.99},
     }
+    hps.update(extra_hps or {})
+    conf = {"hps": hps, "nn_arch": {"gen_rng_streams": ["noise", "style"]}}
     return GAN(conf, gen, disc).compose_gan_with_mode().compile()
 
 
-def batches_stacked(rng):
+def batches_stacked(rng, s: int = None, b: int = None):
+    s = S if s is None else s
+    b = B if b is None else b
     n_b = K + 1
 
     def mk(shape, f=None):
         return jnp.asarray(
-            rng.normal(size=(S, n_b) + shape).astype(np.float32)
+            rng.normal(size=(s, n_b) + shape).astype(np.float32)
         )
 
-    labels_i = jnp.asarray(rng.integers(0, 1000, size=(S, n_b, B, 1)))
+    labels_i = jnp.asarray(rng.integers(0, 1000, size=(s, n_b, b, 1)))
     return {
-        "x": mk((B, RES, RES, 3)),
-        "z": (mk((B, 64)), labels_i, mk((B, 64))),
+        "x": mk((b, RES, RES, 3)),
+        "z": (mk((b, 64)), labels_i, mk((b, 64))),
         "label": labels_i.astype(jnp.float32),
     }
 
 
 def measure(engine, batches, n=4):
+    s = jax.tree.leaves(batches)[0].shape[0]
+    b = batches["x"].shape[2]
     engine.init_state(
         jax.tree.map(lambda t: t[0, 0], batches), seed=0
     )
@@ -91,10 +97,10 @@ def measure(engine, batches, n=4):
         )
         _ = np.asarray(g)
         best = min(best, time.perf_counter() - t0)
-    ms_per_step = best * 1e3 / S
+    ms_per_step = best * 1e3 / s
     return {
         "ms_per_step": round(ms_per_step, 2),
-        "imgs_per_sec": round((K + 1) * B / (ms_per_step / 1e3), 1),
+        "imgs_per_sec": round((K + 1) * b / (ms_per_step / 1e3), 1),
         "g_loss_tail": float(np.asarray(g)[-1]),
     }
 

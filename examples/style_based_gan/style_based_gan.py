@@ -71,6 +71,7 @@ class TrainingSequenceFFHQ:
         # Prefer the native C++ resize+normalize+prefetch pipeline
         # (ku/native/loader.cpp); fall back to per-image Python/JAX.
         self._native = None
+        self._native_errors_seen = 0
         if not self.synthetic:
             try:
                 from ku.native import NativeImagePipeline
@@ -119,6 +120,16 @@ class TrainingSequenceFFHQ:
                 for i in idx:
                     self._native.submit_file(self.files[i])
                 x = self._native.get_batch(b)
+                # A failed decode delivers a zeroed frame (order must
+                # hold) — surface it rather than silently training on
+                # black images.
+                errs = self._native.errors()
+                if errs > self._native_errors_seen:
+                    print(f"[style_based_gan] WARNING: "
+                          f"{errs - self._native_errors_seen} PNG decode "
+                          f"failure(s) in this batch — zeroed frames "
+                          f"entered training (total {errs})")
+                    self._native_errors_seen = errs
             elif self._native is not None:
                 import matplotlib.image as mpimg
 

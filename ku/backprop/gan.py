@@ -816,10 +816,10 @@ class AbstractGAN:
         small eval batches). Per-batch keys reproduce the historical
         one-dispatch-per-batch values exactly."""
         if not hasattr(self, "_eval_jit_fn"):
-            def fn(state, batches, key):
+            def fn(state, batches, key, offset):
                 def one(_, xs):
                     batch, i = xs
-                    k_i = jax.random.fold_in(key, i)
+                    k_i = jax.random.fold_in(key, offset + i)
                     d = self._disc_loss(state["disc_params"], state, batch,
                                         k_i, lazy_r1=False)
                     g, _ = self._gen_loss(
@@ -836,13 +836,16 @@ class AbstractGAN:
             self._eval_jit_fn = jax.jit(fn)
         return self._eval_jit_fn
 
-    def evaluate(self, generator, steps: int = 1, seed: int = 0):
+    def evaluate(self, generator, steps: int = 1, seed: int = 0,
+                 steps_per_call: int = 32):
         """Loss evaluation without updates (reference ``_evaluate_disc_ext``
         / ``_evaluate_gen_disc`` — dead code at gan.py:806-980, working
         copies in the StyleGAN example :1161-1335). Returns mean disc_ext
-        and gen_disc losses over ``steps`` batches — ALL of them in one
-        scanned dispatch. Requires trained/initialized state — it will
-        not silently initialize parameters from an eval batch."""
+        and gen_disc losses over ``steps`` batches, scanned in chunks of
+        ``steps_per_call`` batches per dispatch (bounds the stacked-batch
+        HBM footprint while amortizing the dispatch round trip). Requires
+        trained/initialized state — it will not silently initialize
+        parameters from an eval batch."""
         if self.state is None:
             raise RuntimeError(
                 "evaluate() requires initialized state — call init_state/"
@@ -851,12 +854,23 @@ class AbstractGAN:
             )
         it = iter(generator)
         key = jax.random.key(seed)
-        batches = [jax.tree.map(jnp.asarray, next(it)) for _ in range(steps)]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-        d_losses, g_losses = self._evaluate_jit()(self.state, stacked, key)
+        eval_fn = self._evaluate_jit()
+        d_all, g_all = [], []
+        done = 0
+        while done < steps:
+            n = min(steps_per_call, steps - done)
+            batches = [jax.tree.map(jnp.asarray, next(it)) for _ in range(n)]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            # Per-batch keys stay fold_in(key, global_step) — chunking
+            # cannot change the evaluated values.
+            d, g = eval_fn(self.state, stacked, key,
+                           jnp.asarray(done, jnp.int32))
+            d_all.append(np.asarray(d))
+            g_all.append(np.asarray(g))
+            done += n
         return {
-            "disc_ext_loss": float(jnp.mean(d_losses)),
-            "gen_disc_loss": float(jnp.mean(g_losses)),
+            "disc_ext_loss": float(np.mean(np.concatenate(d_all))),
+            "gen_disc_loss": float(np.mean(np.concatenate(g_all))),
         }
 
     # -- inference / persistence -------------------------------------------

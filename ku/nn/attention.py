@@ -52,6 +52,11 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     similarity_type: str = SIMILARITY_TYPE_SCALED
     use_mask: bool = False
+    # use_flash applies to the 'scaled' no-mask path only, and ONLY when
+    # attention-probability dropout is inactive (dropout_rate == 0 or
+    # deterministic) — the flash kernel never materializes the N² probs
+    # to drop. With dropout_rate > 0 TRAINING steps take the dense path
+    # (full score matrix!); set dropout_rate=0.0 for long sequences.
     use_flash: bool = False
 
     @nn.compact

@@ -27,7 +27,10 @@ class Transformer(nn.Module):
 
     ``use_flash`` routes the scaled-similarity attention through the
     streaming Pallas flash kernel (ku/pallas/flash_attention.py) — same
-    math, HBM-bounded sequence length."""
+    math, HBM-bounded sequence length. Caveat: with ``dropout_rate > 0``
+    TRAINING steps fall back to the dense N² path (flash cannot drop
+    attention probabilities it never materializes) — keep dropout at 0
+    for long sequences or apply it outside the attention."""
 
     num_head: int
     d_output: int

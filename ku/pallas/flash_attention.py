@@ -773,14 +773,21 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
             )
             # dq stays home; dk/dv travel with their block around the ring
             # (after n_dev rotations both are back at the owner).
-            return (dq_acc + dq_i, _rot(k_blk), _rot(v_blk),
-                    _rot(dk_acc + dk_i), _rot(dv_acc + dv_i)), None
+            # Accumulators are f32 regardless of input dtype — n_dev
+            # sequential bf16 roundings would loosen grads as the ring
+            # grows (the single-chip kernels accumulate in f32 scratch).
+            return (dq_acc + dq_i.astype(jnp.float32),
+                    _rot(k_blk), _rot(v_blk),
+                    _rot(dk_acc + dk_i.astype(jnp.float32)),
+                    _rot(dv_acc + dv_i.astype(jnp.float32))), None
 
-        init = _varying((jnp.zeros_like(q_loc),)) + (
+        f32_zeros = lambda t: jnp.zeros(t.shape, jnp.float32)
+        init = _varying((f32_zeros(q_loc),)) + (
             k_loc, v_loc) + _varying(
-            (jnp.zeros_like(k_loc), jnp.zeros_like(v_loc)))
+            (f32_zeros(k_loc), f32_zeros(v_loc)))
         (dq, _, _, dk, dv), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
-        return dq, dk, dv
+        return (dq.astype(q_loc.dtype), dk.astype(k_loc.dtype),
+                dv.astype(v_loc.dtype))
 
     @jax.custom_vjp
     def local_pallas(q_loc, k_loc, v_loc):
