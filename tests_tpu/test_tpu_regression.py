@@ -356,3 +356,38 @@ def test_ring_attention_compiled_single_device(rng):
     for a, b, name in zip(gr, gd, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
                                    atol=2e-3, err_msg=name)
+
+
+def test_transformer_flash_training_on_tpu(rng):
+    """A transformer with use_flash=True TRAINS on hardware: the flash
+    custom-VJP (Pallas fwd + dq/dkv backward) sits inside a jitted
+    scanned training loop, gradients flow, loss drops on a learnable toy
+    task. Covers the compiled kernels under optimization, not just
+    one-shot oracle calls."""
+    import optax
+
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "examples", "transformer"))
+    try:
+        from transformer_classify import (
+            TransformerClassifier,
+            make_dataset,
+            softmax_xent,
+        )
+    finally:
+        _sys.path.pop(0)
+    from ku.engine_ext import Trainer
+
+    x, y = make_dataset(2048, 128, 16, seed=0)
+    model = TransformerClassifier(vocab=16, seq_len=128, d_model=64,
+                                  num_head=2, num_blocks=1, use_flash=True)
+    tr = Trainer(model, softmax_xent, optimizer=optax.adam(1e-3),
+                 rng_streams=("dropout",))
+    h = tr.fit(x, y, batch_size=128, epochs=6, verbose=0)
+    assert np.isfinite(h).all(), h
+    assert h[-1] < h[0], h  # learning, not just running
+    logits = tr.predict(x[:256])
+    assert np.isfinite(logits).all()
