@@ -161,10 +161,15 @@ def main():
     p, s = run(params, jax.random.key(1))
     _ = np.asarray(p["rbm_weight"]).sum()
 
-    start = time.perf_counter()
-    p, s = run(params, jax.random.key(2))
-    _ = np.asarray(p["rbm_weight"]).sum()  # hard fence: device→host readback
-    elapsed = time.perf_counter() - start
+    # Best-of-2 timed runs (fresh keys so the tunnel cannot dedupe):
+    # run-to-run tunnel variance is large on the shared backend, and the
+    # best is the hardware capability (BASELINE.md methodology).
+    elapsed = float("inf")
+    for i in (2, 3):
+        start = time.perf_counter()
+        p, s = run(params, jax.random.key(i))
+        _ = np.asarray(p["rbm_weight"]).sum()  # hard fence: full readback
+        elapsed = min(elapsed, time.perf_counter() - start)
     sps = N * epochs_timed / elapsed
 
     record = {
