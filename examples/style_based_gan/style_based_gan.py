@@ -169,10 +169,12 @@ class StyleGAN(AbstractGAN):
         self.raw_data_path = conf.get("raw_data_path", "")
         super().__init__(conf)
 
-    def _modules_at(self, resolution: int):
+    def _modules_at(self, resolution: int, lane_packing=None):
         n = self._nn_arch
         h = self._hps
         m = self.map_nn_arch
+        if lane_packing is None:
+            lane_packing = bool(n.get("lane_packing", True))
         dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
             n.get("dtype"), None
         )
@@ -189,7 +191,7 @@ class StyleGAN(AbstractGAN):
             trunc_cutoff=h.get("trunc_cutoff"),
             trunc_momentum=float(h.get("trunc_momentum", 0.99)),
             dtype=dtype,
-            lane_packing=bool(n.get("lane_packing", True)),
+            lane_packing=lane_packing,
         )
         disc = StyleGANDiscriminator(
             resolution=resolution,
@@ -197,7 +199,7 @@ class StyleGAN(AbstractGAN):
             dropout_rate=float(self.disc_nn_arch.get("dropout_rate", 0.0)),
             label_usage=bool(n["label_usage"]),
             dtype=dtype,
-            lane_packing=bool(n.get("lane_packing", True)),
+            lane_packing=lane_packing,
         )
         return gen, disc
 
@@ -292,8 +294,29 @@ class StyleGAN(AbstractGAN):
 
     # -- inference ---------------------------------------------------------
 
+    def _infer_generate(self, z):
+        """Large-batch serving path: apply the SAME params through an
+        UNPACKED generator clone — lane packing is a small-batch lever
+        (BASELINE.md serving section: 1.69× at batch 12 but 0.65× at
+        batch 256, where the packed kernels' structural-zero MACs
+        dominate a full MXU). Parameter trees are layout-independent
+        (tests/test_packed.py), so this is a pure layout switch."""
+        if not hasattr(self, "_gen_infer_jit"):
+            gen_infer = self._modules_at(
+                int(self._nn_arch["resolution"]), lane_packing=False
+            )[0]
+            self._gen_infer_jit = jax.jit(
+                lambda v, z: gen_infer.apply(v, z, deterministic=True)
+            )
+        variables = {"params": self.state["gen_params"]}
+        if self.state["gen_stats"]:
+            variables["batch_stats"] = self.state["gen_stats"]
+        return self._gen_infer_jit(variables, z)
+
     def generate_samples(self, n: int, labels=None, seed: int = 0):
-        """Sample n images in [0, 1] (reference ``generate``, :1361-1371)."""
+        """Sample n images in [0, 1] (reference ``generate``, :1361-1371).
+        Batches >= 64 route through the unpacked serving layout (see
+        :meth:`_infer_generate`)."""
         rng = np.random.default_rng(seed)
         m = self.map_nn_arch
         z1 = rng.normal(size=(n, int(m["latent_dim"]))).astype(np.float32)
@@ -304,7 +327,10 @@ class StyleGAN(AbstractGAN):
             z = (jnp.asarray(z1), jnp.asarray(labels), jnp.asarray(z2))
         else:
             z = (jnp.asarray(z1), jnp.asarray(z2))
-        img = self.generate(z, key=jax.random.key(seed))
+        if n >= 64 and bool(self._nn_arch.get("lane_packing", True)):
+            img = self._infer_generate(z)
+        else:
+            img = self.generate(z, key=jax.random.key(seed))
         return (np.asarray(img) + 1.0) / 2.0
 
     def evaluate(self, result_dir: str = "results", num_per_class: int = 1,

@@ -93,3 +93,32 @@ def test_fit_progressively_checkpoints_and_resume(tmp_path):
     # The restored final-stage state generates.
     imgs = s_gan2.generate_samples(2)
     assert imgs.shape == (2, 8, 8, 3)
+
+
+def test_large_batch_serving_uses_unpacked_layout(tmp_path):
+    """generate_samples(n >= 64) routes through the unpacked serving
+    clone with the SAME params; outputs match the engine's (packed-
+    configured) generate path for identical latents (layout-independent
+    params, deterministic mode)."""
+    conf = _tiny_conf(tmp_path)
+    conf["nn_arch"]["lane_packing"] = True  # inert at res 8, but routes
+    s_gan = StyleGAN(conf)
+    seq = TrainingSequenceFFHQ(s_gan.raw_data_path, s_gan._hps,
+                               s_gan._nn_arch, s_gan.map_nn_arch)
+    s_gan.compile()
+    s_gan.init_state(jax.tree.map(jnp.asarray, next(iter(seq))), seed=0)
+
+    rng = np.random.default_rng(0)
+    n = 64
+    z1 = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    z2 = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, size=(n, 1)))
+    z = (z1, labels, z2)
+    img_serving = np.asarray(s_gan._infer_generate(z))
+    img_engine = np.asarray(s_gan.generate(z))
+    np.testing.assert_allclose(img_serving, img_engine, rtol=2e-4,
+                               atol=2e-5)
+    # And the public surface takes the serving branch for n >= 64.
+    imgs = s_gan.generate_samples(n)
+    assert imgs.shape == (n, 8, 8, 3)
+    assert hasattr(s_gan, "_gen_infer_jit")
