@@ -1,0 +1,142 @@
+"""Amortized flash-attention timing: S chained kernel calls per dispatch.
+
+WHY: every prior flash number (flash_bench.py, flash_vpu_probe.py) timed a
+SINGLE dispatch, and the axon tunnel costs a flat ~25-30 ms per dispatch —
+the same order as the measured 30-40 ms "kernel" times. The round-3
+"structural matmul floor" (29.5 ms, D-independent, block-independent) has
+exactly the signature of that constant overhead. This probe separates the
+two: run S kernel calls chained by a data dependency inside ONE jit, time
+S=1 vs S>1, and report the per-call slope (true device time) and the
+intercept (dispatch overhead).
+
+Chaining: each iteration's q is perturbed by a tiny scalar derived from
+the previous output sum, so the calls are sequentially data-dependent
+(the tunnel cannot dedupe or overlap them) while the math stays ~bit-
+identical. The per-iteration q-scale pass is an elementwise read+write of
+q (~16 MB at D=128) — ~0.05 ms at HBM rate, negligible vs the kernel.
+
+Usage: python benchmarks/flash_amortized.py [fwd|bwd|all]
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+
+def timed(f, *arrays, n=4):
+    _ = np.asarray(f(jnp.float32(1), *arrays))  # compile
+    best = float("inf")
+    for i in range(n):
+        t0 = time.perf_counter()
+        _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), *arrays))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def chain(call, steps):
+    """jit(salt, *arrays) running ``call`` ``steps`` times, data-chained."""
+
+    @jax.jit
+    def f(salt, *arrays):
+        def body(_, carry):
+            salt, acc = carry
+            out = call(salt, *arrays)
+            s = jax.tree.reduce(
+                lambda x, y: x + y,
+                jax.tree.map(lambda t: jnp.sum(t.astype(jnp.float32)), out),
+            )
+            return (salt + s * 1e-30, acc + s)
+
+        _, acc = jax.lax.fori_loop(0, steps, body,
+                                   (salt, jnp.float32(0.0)))
+        return acc
+
+    return f
+
+
+def measure(name, call, *arrays, s_hi=8, out=None):
+    t1 = timed(chain(call, 1), *arrays)
+    th = timed(chain(call, s_hi), *arrays)
+    per_call = (th - t1) / (s_hi - 1)
+    overhead = t1 - per_call
+    print(f"{name}: S=1 {t1:.2f} ms, S={s_hi} {th:.2f} ms -> "
+          f"per-call {per_call:.2f} ms, dispatch overhead {overhead:.2f} ms",
+          file=sys.stderr, flush=True)
+    if out is not None:
+        out[f"{name}_per_call_ms"] = round(per_call, 3)
+        out[f"{name}_dispatch_overhead_ms"] = round(overhead, 2)
+    return per_call
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    out = {}
+
+    B, H, NN = 4, 8, 8192
+    for D in (64, 128, 256):
+        q = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+        scale = 1.0 / np.sqrt(D)
+        flops = B * H * 2 * 2 * NN * NN * D * 0.5  # causal
+
+        if which in ("fwd", "all"):
+            per = measure(
+                f"d{D}_fwd", lambda s, q, k, v: _fwd_pallas(
+                    q * (1 + s * 1e-20), k, v, scale, None, None, True,
+                    False)[0],
+                q, k, v, out=out)
+            tf = flops / (per / 1e3) / 1e12
+            out[f"d{D}_fwd_tflops"] = round(tf, 2)
+            print(f"  d{D} fwd {tf:.1f} TFLOP/s", file=sys.stderr, flush=True)
+
+        if which in ("bwd", "all"):
+            o, lse = jax.jit(
+                lambda q, k, v, scale=scale: _fwd_pallas(
+                    q, k, v, scale, None, None, True, False)
+            )(q, k, v)
+            do = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1,
+                             jnp.bfloat16)
+            per = measure(
+                f"d{D}_bwd", lambda s, q, k, v, o, lse, do: _bwd_pallas(
+                    q * (1 + s * 1e-20), k, v, o, lse, do, scale, None,
+                    None, True, False),
+                q, k, v, o, lse, do, s_hi=4, out=out)
+            tf = 2.5 * flops / (per / 1e3) / 1e12
+            out[f"d{D}_bwd_tflops"] = round(tf, 2)
+            print(f"  d{D} bwd {tf:.1f} TFLOP/s", file=sys.stderr, flush=True)
+
+    # The headline 64k-causal single-head row, re-measured honestly.
+    if which in ("fwd", "all"):
+        N64, D64 = 65536, 64
+        q = jnp.asarray(rng.normal(size=(1, 1, N64, D64)) * 0.1, jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(1, 1, N64, D64)) * 0.1, jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(1, 1, N64, D64)) * 0.1, jnp.bfloat16)
+        flops = 2 * 2 * N64 * N64 * D64 * 0.5
+        per = measure(
+            "n64k_fwd", lambda s, q, k, v: _fwd_pallas(
+                q * (1 + s * 1e-20), k, v, 0.125, None, None, True,
+                False)[0],
+            q, k, v, out=out)
+        out["n64k_fwd_tflops"] = round(flops / (per / 1e3) / 1e12, 2)
+
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
