@@ -25,26 +25,44 @@ N = 65536
 D = 64
 
 
-def bench(fn, *arrays, n=4):
-    """Times ``fn(salt, *arrays)``. Arrays MUST be passed here, not
-    closed over: closure constants get embedded in the serialized HLO and
-    large ones blow the axon tunnel's remote-compile body limit
-    (HTTP 413 at ~hundreds of MB — hit at D=128 f32, 134 MB/tensor)."""
-    def salted(salt, *a):
-        out = fn(salt, *a)
-        return jax.tree.reduce(
-            lambda x, y: x + y,
-            jax.tree.map(lambda t: jnp.sum(t.astype(jnp.float32)), out),
-        )
+def bench(fn, *arrays, n=4, s_hi=8):
+    """Times ``fn(salt, *arrays)`` AMORTIZED: S chained calls per dispatch
+    (S=1 vs S=s_hi, slope reported). A single dispatch over the axon
+    tunnel pays a flat ~25 ms round trip — the same order as these
+    kernels — so single-dispatch timing measures the tunnel, not the
+    kernel (this distorted every recorded flash number before the round-3
+    correction; see benchmarks/flash_amortized.py). Arrays MUST be passed
+    here, not closed over: closure constants get embedded in the
+    serialized HLO and large ones blow the axon tunnel's remote-compile
+    body limit (HTTP 413 at ~hundreds of MB — hit at D=128 f32,
+    134 MB/tensor)."""
+    def chained(steps):
+        @jax.jit
+        def f(salt, *a):
+            def body(_, carry):
+                salt, acc = carry
+                out = fn(salt, *a)
+                s = jax.tree.reduce(
+                    lambda x, y: x + y,
+                    jax.tree.map(lambda t: jnp.sum(t.astype(jnp.float32)),
+                                 out),
+                )
+                return (salt + s * 1e-30, acc + s)
+            return jax.lax.fori_loop(0, steps, body,
+                                     (salt, jnp.float32(0)))[1]
+        return f
 
-    f = jax.jit(salted)
-    _ = np.asarray(f(jnp.float32(1), *arrays))
-    best = float("inf")
-    for i in range(n):
-        t0 = time.perf_counter()
-        _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), *arrays))
-        best = min(best, time.perf_counter() - t0)
-    return round(best * 1e3, 2)
+    def timed(f):
+        _ = np.asarray(f(jnp.float32(1), *arrays))
+        best = float("inf")
+        for i in range(n):
+            t0 = time.perf_counter()
+            _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), *arrays))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    t1, th = timed(chained(1)), timed(chained(s_hi))
+    return round((th - t1) / (s_hi - 1), 2)
 
 
 def _want(section: str) -> bool:

@@ -17,6 +17,12 @@ microarchitecture probe, never a compute path.
 Round-3 result (one v5e, B4·H8·N8192 causal bf16, blocks 1024x512,
 best-of-4): see BASELINE.md "flash attention round 3" — used to decide
 whether a bf16-exp or fewer-pass softmax rewrite is worth pursuing.
+
+NOTE (round-3 correction): the original run timed single dispatches and
+its numbers were dominated by the ~25 ms axon-tunnel round trip (the
+"D-independent 29.5 ms matmul floor" conclusion was an artifact). Timing
+is now amortized (S chained calls/dispatch, slope reported) like
+benchmarks/flash_amortized.py.
 """
 
 from __future__ import annotations
@@ -123,17 +129,34 @@ def run_variant(q, k, v, scale, variant, block_q=1024, block_k=512, n=4):
         ),
     )
 
-    def f(salt, qf, kf, vf):
-        return jnp.sum(call(qf * salt, kf, vf).astype(jnp.float32))
+    # Amortized: S chained calls per dispatch — a single dispatch over the
+    # axon tunnel pays a flat ~25 ms round trip that DOMINATED the original
+    # round-3 numbers (the "29.5 ms D-independent matmul floor" was the
+    # tunnel, see benchmarks/flash_amortized.py). Slope = true device time.
+    def chained(steps):
+        @jax.jit
+        def f(salt, qf, kf, vf):
+            def body(_, carry):
+                salt, acc = carry
+                s = jnp.sum(call(qf * (1 + salt * 1e-20), kf, vf)
+                            .astype(jnp.float32))
+                return (salt + s * 1e-30, acc + s)
+            return jax.lax.fori_loop(0, steps, body,
+                                     (salt, jnp.float32(0)))[1]
+        return f
 
-    jf = jax.jit(f)
-    _ = np.asarray(jf(jnp.float32(1), qf, kf, vf))
-    best = float("inf")
-    for i in range(n):
-        t0 = time.perf_counter()
-        _ = np.asarray(jf(jnp.float32(1 + 1e-6 * i), qf, kf, vf))
-        best = min(best, time.perf_counter() - t0)
-    return round(best * 1e3, 2)
+    def timed(f):
+        _ = np.asarray(f(jnp.float32(1), qf, kf, vf))
+        best = float("inf")
+        for i in range(n):
+            t0 = time.perf_counter()
+            _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), qf, kf, vf))
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    s_hi = 8
+    t1, th = timed(chained(1)), timed(chained(s_hi))
+    return round((th - t1) / (s_hi - 1), 2)
 
 
 def main():
