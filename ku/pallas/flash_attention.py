@@ -44,18 +44,21 @@ _NEG_INF = -1e30
 
 
 def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
-                 block_k, q_off=0, k_off=0):
+                 block_k, q_off=0, k_off=0, transposed=False):
     """Apply key-padding and causal masks to a score block, eliding the
     work where statically or dynamically unnecessary (interior blocks pay
     no iota/select passes — at large N the masks otherwise cost more VPU
     time than the matmuls). ``q_off``/``k_off``: GLOBAL position offsets
     (traced int32 scalars in the ring-attention per-hop path, static 0
-    otherwise) added to the local block positions for the causal mask."""
+    otherwise) added to the local block positions for the causal mask.
+    ``transposed``: the slab is (block_k, block_q) — keys on axis 0,
+    queries on axis 1 (the forward kernel's layout)."""
+    shape = (block_k, block_q) if transposed else (block_q, block_k)
+    k_axis, q_axis = (0, 1) if transposed else (1, 0)
+
     def key_idx():
         # Inside the cond branches so interior blocks pay no iota passes.
-        return start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
+        return start + jax.lax.broadcasted_iota(jnp.int32, shape, k_axis)
 
     if pad_mask:
         # Only the last key block can contain padded keys (padding is in
@@ -70,7 +73,7 @@ def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
 
         def tri(s):
             q_idx = q_off + q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
+                jnp.int32, shape, q_axis
             )
             return jnp.where(k_off + key_idx() <= q_idx, s, _NEG_INF)
 
@@ -83,6 +86,15 @@ def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
 
 
 def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
+    """Forward grid step, TRANSPOSED score layout: the slab lives as
+    (BLOCK_K, BLOCK_Q) so the softmax max/sum are SUBLANE reductions and
+    the per-query running stats are (1, BLOCK_Q) lane vectors whose
+    broadcasts replicate across sublanes — both far cheaper on the VPU
+    than the cross-lane reduction trees the (BLOCK_Q, BLOCK_K) layout
+    needs over a 512-wide minor axis. The accumulator stays transposed
+    (DV, BLOCK_Q) (PV is computed as VᵀP) and is untransposed once per
+    query block at the last grid step. Measured -14..-18% vs the
+    row-major layout at D=64/128 (benchmarks/flash_tune_probe.py)."""
     if offsets:
         (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
          m_scr, l_scr, acc_scr) = refs
@@ -114,59 +126,68 @@ def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
         # bf16 inputs hit the MXU at full rate instead of the 4x-slower
         # f32x f32 path (p is computed in f32 and cast back for the PV
         # matmul, the standard flash-attention mixed-precision scheme).
-        # (Measured negative: folding scale·log2e into q + exp2 softmax —
-        # ~9% SLOWER at D=128; Mosaic's exp already lowers optimally and
-        # the prescale adds a pass without removing one.)
+        # (Measured negative: folding scale·log2e into q + exp2 softmax,
+        # q-prescale alone, and unrolled K sub-blocks — see
+        # benchmarks/flash_tune_probe.py.)
         q = q_ref[0]
         k_blk = k_ref[0]
         v_blk = v_ref[0]
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
+            k_blk, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (BLOCK_Q, BLOCK_K) f32
+        ) * scale  # (BLOCK_K, BLOCK_Q) f32
 
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
-                         block_k=block_k, q_off=q_off, k_off=k_off)
+                         block_k=block_k, q_off=q_off, k_off=k_off,
+                         transposed=True)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_prev - m_new)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+        p = jnp.exp(s - m_new)          # (BLOCK_K, BLOCK_Q)
+        corr = jnp.exp(m_prev - m_new)  # (1, BLOCK_Q)
         m_scr[:] = m_new
-        l_scr[:] = l_prev * corr + jnp.sum(p, axis=1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * corr + jnp.dot(
-            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
-        )
+        l_scr[:] = l_prev * corr + jnp.sum(p, axis=0, keepdims=True)
+        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+            v_blk, p.astype(v_blk.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (DV, BLOCK_Q)
 
     @pl.when(kb == num_kb - 1)
     def _():
         l = jnp.maximum(l_scr[:], 1e-30)
-        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:, :1] + jnp.log(l[:, :1])
+        o_ref[0] = (acc_scr[:] / l).T.astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:] + jnp.log(l)).T
 
 
-def _auto_blocks(n, kn, d, dv, block_q, block_k):
+def _auto_blocks(n, kn, d, dv, block_q, block_k, itemsize=4, bwd=False):
     """Default block sizes: large blocks amortize per-grid-step overhead
     (mask/exp/scratch update) and cut K/V refetch traffic linearly in
     block_q; bounded so q/k/v blocks + the f32 score slab + accumulator
-    fit VMEM. 1024x512 measured best at 64k causal D=64 AND in the MXU
-    regime (D=128: 16.2 TFLOP/s bf16; D=256: 26.3 — the old <=128-only
-    gate left D=256 at 128x128 blocks and 11.3 TFLOP/s;
-    benchmarks/flash_bench.py mxu_regime)."""
+    fit VMEM. Amortized round-3 sweep (benchmarks/flash_tune_probe.py,
+    transposed forward): 1024x1024 best for the FORWARD when it fits
+    (D=128 bf16 8.44 ms vs 9.14 at 1024x512), 1024x512 otherwise; the
+    backward keeps 512-wide key blocks (its two f32 slabs double the
+    VMEM pressure and it was not improved by wider blocks)."""
     def fits(bq, bk):
-        # f32 worst case; x2 on q/k/v for the pipeline double buffer.
-        vmem = 4 * (2 * bq * d + 2 * bk * (d + dv)  # q, k, v blocks
-                    + bq * bk                       # score slab
-                    + bq * dv + 2 * bq)             # acc + m/l scratch
+        # Operand blocks at the input itemsize (x2: pipeline double
+        # buffer); slab/accumulator/stats are always f32.
+        vmem = (itemsize * (2 * bq * d + 2 * bk * (d + dv))  # q, k, v
+                + 4 * (bq * bk                               # score slab
+                       + bq * dv + 2 * bq))                  # acc + m/l
         return vmem <= 10 * 1024 * 1024
     if block_q is None:
         block_q = next(
             (bq for bq, n_min in ((1024, 4096), (512, 2048), (256, 2048))
              if n >= n_min and fits(bq, 512)), 128)
     if block_k is None:
-        block_k = 512 if kn >= 2048 and fits(block_q, 512) else 128
+        if not bwd and kn >= 4096 and fits(block_q, 1024):
+            block_k = 1024
+        elif kn >= 2048 and fits(block_q, 512):
+            block_k = 512
+        else:
+            block_k = 128
     return block_q, block_k
 
 
@@ -175,7 +196,8 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv = v.shape[-1]
-    block_q, block_k = _auto_blocks(n, kn, d, dv, block_q, block_k)
+    block_q, block_k = _auto_blocks(n, kn, d, dv, block_q, block_k,
+                                    itemsize=q.dtype.itemsize)
     block_q = min(block_q, max(8, n))
     block_k = min(block_k, max(8, kn))
     nq_pad = pl.cdiv(n, block_q) * block_q
@@ -227,9 +249,9 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
             jax.ShapeDtypeStruct((b * h, nq_pad, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, dv), jnp.float32),
+            pltpu.VMEM((1, block_q), jnp.float32),
+            pltpu.VMEM((1, block_q), jnp.float32),
+            pltpu.VMEM((dv, block_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -399,7 +421,8 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
     kn = k.shape[2]
     dv_dim = v.shape[-1]
     auto_q = block_q is None
-    block_q, block_k = _auto_blocks(n, kn, d, dv_dim, block_q, block_k)
+    block_q, block_k = _auto_blocks(n, kn, d, dv_dim, block_q, block_k,
+                                    itemsize=q.dtype.itemsize, bwd=True)
     if auto_q and d + dv_dim >= 384:
         # The backward kernels hold TWO f32 (bq, bk) slabs (s and dp) plus
         # q/k/v/do blocks — at D>=192 a 1024-row block exceeds the 16 MB
