@@ -13,6 +13,13 @@ scratch that persists across the key-block grid steps; the N×N score
 matrix never exists. The forward also emits the log-sum-exp (LSE) per
 query row, which the backward consumes.
 
+All score slabs (forward AND backward) are TRANSPOSED — (BLOCK_K,
+BLOCK_Q), queries on the 128-lane minor axis — so softmax max/sum are
+sublane reductions and per-query stats (m/l/lse/delta) are (1, BLOCK_Q)
+lane vectors broadcast across sublanes; cross-lane reduction trees over
+a 512-wide minor axis cost ~45% of the row-major kernel's time
+(benchmarks/flash_tune_probe.py, amortized: D=128 fwd 10.1→8.4 ms).
+
 Backward: the classic flash-attention two-kernel scheme —
 - ``dq`` kernel: grid (B·H, N/BLOCK_Q, KN/BLOCK_K), streams K/V, recomputes
   p = exp(s − lse) (no online max needed — LSE is known), accumulates
@@ -287,6 +294,11 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
 
 
 def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
+    """dq grid step, transposed slabs (see _fwd_kernel): s/p/ds live as
+    (BLOCK_K, BLOCK_Q) so the per-query lse/delta vectors are (1, BLOCK_Q)
+    and broadcast across sublanes; dq accumulates row-major via the
+    sublane-contraction matmul dsᵀ·K (the same TT form as the forward's
+    VᵀP, measured MXU-native)."""
     if offsets:
         (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
          delta_ref, dq_ref, dq_scr) = refs
@@ -315,25 +327,27 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
         k_blk = k_ref[0]
         v_blk = v_ref[0]
         do = do_ref[0]
-        lse = lse_ref[0]
-        delta = delta_ref[0]
+        lse = lse_ref[0]      # (1, BLOCK_Q)
+        delta = delta_ref[0]  # (1, BLOCK_Q)
 
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
+            k_blk, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ) * scale  # (BLOCK_K, BLOCK_Q)
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
-                         block_k=block_k, q_off=q_off, k_off=k_off)
+                         block_k=block_k, q_off=q_off, k_off=k_off,
+                         transposed=True)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
-            do, v_blk, (((1,), (1,)), ((), ())),
+            v_blk, do, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (BLOCK_K, BLOCK_Q)
         ds = (p * (dp - delta)).astype(k_blk.dtype)
-        dq_scr[:] = dq_scr[:] + scale * jnp.dot(
-            ds, k_blk, preferred_element_type=jnp.float32
-        )
+        dq_scr[:] = dq_scr[:] + scale * jax.lax.dot_general(
+            ds, k_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BLOCK_Q, D)
 
     @pl.when(kb == num_kb - 1)
     def _():
@@ -372,16 +386,20 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
         k_blk = k_ref[0]
         v_blk = v_ref[0]
         do = do_ref[0]
-        lse = lse_ref[0]
-        delta = delta_ref[0]
+        lse = lse_ref[0]      # (1, BLOCK_Q)
+        delta = delta_ref[0]  # (1, BLOCK_Q)
 
+        # Transposed slabs (see _bwd_dq_kernel): per-query vectors
+        # broadcast across sublanes; dk/dv accumulate via NN matmuls
+        # contracting the slab's BLOCK_Q lane axis with q/do rows.
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
+            k_blk, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
+        ) * scale  # (BLOCK_K, BLOCK_Q)
         s = _mask_scores(s, q_start, k_start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
-                         block_k=block_k, q_off=q_off, k_off=k_off)
+                         block_k=block_k, q_off=q_off, k_off=k_off,
+                         transposed=True)
         p = jnp.exp(s - lse)
         if q_pad_mask:
             # Padded query rows (q_idx >= q_len) have lse = 0 from padding
@@ -389,25 +407,25 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
             # query block can contain padding.
             def qmask(p):
                 q_idx = q_start + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, block_k), 0
+                    jnp.int32, (block_k, block_q), 1
                 )
                 return jnp.where(q_idx < q_len, p, 0.0)
 
             p = jax.lax.cond(q_start + block_q > q_len, qmask,
                              lambda p: p, p)
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (BLOCK_K, DV)
         dp = jax.lax.dot_general(
-            do, v_blk, (((1,), (1,)), ((), ())),
+            v_blk, do, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (BLOCK_K, BLOCK_Q)
         ds = (p * (dp - delta)).astype(q.dtype)
         dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (BLOCK_K, D)
 
     @pl.when(qi == num_qb - 1)
     def _():
@@ -446,8 +464,12 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
     kf = padk(k.reshape(b * h, kn, d))
     vf = padk(v.reshape(b * h, kn, dv_dim))
     dof = padq(do.reshape(b * h, n, dv_dim))
-    lsef = padq(lse.reshape(b * h, n, 1))
-    deltaf = padq(delta.reshape(b * h, n, 1))
+    # lse/delta are laid out (bh, 1, n): the kernels consume them as
+    # (1, BLOCK_Q) lane vectors matching the transposed score slabs.
+    lsef = jnp.pad(lse.reshape(b * h, 1, n),
+                   ((0, 0), (0, 0), (0, nq_pad - n)))
+    deltaf = jnp.pad(delta.reshape(b * h, 1, n),
+                     ((0, 0), (0, 0), (0, nq_pad - n)))
 
     interpret_mode = pltpu.InterpretParams() if interpret else False
 
@@ -480,9 +502,9 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dv_dim), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda bh, qi, kb: (bh, qi, 0),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, kb: (bh, 0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda bh, qi, kb: (bh, qi, 0),
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, kb: (bh, 0, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
@@ -510,9 +532,9 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dv_dim), lambda bh, kb, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda bh, kb, qi: (bh, qi, 0),
+            pl.BlockSpec((1, 1, block_q), lambda bh, kb, qi: (bh, 0, qi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda bh, kb, qi: (bh, qi, 0),
+            pl.BlockSpec((1, 1, block_q), lambda bh, kb, qi: (bh, 0, qi),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
