@@ -113,6 +113,36 @@ def stylegan_throughput(s_steps: int = 32, n_best: int = 4):
     return r["imgs_per_sec"], r["ms_per_step"]
 
 
+def flash_throughput():
+    """Flash-attention gate: amortized D=128 causal forward (B4·H8·N8192
+    bf16, auto blocks) — S-chained dispatch slope per BASELINE.md
+    "round-3 CORRECTION" methodology (single-dispatch timing over the
+    axon tunnel measures the ~25 ms round trip, not the kernel).
+    Returns (per_call_ms, tflops)."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    try:
+        import flash_amortized as fam
+    finally:
+        sys.path.pop(0)
+    from ku.pallas.flash_attention import _fwd_pallas
+
+    rng = np.random.default_rng(0)
+    B, H, NN, D = 4, 8, 8192, 128
+    q = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+    per = fam.measure(
+        "bench_flash_d128", lambda s, q, k, v: _fwd_pallas(
+            q * (1 + s * 1e-20), k, v, 1.0 / np.sqrt(D), None, None, True,
+            False)[0],
+        q, k, v)
+    flops = B * H * 2 * 2 * NN * NN * D * 0.5
+    return per, flops / (per / 1e3) / 1e12
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
@@ -189,6 +219,13 @@ def main():
             record["stylegan_ms_per_step"] = round(sg_ms, 2)
         except Exception as e:  # never lose the RBM number to a SG failure
             record["stylegan_error"] = repr(e)[:200]
+        # Flash kernel gate (round-3): D=128 causal fwd, amortized.
+        try:
+            fl_ms, fl_tf = flash_throughput()
+            record["flash_d128_fwd_ms"] = round(fl_ms, 2)
+            record["flash_d128_fwd_tflops"] = round(fl_tf, 1)
+        except Exception as e:
+            record["flash_error"] = repr(e)[:200]
     print(json.dumps(record))
 
 
