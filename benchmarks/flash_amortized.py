@@ -122,18 +122,45 @@ def main():
             print(f"  d{D} bwd {tf:.1f} TFLOP/s", file=sys.stderr, flush=True)
 
     # The headline 64k-causal single-head row, re-measured honestly.
-    if which in ("fwd", "all"):
+    if which in ("fwd", "all", "window"):
         N64, D64 = 65536, 64
         q = jnp.asarray(rng.normal(size=(1, 1, N64, D64)) * 0.1, jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(1, 1, N64, D64)) * 0.1, jnp.bfloat16)
         v = jnp.asarray(rng.normal(size=(1, 1, N64, D64)) * 0.1, jnp.bfloat16)
-        flops = 2 * 2 * N64 * N64 * D64 * 0.5
+        if which != "window":
+            flops = 2 * 2 * N64 * N64 * D64 * 0.5
+            per = measure(
+                "n64k_fwd", lambda s, q, k, v: _fwd_pallas(
+                    q * (1 + s * 1e-20), k, v, 0.125, None, None, True,
+                    False)[0],
+                q, k, v, out=out)
+            out["n64k_fwd_tflops"] = round(flops / (per / 1e3) / 1e12, 2)
+
+        # Sliding window at 64k: the banded grid makes this O(N·window) —
+        # the win over the full-causal row should track ~N/(2·window).
+        for w in (4096, 1024):
+            flops_w = 2 * 2 * D64 * (N64 * w - w * (w - 1) / 2)
+            per = measure(
+                f"n64k_w{w}_fwd", lambda s, q, k, v, w=w: _fwd_pallas(
+                    q * (1 + s * 1e-20), k, v, 0.125, None, None, True,
+                    False, window=w)[0],
+                q, k, v, s_hi=64 if w <= 1024 else 8, out=out)
+            out[f"n64k_w{w}_fwd_tflops"] = round(
+                flops_w / (per / 1e3) / 1e12, 2)
+        do64 = jnp.asarray(rng.normal(size=(1, 1, N64, D64)) * 0.1,
+                           jnp.bfloat16)
+        o64, lse64 = jax.jit(
+            lambda q, k, v: _fwd_pallas(q, k, v, 0.125, None, None, True,
+                                        False, window=4096)
+        )(q, k, v)
+        flops_w = 2.5 * 2 * 2 * D64 * (N64 * 4096 - 4096 * 4095 / 2)
         per = measure(
-            "n64k_fwd", lambda s, q, k, v: _fwd_pallas(
-                q * (1 + s * 1e-20), k, v, 0.125, None, None, True,
-                False)[0],
-            q, k, v, out=out)
-        out["n64k_fwd_tflops"] = round(flops / (per / 1e3) / 1e12, 2)
+            "n64k_w4096_bwd",
+            lambda s, q, k, v, o, lse, do: _bwd_pallas(
+                q * (1 + s * 1e-20), k, v, o, lse, do, 0.125, None, None,
+                True, False, window=4096),
+            q, k, v, o64, lse64, do64, s_hi=4, out=out)
+        out["n64k_w4096_bwd_tflops"] = round(flops_w / (per / 1e3) / 1e12, 2)
 
     print(json.dumps(out, indent=1))
 

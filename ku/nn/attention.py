@@ -58,32 +58,47 @@ class MultiHeadAttention(nn.Module):
     # to drop. With dropout_rate > 0 TRAINING steps take the dense path
     # (full score matrix!); set dropout_rate=0.0 for long sequences.
     use_flash: bool = False
+    # Extensions beyond the reference (which is full-bidirectional only):
+    # causal autoregressive masking and Mistral-style sliding-window
+    # attention (window most recent positions; requires causal). Both are
+    # honored by the dense AND flash paths identically.
+    causal: bool = False
+    window: Optional[int] = None
+    # Grouped-query attention: project K/V to num_kv_head heads
+    # (num_kv_head=1 is MQA); each query head attends its group's KV head.
+    # None = num_head (standard MHA). Shrinks the K/V projections and the
+    # KV cache by num_head/num_kv_head.
+    num_kv_head: Optional[int] = None
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True):
         if self.similarity_type not in _SIMILARITY_TYPES:
             raise ValueError(f"similarity_type {self.similarity_type!r} is not valid.")
+        if self.window is not None and not self.causal:
+            raise ValueError("window requires causal=True")
         q, k, v = inputs[0], inputs[1], inputs[2]
         m = inputs[3] if len(inputs) > 3 else None
 
         d_k, d_v = k.shape[-1], v.shape[-1]
         h = self.num_head
+        hkv = self.num_kv_head if self.num_kv_head is not None else h
         assert d_k % h == 0 and d_v % h == 0
+        assert h % hkv == 0, (h, hkv)
         d_k_h, d_v_h = d_k // h, d_v // h
 
         init = nn.initializers.truncated_normal(stddev=0.02)
         w_q = self.param("W_Q", init, (d_k, d_k))
-        w_k = self.param("W_K", init, (d_k, d_k))
-        w_v = self.param("W_V", init, (d_v, d_v))
+        w_k = self.param("W_K", init, (d_k, d_k_h * hkv))
+        w_v = self.param("W_V", init, (d_v, d_v_h * hkv))
         w_o = self.param("W_multi_head", init, (d_v, self.d_output))
 
-        def split_heads(x, dh):
+        def split_heads(x, dh, nh=h):
             b, n = x.shape[0], x.shape[1]
-            return jnp.transpose(jnp.reshape(x, (b, n, h, dh)), (0, 2, 1, 3))
+            return jnp.transpose(jnp.reshape(x, (b, n, nh, dh)), (0, 2, 1, 3))
 
         q_h = split_heads(q @ w_q, d_k_h)
-        k_h = split_heads(k @ w_k, d_k_h)
-        v_h = split_heads(v @ w_v, d_v_h)
+        k_h = split_heads(k @ w_k, d_k_h, hkv)
+        v_h = split_heads(v @ w_v, d_v_h, hkv)
 
         if (
             self.use_flash
@@ -93,8 +108,13 @@ class MultiHeadAttention(nn.Module):
         ):
             from ku.pallas.flash_attention import flash_attention
 
-            head = flash_attention(q_h, k_h, v_h, softmax_scale=1.0 / math.sqrt(d_k))
+            head = flash_attention(q_h, k_h, v_h,
+                                   softmax_scale=1.0 / math.sqrt(d_k),
+                                   causal=self.causal, window=self.window)
         else:
+            if hkv != h:  # GQA on the dense path: materialize the repeat
+                k_h = jnp.repeat(k_h, h // hkv, axis=1)
+                v_h = jnp.repeat(v_h, h // hkv, axis=1)
             if self.similarity_type == SIMILARITY_TYPE_PLAIN:
                 scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h)
             elif self.similarity_type == SIMILARITY_TYPE_SCALED:
@@ -115,6 +135,14 @@ class MultiHeadAttention(nn.Module):
                     jnp.tanh(qa[:, :, :, None, :] + ka[:, :, None, :, :]), axis=-1
                 ) / math.sqrt(d_k_h)
 
+            if self.causal:
+                nq, nk = scores.shape[-2], scores.shape[-1]
+                q_pos = jnp.arange(nq)[:, None]
+                k_pos = jnp.arange(nk)[None, :]
+                keep = k_pos <= q_pos
+                if self.window is not None:
+                    keep = keep & (q_pos - k_pos < self.window)
+                scores = jnp.where(keep[None, None], scores, -1e30)
             probs = nn.softmax(scores, axis=-1)
             if self.use_mask and m is not None:
                 probs = probs * m

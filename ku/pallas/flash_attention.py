@@ -31,6 +31,13 @@ All matmuls hit the MXU with f32 accumulation.
 Ring attention over a sharded sequence axis lives in
 :func:`ring_attention` (shard_map + ppermute): causal-capable, blockwise
 local updates (no full local score matrix), differentiable.
+
+Sliding-window (Mistral-style local) attention: ``window=w`` restricts
+each query to its ``w`` most recent positions (requires ``causal``).
+Supported uniformly by the Pallas kernels (fwd + both backward kernels,
+band mask + block liveness so out-of-band blocks skip all compute), the
+XLA fallback, the differentiable dispatch, and the ring (band over
+GLOBAL positions — out-of-band hops no-op in-kernel).
 """
 
 from __future__ import annotations
@@ -51,21 +58,26 @@ _NEG_INF = -1e30
 
 
 def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
-                 block_k, q_off=0, k_off=0, transposed=False):
-    """Apply key-padding and causal masks to a score block, eliding the
-    work where statically or dynamically unnecessary (interior blocks pay
-    no iota/select passes — at large N the masks otherwise cost more VPU
-    time than the matmuls). ``q_off``/``k_off``: GLOBAL position offsets
-    (traced int32 scalars in the ring-attention per-hop path, static 0
-    otherwise) added to the local block positions for the causal mask.
-    ``transposed``: the slab is (block_k, block_q) — keys on axis 0,
-    queries on axis 1 (the forward kernel's layout)."""
+                 block_k, q_off=0, k_off=0, transposed=False, window=None):
+    """Apply key-padding, causal, and sliding-window masks to a score
+    block, eliding the work where statically or dynamically unnecessary
+    (interior blocks pay no iota/select passes — at large N the masks
+    otherwise cost more VPU time than the matmuls). ``q_off``/``k_off``:
+    GLOBAL position offsets (traced int32 scalars in the ring-attention
+    per-hop path, static 0 otherwise) added to the local block positions
+    for the causal/window masks. ``transposed``: the slab is
+    (block_k, block_q) — keys on axis 0, queries on axis 1 (the kernels'
+    layout). ``window``: attend only to the ``window`` most recent
+    positions (Mistral-style sliding window; requires ``causal``)."""
     shape = (block_k, block_q) if transposed else (block_q, block_k)
     k_axis, q_axis = (0, 1) if transposed else (1, 0)
 
     def key_idx():
         # Inside the cond branches so interior blocks pay no iota passes.
         return start + jax.lax.broadcasted_iota(jnp.int32, shape, k_axis)
+
+    def query_idx():
+        return q_start + jax.lax.broadcasted_iota(jnp.int32, shape, q_axis)
 
     if pad_mask:
         # Only the last key block can contain padded keys (padding is in
@@ -79,20 +91,53 @@ def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
     if causal:
 
         def tri(s):
-            q_idx = q_off + q_start + jax.lax.broadcasted_iota(
-                jnp.int32, shape, q_axis
-            )
-            return jnp.where(k_off + key_idx() <= q_idx, s, _NEG_INF)
+            return jnp.where(k_off + key_idx() <= q_off + query_idx(), s,
+                             _NEG_INF)
 
         # Triangle mask only on diagonal-crossing blocks.
         s = jax.lax.cond(
             k_off + start + block_k - 1 > q_off + q_start, tri,
             lambda s: s, s,
         )
+    if window is not None:
+
+        def band(s):
+            return jnp.where(
+                q_off + query_idx() - (k_off + key_idx()) < window, s,
+                _NEG_INF)
+
+        # Band mask only on blocks crossing the lower window edge (the
+        # block's max q−k distance reaches the window).
+        s = jax.lax.cond(
+            q_off + q_start + block_q - 1 - (k_off + start) >= window,
+            band, lambda s: s, s,
+        )
     return s
 
 
-def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
+def _live_fwd(q_start, start, block_q, block_k, causal, window, q_off,
+              k_off):
+    """Whether a (q block, k block) pair contributes any unmasked score:
+    not entirely above the causal diagonal, and (with a sliding window)
+    not entirely below the band."""
+    live = True
+    if causal:
+        live = k_off + start <= q_off + q_start + block_q - 1
+    if window is not None:
+        live = jnp.logical_and(
+            live,
+            k_off + start + block_k - 1 >= q_off + q_start - (window - 1))
+    return live
+
+
+def _first_k_block(q_start, window, block_k):
+    """First key block that can be inside the sliding-window band for the
+    query block starting at ``q_start`` (static-offset banded grids)."""
+    return jnp.maximum(0, (q_start - (window - 1)) // block_k)
+
+
+def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
+                window=None, banded=False):
     """Forward grid step, TRANSPOSED score layout: the slab lives as
     (BLOCK_K, BLOCK_Q) so the softmax max/sum are SUBLANE reductions and
     the per-query running stats are (1, BLOCK_Q) lane vectors whose
@@ -109,25 +154,34 @@ def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
     else:
         q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
         q_off = k_off = 0
-    kb = pl.program_id(2)
+    jb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q = q_ref.shape[1]
     block_k = k_ref.shape[1]
 
-    @pl.when(kb == 0)
+    @pl.when(jb == 0)
     def _():
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    start = kb * block_k
     q_start = pl.program_id(1) * block_q
-    # Causal: key blocks entirely above the diagonal contribute nothing
-    # (with traced global offsets the check is dynamic, a lax.cond).
-    live = (k_off + start <= q_off + q_start + block_q - 1) if causal \
-        else True
+    # Banded grid (static-offset sliding window): grid step j maps to
+    # LOGICAL key block first(qi) + j — only the O(window/block_k) blocks
+    # that can intersect the band are visited at all.
+    kb = jb + _first_k_block(q_start, window, block_k) if banded else jb
+    start = kb * block_k
+    # Causal/window: key blocks entirely outside the attended band
+    # contribute nothing (with traced global offsets the check is
+    # dynamic, a lax.cond).
+    live = _live_fwd(q_start, start, block_q, block_k, causal, window,
+                     q_off, k_off)
+    if banded:
+        # Logical blocks past the causal edge can also run past the key
+        # axis entirely (their fetch index is clamped — data is garbage).
+        live = jnp.logical_and(live, start < kv_len)
 
-    @pl.when(live if causal else kb >= 0)
+    @pl.when(live if (causal or window) else jb >= 0)
     def _():
         # Matmuls run on the operands' NATIVE dtype with f32 accumulation —
         # bf16 inputs hit the MXU at full rate instead of the 4x-slower
@@ -147,7 +201,7 @@ def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
                          block_k=block_k, q_off=q_off, k_off=k_off,
-                         transposed=True)
+                         transposed=True, window=window)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
@@ -161,7 +215,7 @@ def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
             preferred_element_type=jnp.float32,
         )  # (DV, BLOCK_Q)
 
-    @pl.when(kb == num_kb - 1)
+    @pl.when(jb == num_kb - 1)
     def _():
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[0] = (acc_scr[:] / l).T.astype(o_ref.dtype)
@@ -198,11 +252,29 @@ def _auto_blocks(n, kn, d, dv, block_q, block_k, itemsize=4, bwd=False):
     return block_q, block_k
 
 
+def _kv_heads(q, k, v):
+    """Validate and return (h_kv, group) for grouped-query attention:
+    k/v may carry fewer heads than q (GQA; h_kv=1 is MQA) — each query
+    head reads the KV head of its group. h_kv == h is standard MHA."""
+    h, hkv = q.shape[1], k.shape[1]
+    if v.shape[1] != hkv:
+        raise ValueError(f"k has {hkv} heads but v has {v.shape[1]}")
+    if h % hkv != 0:
+        raise ValueError(f"q heads ({h}) must be a multiple of kv heads "
+                         f"({hkv})")
+    return hkv, h // hkv
+
+
 def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
-                q_offset=None, k_offset=None):
+                q_offset=None, k_offset=None, window=None):
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv = v.shape[-1]
+    hkv, group = _kv_heads(q, k, v)
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     block_q, block_k = _auto_blocks(n, kn, d, dv, block_q, block_k,
                                     itemsize=q.dtype.itemsize)
     block_q = min(block_q, max(8, n))
@@ -212,8 +284,8 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
     offsets = q_offset is not None
 
     qf = q.reshape(b * h, n, d)
-    kf = k.reshape(b * h, kn, d)
-    vf = v.reshape(b * h, kn, dv)
+    kf = k.reshape(b * hkv, kn, d)
+    vf = v.reshape(b * hkv, kn, dv)
     if nq_pad != n:
         qf = jnp.pad(qf, ((0, 0), (0, nq_pad - n), (0, 0)))
     if nk_pad != kn:
@@ -231,18 +303,41 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
                         jnp.int32).reshape(1, 1),
         )
 
-    grid = (b * h, nq_pad // block_q, nk_pad // block_k)
+    nkb = nk_pad // block_k
+    # Static-offset sliding window: BANDED grid — visit only the
+    # O(window/block_k) key blocks that can intersect each query block's
+    # band (the kernel adds first(qi) to the grid step to recover the
+    # logical block). Work becomes O(N·window), not O(N²) with masking.
+    banded = window is not None and not offsets
+    w_blocks = min(nkb, (block_q + window - 2) // block_k + 2) if banded \
+        else nkb
+
+    def kv_idx(bh, qi, j):
+        kb = j + _first_k_block(qi * block_q, window, block_k) if banded \
+            else j
+        if causal and not offsets:
+            # Fetch clamp: blocks past the causal edge (or the key axis)
+            # re-map to the last live block — consecutive equal indices
+            # elide the DMA, so dead blocks cost no HBM traffic.
+            kb = jnp.minimum(
+                kb, jnp.minimum(nkb - 1,
+                                (qi * block_q + block_q - 1) // block_k))
+        # GQA: each query head streams its group's KV page.
+        page = bh if group == 1 else (bh // h) * hkv + (bh % h) // group
+        return (page, kb, 0)
+
+    grid = (b * h, nq_pad // block_q, w_blocks)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=softmax_scale, kv_len=kn,
                           causal=causal, pad_mask=nk_pad != kn,
-                          offsets=offsets),
+                          offsets=offsets, window=window, banded=banded),
         grid=grid,
         in_specs=off_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, kb: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, d), kv_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dv), lambda bh, qi, kb: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, dv), kv_idx,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -272,19 +367,22 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
 @functools.partial(
     jax.jit,
     static_argnames=("softmax_scale", "block_q", "block_k", "interpret",
-                     "causal"),
+                     "causal", "window"),
 )
 def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
                            block_q: int | None = None,
                            block_k: int | None = None,
                            interpret: bool | None = None,
-                           causal: bool = False):
+                           causal: bool = False,
+                           window: int | None = None):
     """Streaming Pallas flash attention. q: (B, H, N, D), k/v: (B, H, KN, D).
-    Sequence length is HBM-bounded (K/V blocks stream through the grid)."""
+    Sequence length is HBM-bounded (K/V blocks stream through the grid).
+    ``window``: Mistral-style sliding window — each query attends to the
+    ``window`` most recent positions only (requires ``causal=True``)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     out, _ = _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal,
-                         interpret)
+                         interpret, window=window)
     return out
 
 
@@ -293,7 +391,8 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
+def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
+                   window=None, banded=False):
     """dq grid step, transposed slabs (see _fwd_kernel): s/p/ds live as
     (BLOCK_K, BLOCK_Q) so the per-query lse/delta vectors are (1, BLOCK_Q)
     and broadcast across sublanes; dq accumulates row-major via the
@@ -307,21 +406,24 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
          dq_scr) = refs
         q_off = k_off = 0
-    kb = pl.program_id(2)
+    jb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q = q_ref.shape[1]
     block_k = k_ref.shape[1]
 
-    @pl.when(kb == 0)
+    @pl.when(jb == 0)
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    start = kb * block_k
     q_start = pl.program_id(1) * block_q
-    live = (k_off + start <= q_off + q_start + block_q - 1) if causal \
-        else True
+    kb = jb + _first_k_block(q_start, window, block_k) if banded else jb
+    start = kb * block_k
+    live = _live_fwd(q_start, start, block_q, block_k, causal, window,
+                     q_off, k_off)
+    if banded:
+        live = jnp.logical_and(live, start < kv_len)
 
-    @pl.when(live if causal else kb >= 0)
+    @pl.when(live if (causal or window) else jb >= 0)
     def _():
         q = q_ref[0]
         k_blk = k_ref[0]
@@ -337,7 +439,7 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
                          block_k=block_k, q_off=q_off, k_off=k_off,
-                         transposed=True)
+                         transposed=True, window=window)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             v_blk, do, (((1,), (1,)), ((), ())),
@@ -349,13 +451,13 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets):
             preferred_element_type=jnp.float32,
         )  # (BLOCK_Q, D)
 
-    @pl.when(kb == num_kb - 1)
+    @pl.when(jb == num_kb - 1)
     def _():
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
-                    q_pad_mask, offsets):
+                    q_pad_mask, offsets, window=None, banded=False):
     if offsets:
         (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
          delta_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
@@ -364,23 +466,30 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
          dk_scr, dv_scr) = refs
         q_off = k_off = 0
-    qi = pl.program_id(2)
+    jb = pl.program_id(2)
     num_qb = pl.num_programs(2)
     block_k = k_ref.shape[1]
     block_q = q_ref.shape[1]
 
-    @pl.when(qi == 0)
+    @pl.when(jb == 0)
     def _():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     k_start = pl.program_id(1) * block_k
+    # Banded grid: the first query block that can see this key block under
+    # causality starts at k_start (firstq = k_start // block_q).
+    qi = jb + k_start // block_q if banded else jb
     q_start = qi * block_q
-    # Causal: query blocks entirely above this key block contribute nothing.
-    live = (q_off + q_start + block_q - 1 >= k_off + k_start) if causal \
-        else True
+    # Causal/window: query blocks entirely outside this key block's band
+    # contribute nothing (same liveness condition as the forward, with the
+    # roles read from the other side).
+    live = _live_fwd(q_start, k_start, block_q, block_k, causal, window,
+                     q_off, k_off)
+    if banded:
+        live = jnp.logical_and(live, q_start < q_len)
 
-    @pl.when(live if causal else qi >= 0)
+    @pl.when(live if (causal or window) else jb >= 0)
     def _():
         q = q_ref[0]
         k_blk = k_ref[0]
@@ -399,7 +508,7 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
         s = _mask_scores(s, q_start, k_start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
                          block_k=block_k, q_off=q_off, k_off=k_off,
-                         transposed=True)
+                         transposed=True, window=window)
         p = jnp.exp(s - lse)
         if q_pad_mask:
             # Padded query rows (q_idx >= q_len) have lse = 0 from padding
@@ -427,17 +536,19 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
             preferred_element_type=jnp.float32,
         )  # (BLOCK_K, D)
 
-    @pl.when(qi == num_qb - 1)
+    @pl.when(jb == num_qb - 1)
     def _():
         dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
-                causal, interpret, q_offset=None, k_offset=None):
+                causal, interpret, q_offset=None, k_offset=None,
+                window=None):
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv_dim = v.shape[-1]
+    hkv, group = _kv_heads(q, k, v)
     auto_q = block_q is None
     block_q, block_k = _auto_blocks(n, kn, d, dv_dim, block_q, block_k,
                                     itemsize=q.dtype.itemsize, bwd=True)
@@ -461,8 +572,8 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
         return jnp.pad(x, ((0, 0), (0, nk_pad - kn)) + ((0, 0),) * (x.ndim - 2))
 
     qf = padq(q.reshape(b * h, n, d))
-    kf = padk(k.reshape(b * h, kn, d))
-    vf = padk(v.reshape(b * h, kn, dv_dim))
+    kf = padk(k.reshape(b * hkv, kn, d))
+    vf = padk(v.reshape(b * hkv, kn, dv_dim))
     dof = padq(do.reshape(b * h, n, dv_dim))
     # lse/delta are laid out (bh, 1, n): the kernels consume them as
     # (1, BLOCK_Q) lane vectors matching the transposed score slabs.
@@ -488,17 +599,49 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
                         jnp.int32).reshape(1, 1),
         )
 
+    nkb = nk_pad // block_k
+    nqb = nq_pad // block_q
+    # Banded grids + causal fetch clamps: same scheme as the forward
+    # (see _fwd_pallas) — O(N·window) work, dead blocks elide their DMA.
+    banded = window is not None and not offsets
+    w_blocks = min(nkb, (block_q + window - 2) // block_k + 2) if banded \
+        else nkb
+    wq_blocks = min(nqb, (block_k + window - 2) // block_q + 2) if banded \
+        else nqb
+
+    def kv_page(bh):
+        # GQA: each query head reads its group's KV page.
+        return bh if group == 1 else (bh // h) * hkv + (bh % h) // group
+
+    def kv_idx(bh, qi, j):
+        kb = j + _first_k_block(qi * block_q, window, block_k) if banded \
+            else j
+        if causal and not offsets:
+            kb = jnp.minimum(
+                kb, jnp.minimum(nkb - 1,
+                                (qi * block_q + block_q - 1) // block_k))
+        return (kv_page(bh), kb, 0)
+
+    def q_row_idx(bh, kb, j):
+        qi = j + (kb * block_k) // block_q if banded else j
+        if causal and not offsets:
+            # Dead-early query blocks (above the diagonal) re-map up to
+            # the first live one; banded overshoot clamps to the last row.
+            qi = jnp.minimum(jnp.maximum(qi, (kb * block_k) // block_q),
+                             nqb - 1)
+        return qi
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=softmax_scale, kv_len=kn,
                           causal=causal, pad_mask=nk_pad != kn,
-                          offsets=offsets),
-        grid=(b * h, nq_pad // block_q, nk_pad // block_k),
+                          offsets=offsets, window=window, banded=banded),
+        grid=(b * h, nqb, w_blocks),
         in_specs=off_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, kb: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, d), kv_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dv_dim), lambda bh, qi, kb: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, dv_dim), kv_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, dv_dim), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -521,20 +664,27 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=softmax_scale, kv_len=kn,
                           q_len=n, causal=causal, pad_mask=nk_pad != kn,
-                          q_pad_mask=nq_pad != n, offsets=offsets),
-        grid=(b * h, nk_pad // block_k, nq_pad // block_q),
+                          q_pad_mask=nq_pad != n, offsets=offsets,
+                          window=window, banded=banded),
+        grid=(b * h, nkb, wq_blocks),
         in_specs=off_specs + [
-            pl.BlockSpec((1, block_q, d), lambda bh, kb, qi: (bh, qi, 0),
+            pl.BlockSpec((1, block_q, d),
+                         lambda bh, kb, qi: (bh, q_row_idx(bh, kb, qi), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, kb, qi: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, kb, qi: (kv_page(bh), kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dv_dim), lambda bh, kb, qi: (bh, kb, 0),
+            pl.BlockSpec((1, block_k, dv_dim),
+                         lambda bh, kb, qi: (kv_page(bh), kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, dv_dim), lambda bh, kb, qi: (bh, qi, 0),
+            pl.BlockSpec((1, block_q, dv_dim),
+                         lambda bh, kb, qi: (bh, q_row_idx(bh, kb, qi), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, kb, qi: (bh, 0, qi),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bh, kb, qi: (bh, 0, q_row_idx(bh, kb, qi)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda bh, kb, qi: (bh, 0, qi),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bh, kb, qi: (bh, 0, q_row_idx(bh, kb, qi)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -557,9 +707,19 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
         interpret=interpret_mode,
     )(*off_args, qf, kf, vf, dof, lsef, deltaf)
 
-    return (dq[:, :n].reshape(b, h, n, d),
-            dk[:, :kn].reshape(b, h, kn, d),
-            dv[:, :kn].reshape(b, h, kn, dv_dim))
+    dq = dq[:, :n].reshape(b, h, n, d)
+    if group == 1:
+        return dq, dk[:, :kn].reshape(b, h, kn, d), \
+            dv[:, :kn].reshape(b, h, kn, dv_dim)
+    # GQA: the dkv kernel writes PER-QUERY-HEAD partials (parallel grid
+    # rows may not scatter-add one KV page); sum each group in f32 here.
+    # The partials cost the same HBM as dq — acceptable; an in-kernel
+    # group-sequential accumulation could trade grid parallelism for it.
+    def gsum(x, dim):
+        return x[:, :kn].astype(jnp.float32).reshape(
+            b, hkv, group, kn, dim).sum(2).astype(x.dtype)
+
+    return dq, gsum(dk, d), gsum(dv, dv_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -568,12 +728,23 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("softmax_scale", "block_size", "causal")
+    jax.jit, static_argnames=("softmax_scale", "block_size", "causal",
+                              "window")
 )
 def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
-                        block_size: int = 512, causal: bool = False):
+                        block_size: int = 512, causal: bool = False,
+                        window: int | None = None):
     """Blockwise online-softmax attention in pure XLA (lax.scan) — the
-    portable fallback with the same O(N·block) memory profile."""
+    portable fallback with the same O(N·block) memory profile. ``window``:
+    sliding-window causal attention (see :func:`flash_attention_pallas`)."""
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
+    if k.shape[1] != q.shape[1]:
+        # GQA on the portable path: materialize the repeat (the Pallas
+        # kernels stream the shared page instead — see _kv_heads).
+        _, rep = _kv_heads(q, k, v)
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     b, h, n, d = q.shape
     kn = k.shape[2]
     block = min(block_size, kn)
@@ -592,11 +763,21 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
         m, l, acc = carry
         k_i, v_i, valid_i, key_pos_i = blk
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_i) * softmax_scale
-        s = jnp.where(valid_i[None, None, None, :], s, -jnp.inf)
+        # Masks use finite _NEG_INF, not -inf: a sliding window can fully
+        # mask EARLY key blocks while the running max is still -inf, and
+        # exp(-inf - -inf) = NaN; with -1e30 the block contributes p = 1
+        # rows that the next live block's correction factor exp(-1e30 - m)
+        # = 0 wipes — the same self-healing scheme as the Pallas kernel.
+        s = jnp.where(valid_i[None, None, None, :], s, _NEG_INF)
         if causal:
             s = jnp.where(
                 key_pos_i[None, None, None, :] <= q_pos[None, None, :, None],
-                s, -jnp.inf,
+                s, _NEG_INF,
+            )
+        if window is not None:
+            s = jnp.where(
+                q_pos[None, None, :, None] - key_pos_i[None, None, None, :]
+                < window, s, _NEG_INF,
             )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
@@ -622,48 +803,53 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_dispatch(q, k, v, softmax_scale, causal):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_dispatch(q, k, v, softmax_scale, causal, window):
     if jax.default_backend() == "tpu":
         return flash_attention_pallas(q, k, v, softmax_scale=softmax_scale,
-                                      causal=causal)
+                                      causal=causal, window=window)
     return flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
-                               causal=causal)
+                               causal=causal, window=window)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("softmax_scale", "causal", "interpret")
+    jax.jit, static_argnames=("softmax_scale", "causal", "window",
+                              "interpret")
 )
-def _fwd_with_lse(q, k, v, softmax_scale, causal, interpret):
-    return _fwd_pallas(q, k, v, softmax_scale, None, None, causal, interpret)
+def _fwd_with_lse(q, k, v, softmax_scale, causal, window, interpret):
+    return _fwd_pallas(q, k, v, softmax_scale, None, None, causal, interpret,
+                       window=window)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("softmax_scale", "causal", "interpret")
+    jax.jit, static_argnames=("softmax_scale", "causal", "window",
+                              "interpret")
 )
-def _bwd_jit(q, k, v, o, lse, do, softmax_scale, causal, interpret):
+def _bwd_jit(q, k, v, o, lse, do, softmax_scale, causal, window, interpret):
     return _bwd_pallas(q, k, v, o, lse, do, softmax_scale, None, None,
-                       causal, interpret)
+                       causal, interpret, window=window)
 
 
-def _flash_fwd(q, k, v, softmax_scale, causal):
+def _flash_fwd(q, k, v, softmax_scale, causal, window):
     if jax.default_backend() == "tpu":
-        o, lse = _fwd_with_lse(q, k, v, softmax_scale, causal, False)
+        o, lse = _fwd_with_lse(q, k, v, softmax_scale, causal, window, False)
         return o, (q, k, v, o, lse)
     o = flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
-                            causal=causal)
+                            causal=causal, window=window)
     return o, (q, k, v, None, None)
 
 
-def _flash_bwd(softmax_scale, causal, residuals, g):
+def _flash_bwd(softmax_scale, causal, window, residuals, g):
     q, k, v, o, lse = residuals
     if o is not None and jax.default_backend() == "tpu":
         # Pallas backward: recompute p per block from the saved LSE — no
         # N² matrix, no full-graph recompute.
-        return _bwd_jit(q, k, v, o, lse, g, softmax_scale, causal, False)
+        return _bwd_jit(q, k, v, o, lse, g, softmax_scale, causal, window,
+                        False)
     _, vjp = jax.vjp(
         lambda qq, kk, vv: flash_attention_xla(
-            qq, kk, vv, softmax_scale=softmax_scale, causal=causal
+            qq, kk, vv, softmax_scale=softmax_scale, causal=causal,
+            window=window
         ),
         q, k, v,
     )
@@ -674,11 +860,13 @@ _flash_dispatch.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, softmax_scale: float = 1.0,
-                    causal: bool = False):
+                    causal: bool = False, window: int | None = None):
     """Dispatch: streaming Pallas kernels (fwd AND bwd) on TPU, XLA
-    blockwise elsewhere. Differentiable. For explicit block-size control
-    call :func:`flash_attention_pallas` or :func:`flash_attention_xla`."""
-    return _flash_dispatch(q, k, v, softmax_scale, causal)
+    blockwise elsewhere. Differentiable. ``window``: sliding-window causal
+    attention — each query sees the ``window`` most recent positions
+    (requires ``causal=True``). For explicit block-size control call
+    :func:`flash_attention_pallas` or :func:`flash_attention_xla`."""
+    return _flash_dispatch(q, k, v, softmax_scale, causal, window)
 
 
 # ---------------------------------------------------------------------------
@@ -687,7 +875,8 @@ def flash_attention(q, k, v, softmax_scale: float = 1.0,
 
 
 def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
-                         k_pos_start, k_len, causal, chunk: int = 512):
+                         k_pos_start, k_len, causal, chunk: int = 512,
+                         window=None):
     """Merge one K/V block into an online-softmax carry, processing the
     block in ``chunk``-sized pieces so only a (B,H,Lq,chunk) score slab is
     ever materialized (blockwise — neither the full local score matrix nor
@@ -712,6 +901,8 @@ def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
         mask_i = (k_pos_i - k_pos_start < k_len)[None, :]
         if causal:
             mask_i = mask_i & (k_pos_i[None, :] <= q_pos[:, None])
+        if window is not None:
+            mask_i = mask_i & (q_pos[:, None] - k_pos_i[None, :] < window)
         s = jnp.where(mask_i[None, None], s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
@@ -729,7 +920,8 @@ def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
 
 def ring_attention(q, k, v, mesh, axis_name: str = "data",
                    softmax_scale: float = 1.0, causal: bool = False,
-                   chunk: int = 512, impl: str = "pallas"):
+                   chunk: int = 512, impl: str = "pallas",
+                   window: int | None = None):
     """Sequence-parallel attention: q/k/v sharded on the sequence axis over
     ``axis_name``; K/V blocks rotate around the ring with ``ppermute``
     while each device keeps a running (output, LSE) carry (SURVEY §5
@@ -745,9 +937,20 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
     (``chunk`` controls its score-slab width).
 
     q, k, v: (B, H, N, D) GLOBAL arrays (host side); returns the global
-    attention output. N must divide by the ring size.
+    attention output. N must divide by the ring size. ``window``:
+    sliding-window causal attention over GLOBAL positions — hops entirely
+    outside a device's band no-op via the in-kernel liveness check.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
+    if impl == "xla" and k.shape[1] != q.shape[1]:
+        # GQA: the chunked-einsum impl wants matched heads; the Pallas
+        # impl streams the shared KV page without materializing this.
+        _, rep = _kv_heads(q, k, v)
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
 
     n_dev = mesh.shape[axis_name]
     b, h, n, d = q.shape
@@ -784,6 +987,7 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
                 interpret,
                 q_offset=q_off if causal else None,
                 k_offset=k_off if causal else None,
+                window=window,
             )
             # Log-sum-exp merge of per-hop partial attention results.
             lse_new = jnp.logaddexp(lse_c, lse_i)
@@ -815,6 +1019,7 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
                 None, causal, interpret,
                 q_offset=q_off if causal else None,
                 k_offset=k_off if causal else None,
+                window=window,
             )
             # dq stays home; dk/dv travel with their block around the ring
             # (after n_dev rotations both are back at the owner).
@@ -857,7 +1062,7 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
             src = jax.lax.rem(my - i + n_dev, n_dev)
             m, l, acc = _online_block_update(
                 q_loc, k_blk, v_blk, m, l, acc, softmax_scale,
-                q_pos, src * local, local, causal, chunk
+                q_pos, src * local, local, causal, chunk, window=window
             )
             return (m, l, acc, _rot(k_blk), _rot(v_blk)), None
 

@@ -232,6 +232,323 @@ def test_mha_flash_path_d128(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+def _dense_window(q, k, v, scale, window):
+    """Dense sliding-window causal oracle (numpy)."""
+    n, kn = q.shape[2], k.shape[2]
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    q_pos = np.arange(n)[:, None]
+    k_pos = np.arange(kn)[None, :]
+    keep = (k_pos <= q_pos) & (q_pos - k_pos < window)
+    s = np.where(keep[None, None], s, -np.inf)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("n,window", [(64, 16), (64, 1), (40, 17),
+                                      (40, 100), (48, 24)])
+def test_sliding_window_matches_dense(rng, n, window):
+    """Sliding-window causal flash (Pallas interpret + XLA fallback) vs
+    the dense banded oracle. Covers window < block, window = 1, window
+    not a multiple of the block, window >= n (== plain causal), and n not
+    a multiple of the block (pad-mask interaction)."""
+    q = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    expected = _dense_window(np.asarray(q), np.asarray(k), np.asarray(v),
+                             0.25, window)
+    out_p = flash_attention_pallas(q, k, v, softmax_scale=0.25, block_q=16,
+                                   block_k=16, interpret=True, causal=True,
+                                   window=window)
+    out_x = flash_attention_xla(q, k, v, softmax_scale=0.25, block_size=16,
+                                causal=True, window=window)
+    np.testing.assert_allclose(np.asarray(out_p), expected, rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_x), expected, rtol=2e-4,
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("window", [16, 23])
+def test_pallas_backward_window_matches_dense(rng, window):
+    """The Pallas backward kernels under a sliding window match dense
+    banded-attention grads (interpret mode)."""
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    n, d = 56, 16
+    q = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32))
+
+    o, lse = _fwd_pallas(q, k, v, 0.25, 16, 16, True, True, window=window)
+    dq, dk, dv = _bwd_pallas(q, k, v, o, lse, g, 0.25, 16, 16, True, True,
+                             window=window)
+
+    def loss_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+        q_pos = jnp.arange(n)[:, None]
+        k_pos = jnp.arange(n)[None, :]
+        keep = (k_pos <= q_pos) & (q_pos - k_pos < window)
+        s = jnp.where(keep[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) * g)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_flash_window_differentiable_dispatch(rng):
+    """Grads through the public flash_attention with a window (XLA
+    fallback custom-VJP path on CPU) match the dense banded oracle."""
+    from ku.pallas.flash_attention import flash_attention
+
+    n, window = 32, 9
+    q = jnp.asarray(rng.normal(size=(1, 2, n, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, n, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, n, 8)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, softmax_scale=0.25,
+                                       causal=True, window=window) ** 2)
+
+    def loss_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+        q_pos = jnp.arange(n)[:, None]
+        k_pos = jnp.arange(n)[None, :]
+        keep = (k_pos <= q_pos) & (q_pos - k_pos < window)
+        s = jnp.where(keep[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4)
+
+
+def test_ring_attention_window_8_devices(rng):
+    """Sliding-window causal ring attention (8-device sequence ring,
+    window crossing shard boundaries) == dense banded oracle, forward and
+    gradients, for both impls."""
+    from ku.dist import make_mesh
+    from ku.pallas.flash_attention import ring_attention
+
+    mesh = make_mesh({"data": 8})
+    n, window = 64, 12  # 8 per device; band spans ~2 shards
+    q = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    expected = _dense_window(np.asarray(q), np.asarray(k), np.asarray(v),
+                             0.25, window)
+    for impl in ("pallas", "xla"):
+        out = ring_attention(q, k, v, mesh, axis_name="data",
+                             softmax_scale=0.25, causal=True, chunk=8,
+                             impl=impl, window=window)
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4,
+                                   atol=1e-5, err_msg=impl)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(
+            ring_attention(q, k, v, mesh, axis_name="data",
+                           softmax_scale=0.25, causal=True,
+                           window=window) ** 2
+        )
+
+    def loss_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+        q_pos = jnp.arange(n)[:, None]
+        k_pos = jnp.arange(n)[None, :]
+        keep = (k_pos <= q_pos) & (q_pos - k_pos < window)
+        s = jnp.where(keep[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, v) ** 2)
+
+    gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gr, gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
+
+
+def test_mha_causal_window_flash_vs_dense(rng):
+    """MultiHeadAttention causal/window extensions: the flash path and
+    the dense path agree; window without causal raises."""
+    from ku.nn import MultiHeadAttention
+
+    b, n, dm = 2, 40, 64
+    q = jnp.asarray(rng.normal(size=(b, n, dm)).astype(np.float32)) * 0.1
+    for kwargs in ({"causal": True}, {"causal": True, "window": 11}):
+        mha_flash = MultiHeadAttention(num_head=2, d_output=dm,
+                                       use_flash=True, **kwargs)
+        mha_plain = MultiHeadAttention(num_head=2, d_output=dm,
+                                       use_flash=False, **kwargs)
+        variables = mha_flash.init(jax.random.key(0), [q, q, q])
+        out_f = mha_flash.apply(variables, [q, q, q])
+        out_p = mha_plain.apply(variables, [q, q, q])
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(kwargs))
+
+    bad = MultiHeadAttention(num_head=2, d_output=dm, window=8)
+    with pytest.raises(ValueError, match="causal"):
+        bad.init(jax.random.key(0), [q, q, q])
+
+
+def test_window_requires_causal():
+    z = jnp.zeros((1, 1, 16, 8))
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention_pallas(z, z, z, causal=False, window=8,
+                               interpret=True)
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention_xla(z, z, z, window=8)
+
+
+@pytest.mark.parametrize("hkv,window", [(2, None), (1, None), (2, 11)])
+def test_gqa_flash_matches_repeated_dense(rng, hkv, window):
+    """Grouped-query attention (k/v with fewer heads; hkv=1 is MQA):
+    Pallas kernels (fwd + both backwards) and the XLA fallback match
+    dense attention over group-repeated K/V — incl. combined with a
+    sliding window."""
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    h, n, d = 4, 40, 16
+    causal = window is not None
+    q = jnp.asarray(rng.normal(size=(2, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, hkv, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, hkv, n, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, h, n, d)).astype(np.float32))
+    rep = h // hkv
+
+    def dense_out(q, k, v):
+        kr = jnp.repeat(k, rep, axis=1)
+        vr = jnp.repeat(v, rep, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * 0.25
+        if causal:
+            q_pos = jnp.arange(n)[:, None]
+            k_pos = jnp.arange(n)[None, :]
+            keep = k_pos <= q_pos
+            if window is not None:
+                keep = keep & (q_pos - k_pos < window)
+            s = jnp.where(keep[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vr)
+
+    expected = np.asarray(dense_out(q, k, v))
+    o, lse = _fwd_pallas(q, k, v, 0.25, 16, 16, causal, True, window=window)
+    np.testing.assert_allclose(np.asarray(o), expected, rtol=2e-4,
+                               atol=2e-5)
+    out_x = flash_attention_xla(q, k, v, softmax_scale=0.25, block_size=16,
+                                causal=causal, window=window)
+    np.testing.assert_allclose(np.asarray(out_x), expected, rtol=2e-4,
+                               atol=2e-5)
+
+    dq, dk, dv = _bwd_pallas(q, k, v, o, lse, g, 0.25, 16, 16, causal,
+                             True, window=window)
+    gd = jax.grad(lambda q, k, v: jnp.sum(dense_out(q, k, v) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_gqa_dispatch_differentiable(rng):
+    """Public flash_attention with GQA shapes: grads through the
+    custom-VJP dispatch match the repeated-dense oracle."""
+    from ku.pallas.flash_attention import flash_attention
+
+    h, hkv, n, d = 4, 2, 24, 8
+    q = jnp.asarray(rng.normal(size=(1, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, hkv, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, hkv, n, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, softmax_scale=0.25,
+                                       causal=True) ** 2)
+
+    def loss_dense(q, k, v):
+        kr = jnp.repeat(k, h // hkv, axis=1)
+        vr = jnp.repeat(v, h // hkv, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * 0.25
+        mask = jnp.tril(jnp.ones((n, n), bool))
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, vr) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
+
+
+def test_gqa_invalid_heads():
+    q = jnp.zeros((1, 4, 16, 8))
+    k = jnp.zeros((1, 3, 16, 8))
+    with pytest.raises(ValueError, match="multiple"):
+        flash_attention_pallas(q, k, k, interpret=True)
+
+
+def test_mha_gqa_flash_vs_dense(rng):
+    """MultiHeadAttention num_kv_head: flash and dense paths agree; K/V
+    projections shrink to num_kv_head heads."""
+    from ku.nn import MultiHeadAttention
+
+    b, n, dm = 2, 24, 64
+    q = jnp.asarray(rng.normal(size=(b, n, dm)).astype(np.float32)) * 0.1
+    mha_f = MultiHeadAttention(num_head=4, d_output=dm, num_kv_head=2,
+                               use_flash=True, causal=True)
+    mha_p = MultiHeadAttention(num_head=4, d_output=dm, num_kv_head=2,
+                               use_flash=False, causal=True)
+    variables = mha_f.init(jax.random.key(0), [q, q, q])
+    assert variables["params"]["W_K"].shape == (dm, dm // 2)
+    assert variables["params"]["W_V"].shape == (dm, dm // 2)
+    out_f = mha_f.apply(variables, [q, q, q])
+    out_p = mha_p.apply(variables, [q, q, q])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ring_attention_gqa_8_devices(rng):
+    """GQA inside the sequence ring: 8-device causal ring attention with
+    2 KV heads for 4 query heads == repeated-dense oracle (fwd + grads)."""
+    from ku.dist import make_mesh
+    from ku.pallas.flash_attention import ring_attention
+
+    mesh = make_mesh({"data": 8})
+    h, hkv, n, d = 4, 2, 64, 16
+    q = jnp.asarray(rng.normal(size=(1, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, hkv, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, hkv, n, d)).astype(np.float32))
+
+    def dense_out(q, k, v):
+        kr = jnp.repeat(k, h // hkv, axis=1)
+        vr = jnp.repeat(v, h // hkv, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * 0.25
+        mask = jnp.tril(jnp.ones((n, n), bool))
+        s = jnp.where(mask[None, None], s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vr)
+
+    out = ring_attention(q, k, v, mesh, axis_name="data",
+                         softmax_scale=0.25, causal=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(dense_out(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        ring_attention(q, k, v, mesh, axis_name="data", softmax_scale=0.25,
+                       causal=True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(lambda q, k, v: jnp.sum(dense_out(q, k, v) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gr, gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-4, err_msg=name)
+
+
 def test_ring_pallas_vs_xla_impls(rng):
     """The kernel-based ring (impl='pallas') and the chunked-einsum ring
     (impl='xla') agree, causal and not."""

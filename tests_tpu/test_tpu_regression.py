@@ -313,6 +313,78 @@ def test_flash_attention_compiled_d128_bf16(rng):
             rtol=0.1, atol=0.05, err_msg=name)
 
 
+def test_flash_window_compiled(rng):
+    """Compiled sliding-window flash kernels (banded grids + fetch-clamped
+    index maps — Mosaic-specific lowering the CPU suite only interprets):
+    fwd + both backward kernels vs the dense banded oracle. window=160 is
+    not a multiple of the auto block sizes."""
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    b, h, n, d, window = 1, 2, 512, 64, 160
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.1
+    g = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+
+    o, lse = jax.jit(lambda q, k, v: _fwd_pallas(
+        q, k, v, scale, None, None, True, False, window=window))(q, k, v)
+    dq, dk, dv = jax.jit(lambda *a: _bwd_pallas(
+        *a, scale, None, None, True, False, window=window))(
+        q, k, v, o, lse, g)
+
+    q_pos = np.arange(n)[:, None]
+    k_pos = np.arange(n)[None, :]
+    keep = jnp.asarray((k_pos <= q_pos) & (q_pos - k_pos < window))
+
+    def dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        p = jax.nn.softmax(jnp.where(keep[None, None], s, -jnp.inf), -1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    np.testing.assert_allclose(np.asarray(o), np.asarray(dense(q, k, v)),
+                               rtol=2e-2, atol=2e-3)
+    gd = jax.grad(lambda q, k, v: jnp.sum(dense(q, k, v) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-3, err_msg=name)
+
+
+def test_flash_gqa_compiled(rng):
+    """Compiled GQA flash kernels (shared-KV-page index maps + grouped
+    dk/dv partial sum): fwd + bwd vs the repeated-dense oracle."""
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    b, h, hkv, n, d = 1, 4, 2, 256, 64
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.normal(size=(b, hkv, n, d)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.normal(size=(b, hkv, n, d)).astype(np.float32)) * 0.1
+    g = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+
+    o, lse = jax.jit(lambda q, k, v: _fwd_pallas(
+        q, k, v, scale, None, None, True, False))(q, k, v)
+    dq, dk, dv = jax.jit(lambda *a: _bwd_pallas(
+        *a, scale, None, None, True, False))(q, k, v, o, lse, g)
+
+    def dense(q, k, v):
+        kr = jnp.repeat(k, h // hkv, axis=1)
+        vr = jnp.repeat(v, h // hkv, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * scale
+        mask = jnp.tril(jnp.ones((n, n), bool))
+        p = jax.nn.softmax(jnp.where(mask[None, None], s, -jnp.inf), -1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, vr)
+
+    np.testing.assert_allclose(np.asarray(o), np.asarray(dense(q, k, v)),
+                               rtol=2e-2, atol=2e-3)
+    gd = jax.grad(lambda q, k, v: jnp.sum(dense(q, k, v) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-3, err_msg=name)
+
+
 def test_ring_attention_compiled_single_device(rng):
     """Compiled flash-in-ring path on hardware: a 1-device mesh ring
     (degenerate but real Mosaic — offsets threaded as SMEM scalars, the
