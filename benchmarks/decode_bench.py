@@ -1,0 +1,88 @@
+"""Autoregressive serving micro-bench: KV-cache decode tokens/sec.
+
+A small transformer LM stack (2 blocks, d_model 512, 8 query heads, GQA
+2 KV heads) decodes T tokens with the MultiHeadAttention KV cache. The
+WHOLE decode loop runs as ONE dispatch (lax.scan with the functional
+cache dict as carry), so the ~25-30 ms axon-tunnel round trip amortizes
+across T steps (BASELINE.md methodology); scalar-readback fencing.
+
+Usage: python benchmarks/decode_bench.py [T]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ku.nn import Transformer
+
+D_MODEL, HEADS, KV_HEADS, BLOCKS, BATCH = 512, 8, 2, 2, 8
+
+
+def build(max_len):
+    import flax.linen as nn
+
+    class LM(nn.Module):
+        @nn.compact
+        def __call__(self, x, decode: bool = False):
+            for i in range(BLOCKS):
+                x = Transformer(HEADS, D_MODEL, 0.0, causal=True,
+                                num_kv_head=KV_HEADS,
+                                max_decode_len=max_len,
+                                name=f"block{i}")([x], decode=decode)
+            return x
+
+    return LM()
+
+
+def main():
+    t_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    model = build(t_tokens)
+    x0 = jnp.asarray(rng.normal(size=(BATCH, 1, D_MODEL)), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, decode=True)
+    params = variables["params"]
+    cache0 = variables["cache"]
+
+    @jax.jit
+    def decode_chain(params, cache0, x0, salt):
+        def step(carry, _):
+            x, cache = carry
+            y, mut = model.apply({"params": params, "cache": cache}, x,
+                                 decode=True, mutable=["cache"])
+            # Feed the output back (greedy-decode shape without a vocab).
+            return (y * (1 + salt * 1e-30), mut["cache"]), jnp.sum(y)
+
+        (_, _), sums = jax.lax.scan(step, (x0, cache0), None,
+                                    length=t_tokens)
+        return jnp.sum(sums)
+
+    _ = np.asarray(decode_chain(params, cache0, x0, jnp.float32(0)))  # compile
+    best = float("inf")
+    for i in range(4):
+        t0 = time.perf_counter()
+        _ = np.asarray(decode_chain(params, cache0, x0,
+                                    jnp.float32(1e-6 * i)))
+        best = min(best, time.perf_counter() - t0)
+    toks = BATCH * t_tokens
+    out = {
+        "decode_tokens_per_sec": round(toks / best, 1),
+        "ms_per_token_batch": round(best * 1e3 / t_tokens, 4),
+        "batch": BATCH, "t": t_tokens, "d_model": D_MODEL,
+        "heads": HEADS, "kv_heads": KV_HEADS, "blocks": BLOCKS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

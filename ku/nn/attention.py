@@ -27,6 +27,7 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 SIMILARITY_TYPE_DIFF_ABS = "diff_abs"
@@ -69,13 +70,25 @@ class MultiHeadAttention(nn.Module):
     # None = num_head (standard MHA). Shrinks the K/V projections and the
     # KV cache by num_head/num_kv_head.
     num_kv_head: Optional[int] = None
+    # Autoregressive serving: maximum sequence length of the KV cache
+    # allocated when __call__ runs with decode=True (one token per call,
+    # 'cache' collection mutable). Requires causal=True.
+    max_decode_len: Optional[int] = None
 
     @nn.compact
-    def __call__(self, inputs, deterministic: bool = True):
+    def __call__(self, inputs, deterministic: bool = True,
+                 decode: bool = False):
         if self.similarity_type not in _SIMILARITY_TYPES:
             raise ValueError(f"similarity_type {self.similarity_type!r} is not valid.")
         if self.window is not None and not self.causal:
             raise ValueError("window requires causal=True")
+        if decode and not self.causal:
+            raise ValueError("decode=True requires causal=True")
+        if decode and self.max_decode_len is None:
+            raise ValueError("decode=True requires max_decode_len")
+        if decode and (self.similarity_type != SIMILARITY_TYPE_SCALED
+                       or self.use_mask):
+            raise ValueError("decode supports the scaled no-mask path")
         q, k, v = inputs[0], inputs[1], inputs[2]
         m = inputs[3] if len(inputs) > 3 else None
 
@@ -100,7 +113,43 @@ class MultiHeadAttention(nn.Module):
         k_h = split_heads(k @ w_k, d_k_h, hkv)
         v_h = split_heads(v @ w_v, d_v_h, hkv)
 
-        if (
+        if decode:
+            # Autoregressive KV-cache step (serving): append this token's
+            # K/V (h_kv heads — GQA shrinks the cache num_head/num_kv_head
+            # ×) and attend the query against the filled prefix. Grouped
+            # einsums read the shared KV page without materializing the
+            # head repeat. One token per call (q length 1).
+            bsz, L = q.shape[0], q.shape[1]
+            if L != 1:
+                raise ValueError(f"decode processes one token per call, "
+                                 f"got length {L}")
+            mx = self.max_decode_len
+            ck = self.variable("cache", "cached_key", jnp.zeros,
+                               (bsz, hkv, mx, d_k_h), k_h.dtype)
+            cv = self.variable("cache", "cached_value", jnp.zeros,
+                               (bsz, hkv, mx, d_v_h), v_h.dtype)
+            ci = self.variable("cache", "cache_index",
+                               lambda: jnp.zeros((), jnp.int32))
+            idx = ci.value
+            ck.value = jax.lax.dynamic_update_slice(ck.value, k_h,
+                                                    (0, 0, idx, 0))
+            cv.value = jax.lax.dynamic_update_slice(cv.value, v_h,
+                                                    (0, 0, idx, 0))
+            ci.value = idx + 1
+
+            group = h // hkv
+            pos = jnp.arange(mx)
+            keep = pos <= idx
+            if self.window is not None:
+                keep = keep & (idx - pos < self.window)
+            qg = q_h.reshape(bsz, hkv, group, 1, d_k_h)
+            s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, ck.value) / math.sqrt(
+                d_k)
+            s = jnp.where(keep[None, None, None, None, :], s, -1e30)
+            p = nn.softmax(s, axis=-1)
+            head = jnp.einsum("bhgqk,bhkd->bhgqd", p, cv.value).reshape(
+                bsz, h, 1, d_v_h)
+        elif (
             self.use_flash
             and self.similarity_type == SIMILARITY_TYPE_SCALED
             and not self.use_mask

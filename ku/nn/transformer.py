@@ -38,9 +38,18 @@ class Transformer(nn.Module):
     similarity_type: str = SIMILARITY_TYPE_SCALED
     layer_norm_f: bool = True
     use_flash: bool = False
+    # Extensions beyond the reference, forwarded to the attention layers:
+    # causal/sliding-window masking, grouped-query heads, and KV-cache
+    # autoregressive decoding (``__call__(..., decode=True)`` with the
+    # 'cache' collection mutable; requires causal + max_decode_len).
+    causal: bool = False
+    window: int | None = None
+    num_kv_head: int | None = None
+    max_decode_len: int | None = None
 
     @nn.compact
-    def __call__(self, inputs, deterministic: bool = True):
+    def __call__(self, inputs, deterministic: bool = True,
+                 decode: bool = False):
         x, m = inputs[0], inputs[1] if len(inputs) > 1 else None
 
         def attn_block(y):
@@ -50,7 +59,11 @@ class Transformer(nn.Module):
                 self.dropout_rate,
                 similarity_type=self.similarity_type,
                 use_flash=self.use_flash,
-            )([y, y, y, m], deterministic=deterministic)
+                causal=self.causal,
+                window=self.window,
+                num_kv_head=self.num_kv_head,
+                max_decode_len=self.max_decode_len,
+            )([y, y, y, m], deterministic=deterministic, decode=decode)
             y2 = nn.Dropout(self.dropout_rate)(y2, deterministic=deterministic)
             y2 = y + y2
             if self.layer_norm_f:

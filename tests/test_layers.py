@@ -240,6 +240,67 @@ def test_flash_attention_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("kwargs", [
+    {}, {"num_kv_head": 2}, {"window": 5}, {"num_kv_head": 1, "window": 3},
+])
+def test_mha_kv_cache_decode_matches_full(key, rng, kwargs):
+    """Autoregressive KV-cache decoding (serving path): feeding tokens
+    one-by-one with decode=True reproduces the full causal forward — for
+    plain MHA, GQA, MQA, and sliding-window variants."""
+    b, t, dm = 2, 7, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, **kwargs)
+    variables = layer.init(key, [x, x, x])
+    full = np.asarray(layer.apply(variables, [x, x, x]))
+
+    cache = {}
+    steps = []
+    for i in range(t):
+        tok = x[:, i:i + 1]
+        y, mut = layer.apply(
+            {"params": variables["params"], **cache},
+            [tok, tok, tok], decode=True, mutable=["cache"])
+        cache = mut
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=1e-4, atol=1e-5)
+    assert int(cache["cache"]["cache_index"]) == t
+
+
+def test_transformer_kv_cache_decode_matches_full(key, rng):
+    """Transformer block decode (both attention sublayers carry their own
+    cache) == full causal forward, token by token."""
+    b, t, dm = 2, 6, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, num_kv_head=1,
+                           max_decode_len=t)
+    variables = block.init(key, [x])
+    full = np.asarray(block.apply(variables, [x]))
+
+    cache = {}
+    steps = []
+    for i in range(t):
+        tok = x[:, i:i + 1]
+        y, mut = block.apply(
+            {"params": variables["params"], **cache},
+            [tok], decode=True, mutable=["cache"])
+        cache = mut
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mha_decode_validation(key, rng):
+    x = jnp.zeros((1, 1, 8))
+    mha = ku.MultiHeadAttention(2, 8, causal=False, max_decode_len=4)
+    with pytest.raises(ValueError, match="causal"):
+        mha.init(key, [x, x, x], decode=True)
+    mha = ku.MultiHeadAttention(2, 8, causal=True)
+    with pytest.raises(ValueError, match="max_decode_len"):
+        mha.init(key, [x, x, x], decode=True)
+
+
 def test_position_encodings(key, rng):
     x = jnp.zeros((2, 5, 4))
     y = np.asarray(ku.OrdinalPositionEncoding(10).apply({}, x))
