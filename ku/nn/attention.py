@@ -62,7 +62,9 @@ class MultiHeadAttention(nn.Module):
     # Extensions beyond the reference (which is full-bidirectional only):
     # causal autoregressive masking and Mistral-style sliding-window
     # attention (window most recent positions; requires causal). Both are
-    # honored by the dense AND flash paths identically.
+    # honored by the dense AND flash paths identically. Packed sequences:
+    # __call__(..., segment_ids=(B, N) int array or (seg_q, seg_k) pair)
+    # masks attention across segment boundaries on both paths.
     causal: bool = False
     window: Optional[int] = None
     # Grouped-query attention: project K/V to num_kv_head heads
@@ -77,7 +79,7 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
-                 decode: bool = False):
+                 decode: bool = False, segment_ids=None):
         if self.similarity_type not in _SIMILARITY_TYPES:
             raise ValueError(f"similarity_type {self.similarity_type!r} is not valid.")
         if self.window is not None and not self.causal:
@@ -89,6 +91,8 @@ class MultiHeadAttention(nn.Module):
         if decode and (self.similarity_type != SIMILARITY_TYPE_SCALED
                        or self.use_mask):
             raise ValueError("decode supports the scaled no-mask path")
+        if decode and segment_ids is not None:
+            raise ValueError("decode does not support segment_ids")
         q, k, v = inputs[0], inputs[1], inputs[2]
         m = inputs[3] if len(inputs) > 3 else None
 
@@ -159,7 +163,8 @@ class MultiHeadAttention(nn.Module):
 
             head = flash_attention(q_h, k_h, v_h,
                                    softmax_scale=1.0 / math.sqrt(d_k),
-                                   causal=self.causal, window=self.window)
+                                   causal=self.causal, window=self.window,
+                                   segment_ids=segment_ids)
         else:
             if hkv != h:  # GQA on the dense path: materialize the repeat
                 k_h = jnp.repeat(k_h, h // hkv, axis=1)
@@ -192,6 +197,16 @@ class MultiHeadAttention(nn.Module):
                 if self.window is not None:
                     keep = keep & (q_pos - k_pos < self.window)
                 scores = jnp.where(keep[None, None], scores, -1e30)
+            if segment_ids is not None:
+                # Packed sequences: block-diagonal masking from (B, N) ids
+                # (or a (seg_q, seg_k) pair) — same semantics as the flash
+                # path's segment_ids.
+                seg_q, seg_k = (segment_ids
+                                if isinstance(segment_ids, (tuple, list))
+                                else (segment_ids, segment_ids))
+                keep_seg = (jnp.asarray(seg_q)[:, :, None]
+                            == jnp.asarray(seg_k)[:, None, :])
+                scores = jnp.where(keep_seg[:, None], scores, -1e30)
             probs = nn.softmax(scores, axis=-1)
             if self.use_mask and m is not None:
                 probs = probs * m

@@ -39,9 +39,10 @@ class Transformer(nn.Module):
     layer_norm_f: bool = True
     use_flash: bool = False
     # Extensions beyond the reference, forwarded to the attention layers:
-    # causal/sliding-window masking, grouped-query heads, and KV-cache
+    # causal/sliding-window masking, grouped-query heads, KV-cache
     # autoregressive decoding (``__call__(..., decode=True)`` with the
-    # 'cache' collection mutable; requires causal + max_decode_len).
+    # 'cache' collection mutable; requires causal + max_decode_len), and
+    # packed-sequence masking (``__call__(..., segment_ids=...)``).
     causal: bool = False
     window: int | None = None
     num_kv_head: int | None = None
@@ -49,7 +50,7 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
-                 decode: bool = False):
+                 decode: bool = False, segment_ids=None):
         x, m = inputs[0], inputs[1] if len(inputs) > 1 else None
 
         def attn_block(y):
@@ -63,7 +64,8 @@ class Transformer(nn.Module):
                 window=self.window,
                 num_kv_head=self.num_kv_head,
                 max_decode_len=self.max_decode_len,
-            )([y, y, y, m], deterministic=deterministic, decode=decode)
+            )([y, y, y, m], deterministic=deterministic, decode=decode,
+              segment_ids=segment_ids)
             y2 = nn.Dropout(self.dropout_rate)(y2, deterministic=deterministic)
             y2 = y + y2
             if self.layer_norm_f:

@@ -38,6 +38,12 @@ Supported uniformly by the Pallas kernels (fwd + both backward kernels,
 band mask + block liveness so out-of-band blocks skip all compute), the
 XLA fallback, the differentiable dispatch, and the ring (band over
 GLOBAL positions — out-of-band hops no-op in-kernel).
+
+Packed sequences: ``segment_ids`` masks scores across segment
+boundaries (block-diagonal attention), composing with causal/window/GQA.
+Segment blocks ride as (1, BLOCK_Q) lane / (BLOCK_K, 1) sublane vectors
+matching the transposed slab — no in-kernel relayout; boundaries are
+data, so no block-level elision. Kernels + fallback + dispatch.
 """
 
 from __future__ import annotations
@@ -58,7 +64,8 @@ _NEG_INF = -1e30
 
 
 def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
-                 block_k, q_off=0, k_off=0, transposed=False, window=None):
+                 block_k, q_off=0, k_off=0, transposed=False, window=None,
+                 seg_q=None, seg_k=None):
     """Apply key-padding, causal, and sliding-window masks to a score
     block, eliding the work where statically or dynamically unnecessary
     (interior blocks pay no iota/select passes — at large N the masks
@@ -79,6 +86,13 @@ def _mask_scores(s, q_start, start, *, kv_len, causal, pad_mask, block_q,
     def query_idx():
         return q_start + jax.lax.broadcasted_iota(jnp.int32, shape, q_axis)
 
+    if seg_q is not None:
+        # Packed sequences: scores across segment boundaries are masked.
+        # seg_q: (1, BLOCK_Q), seg_k: (BLOCK_K, 1) — broadcast to the
+        # transposed slab. Block-level elision is impossible (boundaries
+        # are data), so this mask is unconditional.
+        assert transposed
+        s = jnp.where(seg_k == seg_q, s, _NEG_INF)
     if pad_mask:
         # Only the last key block can contain padded keys (padding is in
         # LOCAL coordinates — independent of the global offsets).
@@ -137,7 +151,7 @@ def _first_k_block(q_start, window, block_k):
 
 
 def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
-                window=None, banded=False):
+                window=None, banded=False, segments=False):
     """Forward grid step, TRANSPOSED score layout: the slab lives as
     (BLOCK_K, BLOCK_Q) so the softmax max/sum are SUBLANE reductions and
     the per-query running stats are (1, BLOCK_Q) lane vectors whose
@@ -147,13 +161,14 @@ def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
     (DV, BLOCK_Q) (PV is computed as VᵀP) and is untransposed once per
     query block at the last grid step. Measured -14..-18% vs the
     row-major layout at D=64/128 (benchmarks/flash_tune_probe.py)."""
+    refs = list(refs)
     if offsets:
-        (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-         m_scr, l_scr, acc_scr) = refs
-        q_off, k_off = q_off_ref[0, 0], k_off_ref[0, 0]
+        q_off, k_off = refs.pop(0)[0, 0], refs.pop(0)[0, 0]
     else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
         q_off = k_off = 0
+    seg_q_ref = refs.pop(0) if segments else None
+    seg_k_ref = refs.pop(0) if segments else None
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     jb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q = q_ref.shape[1]
@@ -201,7 +216,9 @@ def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
                          block_k=block_k, q_off=q_off, k_off=k_off,
-                         transposed=True, window=window)
+                         transposed=True, window=window,
+                         seg_q=seg_q_ref[0] if segments else None,
+                         seg_k=seg_k_ref[0] if segments else None)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
@@ -265,8 +282,27 @@ def _kv_heads(q, k, v):
     return hkv, h // hkv
 
 
+def _norm_segments(segment_ids, b, n, kn):
+    """Normalize ``segment_ids`` to (seg_q, seg_k) int32 arrays of shape
+    (B, N)/(B, KN), or None. A single (B, N) array is used for both sides
+    (self-attention)."""
+    if segment_ids is None:
+        return None
+    if isinstance(segment_ids, (tuple, list)):
+        seg_q, seg_k = segment_ids
+    else:
+        seg_q = seg_k = segment_ids
+    seg_q = jnp.asarray(seg_q, jnp.int32)
+    seg_k = jnp.asarray(seg_k, jnp.int32)
+    if seg_q.shape != (b, n) or seg_k.shape != (b, kn):
+        raise ValueError(
+            f"segment_ids shapes {seg_q.shape}/{seg_k.shape} != "
+            f"({b}, {n})/({b}, {kn})")
+    return seg_q, seg_k
+
+
 def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
-                q_offset=None, k_offset=None, window=None):
+                q_offset=None, k_offset=None, window=None, segment_ids=None):
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv = v.shape[-1]
@@ -275,6 +311,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
         raise ValueError("window requires causal=True")
     if window is not None and window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    segment_ids = _norm_segments(segment_ids, b, n, kn)
     block_q, block_k = _auto_blocks(n, kn, d, dv, block_q, block_k,
                                     itemsize=q.dtype.itemsize)
     block_q = min(block_q, max(8, n))
@@ -312,7 +349,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
     w_blocks = min(nkb, (block_q + window - 2) // block_k + 2) if banded \
         else nkb
 
-    def kv_idx(bh, qi, j):
+    def k_block(qi, j):
         kb = j + _first_k_block(qi * block_q, window, block_k) if banded \
             else j
         if causal and not offsets:
@@ -322,17 +359,44 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
             kb = jnp.minimum(
                 kb, jnp.minimum(nkb - 1,
                                 (qi * block_q + block_q - 1) // block_k))
+        return kb
+
+    def kv_idx(bh, qi, j):
         # GQA: each query head streams its group's KV page.
         page = bh if group == 1 else (bh // h) * hkv + (bh % h) // group
-        return (page, kb, 0)
+        return (page, k_block(qi, j), 0)
+
+    seg_specs, seg_args = [], ()
+    if segment_ids is not None:
+        # seg_q rides as (B, 1, N) lane vectors, seg_k as (B, KN, 1)
+        # sublane vectors — both match the transposed slab with no
+        # in-kernel relayout. Pads get segment -1 (matches nothing).
+        seg_q_a, seg_k_a = segment_ids
+        seg_specs = [
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bh, qi, j: (bh // h, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1),
+                         lambda bh, qi, j: (bh // h, k_block(qi, j), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        seg_args = (
+            jnp.pad(seg_q_a.reshape(b, 1, n), ((0, 0), (0, 0),
+                                               (0, nq_pad - n)),
+                    constant_values=-1),
+            jnp.pad(seg_k_a.reshape(b, kn, 1), ((0, 0), (0, nk_pad - kn),
+                                                (0, 0)),
+                    constant_values=-1),
+        )
 
     grid = (b * h, nq_pad // block_q, w_blocks)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=softmax_scale, kv_len=kn,
                           causal=causal, pad_mask=nk_pad != kn,
-                          offsets=offsets, window=window, banded=banded),
+                          offsets=offsets, window=window, banded=banded,
+                          segments=segment_ids is not None),
         grid=grid,
-        in_specs=off_specs + [
+        in_specs=off_specs + seg_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), kv_idx,
@@ -359,7 +423,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(*off_args, qf, kf, vf)
+    )(*off_args, *seg_args, qf, kf, vf)
     return (out[:, :n, :].reshape(b, h, n, dv),
             lse[:, :n, 0].reshape(b, h, n))
 
@@ -374,15 +438,19 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
                            block_k: int | None = None,
                            interpret: bool | None = None,
                            causal: bool = False,
-                           window: int | None = None):
+                           window: int | None = None,
+                           segment_ids=None):
     """Streaming Pallas flash attention. q: (B, H, N, D), k/v: (B, H, KN, D).
     Sequence length is HBM-bounded (K/V blocks stream through the grid).
     ``window``: Mistral-style sliding window — each query attends to the
-    ``window`` most recent positions only (requires ``causal=True``)."""
+    ``window`` most recent positions only (requires ``causal=True``).
+    ``segment_ids``: packed-sequence masking — a (B, N) int array (or a
+    (seg_q, seg_k) pair for cross-attention); scores across segment
+    boundaries are masked. Ids must be >= 0 (pads use -1 internally)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     out, _ = _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal,
-                         interpret, window=window)
+                         interpret, window=window, segment_ids=segment_ids)
     return out
 
 
@@ -392,20 +460,21 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
 
 
 def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
-                   window=None, banded=False):
+                   window=None, banded=False, segments=False):
     """dq grid step, transposed slabs (see _fwd_kernel): s/p/ds live as
     (BLOCK_K, BLOCK_Q) so the per-query lse/delta vectors are (1, BLOCK_Q)
     and broadcast across sublanes; dq accumulates row-major via the
     sublane-contraction matmul dsᵀ·K (the same TT form as the forward's
     VᵀP, measured MXU-native)."""
+    refs = list(refs)
     if offsets:
-        (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-         delta_ref, dq_ref, dq_scr) = refs
-        q_off, k_off = q_off_ref[0, 0], k_off_ref[0, 0]
+        q_off, k_off = refs.pop(0)[0, 0], refs.pop(0)[0, 0]
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-         dq_scr) = refs
         q_off = k_off = 0
+    seg_q_ref = refs.pop(0) if segments else None
+    seg_k_ref = refs.pop(0) if segments else None
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+     dq_scr) = refs
     jb = pl.program_id(2)
     num_kb = pl.num_programs(2)
     block_q = q_ref.shape[1]
@@ -439,7 +508,9 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
                          block_k=block_k, q_off=q_off, k_off=k_off,
-                         transposed=True, window=window)
+                         transposed=True, window=window,
+                         seg_q=seg_q_ref[0] if segments else None,
+                         seg_k=seg_k_ref[0] if segments else None)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             v_blk, do, (((1,), (1,)), ((), ())),
@@ -457,15 +528,17 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
 
 
 def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
-                    q_pad_mask, offsets, window=None, banded=False):
+                    q_pad_mask, offsets, window=None, banded=False,
+                    segments=False):
+    refs = list(refs)
     if offsets:
-        (q_off_ref, k_off_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-         delta_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
-        q_off, k_off = q_off_ref[0, 0], k_off_ref[0, 0]
+        q_off, k_off = refs.pop(0)[0, 0], refs.pop(0)[0, 0]
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-         dk_scr, dv_scr) = refs
         q_off = k_off = 0
+    seg_q_ref = refs.pop(0) if segments else None
+    seg_k_ref = refs.pop(0) if segments else None
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+     dk_scr, dv_scr) = refs
     jb = pl.program_id(2)
     num_qb = pl.num_programs(2)
     block_k = k_ref.shape[1]
@@ -508,7 +581,9 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
         s = _mask_scores(s, q_start, k_start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
                          block_k=block_k, q_off=q_off, k_off=k_off,
-                         transposed=True, window=window)
+                         transposed=True, window=window,
+                         seg_q=seg_q_ref[0] if segments else None,
+                         seg_k=seg_k_ref[0] if segments else None)
         p = jnp.exp(s - lse)
         if q_pad_mask:
             # Padded query rows (q_idx >= q_len) have lse = 0 from padding
@@ -544,11 +619,12 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
 
 def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
                 causal, interpret, q_offset=None, k_offset=None,
-                window=None):
+                window=None, segment_ids=None):
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv_dim = v.shape[-1]
     hkv, group = _kv_heads(q, k, v)
+    segment_ids = _norm_segments(segment_ids, b, n, kn)
     auto_q = block_q is None
     block_q, block_k = _auto_blocks(n, kn, d, dv_dim, block_q, block_k,
                                     itemsize=q.dtype.itemsize, bwd=True)
@@ -613,14 +689,17 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
         # GQA: each query head reads its group's KV page.
         return bh if group == 1 else (bh // h) * hkv + (bh % h) // group
 
-    def kv_idx(bh, qi, j):
+    def k_block(qi, j):
         kb = j + _first_k_block(qi * block_q, window, block_k) if banded \
             else j
         if causal and not offsets:
             kb = jnp.minimum(
                 kb, jnp.minimum(nkb - 1,
                                 (qi * block_q + block_q - 1) // block_k))
-        return (kv_page(bh), kb, 0)
+        return kb
+
+    def kv_idx(bh, qi, j):
+        return (kv_page(bh), k_block(qi, j), 0)
 
     def q_row_idx(bh, kb, j):
         qi = j + (kb * block_k) // block_q if banded else j
@@ -631,12 +710,41 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
                              nqb - 1)
         return qi
 
+    seg_args = ()
+    seg_dq_specs, seg_dkv_specs = [], []
+    if segment_ids is not None:
+        seg_q_a, seg_k_a = segment_ids
+        seg_args = (
+            jnp.pad(seg_q_a.reshape(b, 1, n), ((0, 0), (0, 0),
+                                               (0, nq_pad - n)),
+                    constant_values=-1),
+            jnp.pad(seg_k_a.reshape(b, kn, 1), ((0, 0), (0, nk_pad - kn),
+                                                (0, 0)),
+                    constant_values=-1),
+        )
+        seg_dq_specs = [
+            pl.BlockSpec((1, 1, block_q), lambda bh, qi, j: (bh // h, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1),
+                         lambda bh, qi, j: (bh // h, k_block(qi, j), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        seg_dkv_specs = [
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bh, kb, j: (bh // h, 0,
+                                            q_row_idx(bh, kb, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, 1), lambda bh, kb, j: (bh // h, kb, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=softmax_scale, kv_len=kn,
                           causal=causal, pad_mask=nk_pad != kn,
-                          offsets=offsets, window=window, banded=banded),
+                          offsets=offsets, window=window, banded=banded,
+                          segments=segment_ids is not None),
         grid=(b * h, nqb, w_blocks),
-        in_specs=off_specs + [
+        in_specs=off_specs + seg_dq_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), kv_idx,
@@ -659,15 +767,16 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode,
-    )(*off_args, qf, kf, vf, dof, lsef, deltaf)
+    )(*off_args, *seg_args, qf, kf, vf, dof, lsef, deltaf)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=softmax_scale, kv_len=kn,
                           q_len=n, causal=causal, pad_mask=nk_pad != kn,
                           q_pad_mask=nq_pad != n, offsets=offsets,
-                          window=window, banded=banded),
+                          window=window, banded=banded,
+                          segments=segment_ids is not None),
         grid=(b * h, nkb, wq_blocks),
-        in_specs=off_specs + [
+        in_specs=off_specs + seg_dkv_specs + [
             pl.BlockSpec((1, block_q, d),
                          lambda bh, kb, qi: (bh, q_row_idx(bh, kb, qi), 0),
                          memory_space=pltpu.VMEM),
@@ -705,7 +814,7 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret_mode,
-    )(*off_args, qf, kf, vf, dof, lsef, deltaf)
+    )(*off_args, *seg_args, qf, kf, vf, dof, lsef, deltaf)
 
     dq = dq[:, :n].reshape(b, h, n, d)
     if group == 1:
@@ -733,12 +842,15 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
 )
 def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
                         block_size: int = 512, causal: bool = False,
-                        window: int | None = None):
+                        window: int | None = None, segment_ids=None):
     """Blockwise online-softmax attention in pure XLA (lax.scan) — the
     portable fallback with the same O(N·block) memory profile. ``window``:
-    sliding-window causal attention (see :func:`flash_attention_pallas`)."""
+    sliding-window causal attention; ``segment_ids``: packed-sequence
+    block-diagonal masking (see :func:`flash_attention`)."""
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
+    segment_ids = _norm_segments(segment_ids, q.shape[0], q.shape[2],
+                                 k.shape[2])
     if k.shape[1] != q.shape[1]:
         # GQA on the portable path: materialize the repeat (the Pallas
         # kernels stream the shared page instead — see _kv_heads).
@@ -758,10 +870,18 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
     valid = (jnp.arange(num_blocks * block) < kn).reshape(num_blocks, block)
     key_pos = jnp.arange(num_blocks * block).reshape(num_blocks, block)
     q_pos = jnp.arange(n)
+    if segment_ids is not None:
+        seg_q, seg_k = segment_ids
+        seg_kb = jnp.moveaxis(
+            jnp.pad(seg_k, ((0, 0), (0, pad)),
+                    constant_values=-1).reshape(b, num_blocks, block), 1, 0)
+    else:
+        seg_q = None
+        seg_kb = jnp.zeros((num_blocks, b, block), jnp.int32)
 
     def body(carry, blk):
         m, l, acc = carry
-        k_i, v_i, valid_i, key_pos_i = blk
+        k_i, v_i, valid_i, key_pos_i, seg_k_i = blk
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_i) * softmax_scale
         # Masks use finite _NEG_INF, not -inf: a sliding window can fully
         # mask EARLY key blocks while the running max is still -inf, and
@@ -779,6 +899,11 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
                 q_pos[None, None, :, None] - key_pos_i[None, None, None, :]
                 < window, s, _NEG_INF,
             )
+        if seg_q is not None:
+            s = jnp.where(
+                seg_q[:, None, :, None] == seg_k_i[:, None, None, :],
+                s, _NEG_INF,
+            )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
@@ -793,7 +918,8 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
     )
     (m, l, acc), _ = jax.lax.scan(
         body, init,
-        (jnp.moveaxis(kb, 2, 0), jnp.moveaxis(vb, 2, 0), valid, key_pos),
+        (jnp.moveaxis(kb, 2, 0), jnp.moveaxis(vb, 2, 0), valid, key_pos,
+         seg_kb),
     )
     return acc / jnp.maximum(l, 1e-30)[..., None]
 
@@ -803,70 +929,84 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_dispatch(q, k, v, softmax_scale, causal, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_dispatch(q, k, v, seg_q, seg_k, softmax_scale, causal, window):
+    segs = None if seg_q is None else (seg_q, seg_k)
     if jax.default_backend() == "tpu":
         return flash_attention_pallas(q, k, v, softmax_scale=softmax_scale,
-                                      causal=causal, window=window)
+                                      causal=causal, window=window,
+                                      segment_ids=segs)
     return flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
-                               causal=causal, window=window)
+                               causal=causal, window=window,
+                               segment_ids=segs)
 
 
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "causal", "window",
                               "interpret")
 )
-def _fwd_with_lse(q, k, v, softmax_scale, causal, window, interpret):
+def _fwd_with_lse(q, k, v, segs, softmax_scale, causal, window, interpret):
     return _fwd_pallas(q, k, v, softmax_scale, None, None, causal, interpret,
-                       window=window)
+                       window=window, segment_ids=segs)
 
 
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "causal", "window",
                               "interpret")
 )
-def _bwd_jit(q, k, v, o, lse, do, softmax_scale, causal, window, interpret):
+def _bwd_jit(q, k, v, o, lse, do, segs, softmax_scale, causal, window,
+             interpret):
     return _bwd_pallas(q, k, v, o, lse, do, softmax_scale, None, None,
-                       causal, interpret, window=window)
+                       causal, interpret, window=window, segment_ids=segs)
 
 
-def _flash_fwd(q, k, v, softmax_scale, causal, window):
+def _flash_fwd(q, k, v, seg_q, seg_k, softmax_scale, causal, window):
+    segs = None if seg_q is None else (seg_q, seg_k)
     if jax.default_backend() == "tpu":
-        o, lse = _fwd_with_lse(q, k, v, softmax_scale, causal, window, False)
-        return o, (q, k, v, o, lse)
+        o, lse = _fwd_with_lse(q, k, v, segs, softmax_scale, causal, window,
+                               False)
+        return o, (q, k, v, segs, o, lse)
     o = flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
-                            causal=causal, window=window)
-    return o, (q, k, v, None, None)
+                            causal=causal, window=window, segment_ids=segs)
+    return o, (q, k, v, segs, None, None)
 
 
 def _flash_bwd(softmax_scale, causal, window, residuals, g):
-    q, k, v, o, lse = residuals
+    q, k, v, segs, o, lse = residuals
     if o is not None and jax.default_backend() == "tpu":
         # Pallas backward: recompute p per block from the saved LSE — no
         # N² matrix, no full-graph recompute.
-        return _bwd_jit(q, k, v, o, lse, g, softmax_scale, causal, window,
-                        False)
-    _, vjp = jax.vjp(
-        lambda qq, kk, vv: flash_attention_xla(
-            qq, kk, vv, softmax_scale=softmax_scale, causal=causal,
-            window=window
-        ),
-        q, k, v,
-    )
-    return vjp(g)
+        dq, dk, dv = _bwd_jit(q, k, v, o, lse, g, segs, softmax_scale,
+                              causal, window, False)
+    else:
+        _, vjp = jax.vjp(
+            lambda qq, kk, vv: flash_attention_xla(
+                qq, kk, vv, softmax_scale=softmax_scale, causal=causal,
+                window=window, segment_ids=segs
+            ),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
 
 
 _flash_dispatch.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(q, k, v, softmax_scale: float = 1.0,
-                    causal: bool = False, window: int | None = None):
+                    causal: bool = False, window: int | None = None,
+                    segment_ids=None):
     """Dispatch: streaming Pallas kernels (fwd AND bwd) on TPU, XLA
     blockwise elsewhere. Differentiable. ``window``: sliding-window causal
     attention — each query sees the ``window`` most recent positions
-    (requires ``causal=True``). For explicit block-size control call
-    :func:`flash_attention_pallas` or :func:`flash_attention_xla`."""
-    return _flash_dispatch(q, k, v, softmax_scale, causal, window)
+    (requires ``causal=True``). ``segment_ids``: packed-sequence
+    block-diagonal masking — (B, N) int array used for both sides, or a
+    (seg_q, seg_k) pair; ids must be >= 0. For explicit block-size control
+    call :func:`flash_attention_pallas` or :func:`flash_attention_xla`."""
+    segs = _norm_segments(segment_ids, q.shape[0], q.shape[2], k.shape[2])
+    seg_q, seg_k = segs if segs is not None else (None, None)
+    return _flash_dispatch(q, k, v, seg_q, seg_k, softmax_scale, causal,
+                           window)
 
 
 # ---------------------------------------------------------------------------

@@ -549,6 +549,115 @@ def test_ring_attention_gqa_8_devices(rng):
                                    atol=1e-4, err_msg=name)
 
 
+def _dense_segments(q, k, v, scale, seg_q, seg_k, causal=False):
+    """Dense block-diagonal (packed-sequence) oracle (numpy)."""
+    n, kn = q.shape[2], k.shape[2]
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    keep = seg_q[:, :, None] == seg_k[:, None, :]  # (B, N, KN)
+    if causal:
+        q_pos = np.arange(n)[:, None]
+        k_pos = np.arange(kn)[None, :]
+        keep = keep & (k_pos <= q_pos)[None]
+    s = np.where(keep[:, None], s, -np.inf)
+    # Fully-masked rows (no same-segment keys) produce 0 output.
+    e = np.exp(s - np.where(np.isinf(s.max(-1, keepdims=True)), 0,
+                            s.max(-1, keepdims=True)))
+    e = np.where(np.isinf(s), 0, e)
+    denom = e.sum(-1, keepdims=True)
+    p = np.where(denom > 0, e / np.maximum(denom, 1e-30), 0)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("causal,hkv", [(False, 2), (True, 2), (True, 1)])
+def test_segment_ids_match_dense(rng, causal, hkv):
+    """Packed-sequence masking (segment_ids): Pallas kernels (fwd + both
+    backwards) and the XLA fallback match the dense block-diagonal
+    oracle, composing with causal and GQA. Boundaries are NOT aligned to
+    the 16-wide blocks."""
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    h, n, d = 2, 48, 16
+    q = jnp.asarray(rng.normal(size=(2, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, hkv, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, hkv, n, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, h, n, d)).astype(np.float32))
+    # Two different packings; boundaries at 19/37 and 7/23/40.
+    seg = np.zeros((2, n), np.int32)
+    seg[0, 19:] = 1
+    seg[0, 37:] = 2
+    seg[1, 7:] = 5
+    seg[1, 23:] = 6
+    seg[1, 40:] = 9
+    seg_j = jnp.asarray(seg)
+
+    kr = np.repeat(np.asarray(k), h // hkv, axis=1)
+    vr = np.repeat(np.asarray(v), h // hkv, axis=1)
+    expected = _dense_segments(np.asarray(q), kr, vr, 0.25, seg, seg,
+                               causal=causal)
+
+    o, lse = _fwd_pallas(q, k, v, 0.25, 16, 16, causal, True,
+                         segment_ids=seg_j)
+    np.testing.assert_allclose(np.asarray(o), expected, rtol=2e-4,
+                               atol=2e-5)
+    out_x = flash_attention_xla(q, k, v, softmax_scale=0.25, block_size=16,
+                                causal=causal, segment_ids=seg_j)
+    np.testing.assert_allclose(np.asarray(out_x), expected, rtol=2e-4,
+                               atol=2e-5)
+
+    dq, dk, dv = _bwd_pallas(q, k, v, o, lse, g, 0.25, 16, 16, causal,
+                             True, segment_ids=seg_j)
+
+    def loss_dense(q, k, v):
+        kr = jnp.repeat(k, h // hkv, axis=1)
+        vr = jnp.repeat(v, h // hkv, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * 0.25
+        keep = seg_j[:, :, None] == seg_j[:, None, :]
+        if causal:
+            q_pos = jnp.arange(n)[:, None]
+            k_pos = jnp.arange(n)[None, :]
+            keep = keep & (k_pos <= q_pos)[None]
+        s = jnp.where(keep[:, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, vr) * g)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_segment_dispatch_differentiable(rng):
+    """Public flash_attention(segment_ids=...): grads through the
+    custom-VJP dispatch (XLA fallback on CPU) match the dense oracle;
+    bad shapes raise."""
+    from ku.pallas.flash_attention import flash_attention
+
+    n, d = 32, 8
+    q = jnp.asarray(rng.normal(size=(1, 2, n, d)).astype(np.float32))
+    seg = jnp.asarray(np.r_[np.zeros(13), np.ones(19)].astype(np.int32))[
+        None]
+
+    def loss_flash(q):
+        return jnp.sum(flash_attention(q, q, q, softmax_scale=0.25,
+                                       causal=True, segment_ids=seg) ** 2)
+
+    def loss_dense(q):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, q) * 0.25
+        q_pos = jnp.arange(n)[:, None]
+        k_pos = jnp.arange(n)[None, :]
+        keep = (seg[:, :, None] == seg[:, None, :]) & (k_pos <= q_pos)[None]
+        s = jnp.where(keep[:, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", p, q) ** 2)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_flash)(q)),
+                               np.asarray(jax.grad(loss_dense)(q)),
+                               rtol=1e-3, atol=1e-4)
+
+    with pytest.raises(ValueError, match="segment_ids shapes"):
+        flash_attention(q, q, q, segment_ids=jnp.zeros((1, 7), jnp.int32))
+
+
 def test_ring_pallas_vs_xla_impls(rng):
     """The kernel-based ring (impl='pallas') and the chunked-einsum ring
     (impl='xla') agree, causal and not."""

@@ -301,6 +301,61 @@ def test_mha_decode_validation(key, rng):
         mha.init(key, [x, x, x], decode=True)
 
 
+def test_mha_segment_ids_dense_vs_flash(key, rng):
+    """Layer-level packed-sequence masking: the dense and flash paths of
+    MultiHeadAttention(segment_ids=...) agree, and tokens of one segment
+    cannot influence another segment's outputs."""
+    b, t, dm = 2, 12, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    seg = np.zeros((b, t), np.int32)
+    seg[:, 5:] = 1
+    seg_j = jnp.asarray(seg)
+
+    dense = ku.MultiHeadAttention(2, dm, 0.0, causal=True)
+    flash = ku.MultiHeadAttention(2, dm, 0.0, causal=True, use_flash=True)
+    variables = dense.init(key, [x, x, x])
+    y_dense = np.asarray(dense.apply(variables, [x, x, x],
+                                     segment_ids=seg_j))
+    y_flash = np.asarray(flash.apply(variables, [x, x, x],
+                                     segment_ids=seg_j))
+    np.testing.assert_allclose(y_flash, y_dense, rtol=1e-4, atol=1e-5)
+
+    # Perturbing segment-1 tokens must not change segment-0 outputs.
+    x2 = x.at[:, 5:].add(1.7)
+    y2 = np.asarray(dense.apply(variables, [x2, x2, x2],
+                                segment_ids=seg_j))
+    np.testing.assert_allclose(y2[:, :5], y_dense[:, :5], rtol=1e-5,
+                               atol=1e-6)
+    assert np.abs(y2[:, 5:] - y_dense[:, 5:]).max() > 1e-3
+
+    with pytest.raises(ValueError, match="segment_ids"):
+        ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                              max_decode_len=4).apply(
+            variables, [x[:, :1], x[:, :1], x[:, :1]], decode=True,
+            segment_ids=seg_j[:, :1])
+
+
+def test_transformer_segment_ids(key, rng):
+    """Transformer forwards segment_ids to both attention sublayers:
+    cross-segment influence is blocked through the whole block."""
+    b, t, dm = 2, 10, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    seg = np.zeros((b, t), np.int32)
+    seg[:, 4:] = 3
+    seg_j = jnp.asarray(seg)
+
+    block = ku.Transformer(2, dm, 0.0, causal=True)
+    variables = block.init(key, [x])
+    y = np.asarray(block.apply(variables, [x], segment_ids=seg_j))
+    x2 = x.at[:, 4:].add(0.9)
+    y2 = np.asarray(block.apply(variables, [x2], segment_ids=seg_j))
+    np.testing.assert_allclose(y2[:, :4], y[:, :4], rtol=1e-5, atol=1e-6)
+
+    flash = ku.Transformer(2, dm, 0.0, causal=True, use_flash=True)
+    y_flash = np.asarray(flash.apply(variables, [x], segment_ids=seg_j))
+    np.testing.assert_allclose(y_flash, y, rtol=1e-4, atol=1e-5)
+
+
 def test_position_encodings(key, rng):
     x = jnp.zeros((2, 5, 4))
     y = np.asarray(ku.OrdinalPositionEncoding(10).apply({}, x))

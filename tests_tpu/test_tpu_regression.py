@@ -385,6 +385,48 @@ def test_flash_gqa_compiled(rng):
                                    rtol=2e-2, atol=2e-3, err_msg=name)
 
 
+def test_flash_segments_compiled(rng):
+    """Compiled packed-sequence (segment_ids) flash kernels: fwd + both
+    backwards vs the dense block-diagonal oracle, causal, boundaries not
+    block-aligned."""
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    b, h, n, d = 1, 2, 384, 64
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.1
+    g = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    seg = np.zeros((b, n), np.int32)
+    seg[0, 150:] = 1
+    seg[0, 290:] = 2
+    seg_j = jnp.asarray(seg)
+
+    o, lse = jax.jit(lambda q, k, v, s: _fwd_pallas(
+        q, k, v, scale, None, None, True, False, segment_ids=s))(
+        q, k, v, seg_j)
+    dq, dk, dv = jax.jit(lambda q, k, v, o, lse, g, s: _bwd_pallas(
+        q, k, v, o, lse, g, scale, None, None, True, False,
+        segment_ids=s))(q, k, v, o, lse, g, seg_j)
+
+    keep = jnp.asarray(
+        (seg[0][:, None] == seg[0][None, :])
+        & np.tril(np.ones((n, n), bool)))
+
+    def dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        p = jax.nn.softmax(jnp.where(keep[None, None], s, -1e30), -1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    np.testing.assert_allclose(np.asarray(o), np.asarray(dense(q, k, v)),
+                               rtol=2e-2, atol=2e-3)
+    gd = jax.grad(lambda q, k, v: jnp.sum(dense(q, k, v) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-3, err_msg=name)
+
+
 def test_ring_attention_compiled_single_device(rng):
     """Compiled flash-in-ring path on hardware: a 1-device mesh ring
     (degenerate but real Mosaic — offsets threaded as SMEM scalars, the
