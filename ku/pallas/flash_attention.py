@@ -43,7 +43,8 @@ Packed sequences: ``segment_ids`` masks scores across segment
 boundaries (block-diagonal attention), composing with causal/window/GQA.
 Segment blocks ride as (1, BLOCK_Q) lane / (BLOCK_K, 1) sublane vectors
 matching the transposed slab — no in-kernel relayout; boundaries are
-data, so no block-level elision. Kernels + fallback + dispatch.
+data, so no block-level elision. Kernels + fallback + dispatch + ring
+(the key-id slice rotates with its K/V block).
 """
 
 from __future__ import annotations
@@ -1016,13 +1017,14 @@ def flash_attention(q, k, v, softmax_scale: float = 1.0,
 
 def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
                          k_pos_start, k_len, causal, chunk: int = 512,
-                         window=None):
+                         window=None, seg_q=None, seg_k_blk=None):
     """Merge one K/V block into an online-softmax carry, processing the
     block in ``chunk``-sized pieces so only a (B,H,Lq,chunk) score slab is
     ever materialized (blockwise — neither the full local score matrix nor
     a full local mask exists). ``q_pos``: (Lq,) global query positions;
     ``k_pos_start``: global position of the block's first key (traced);
-    ``k_len``: true (unpadded) key count in the block."""
+    ``k_len``: true (unpadded) key count in the block. ``seg_q``/
+    ``seg_k_blk``: optional (B, Lq)/(B, KN) packed-sequence ids."""
     kn = k_blk.shape[2]
     chunk = min(chunk, kn)
     num = -(-kn // chunk)
@@ -1032,10 +1034,17 @@ def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
         v_blk = jnp.pad(v_blk, ((0, 0), (0, 0), (0, pad), (0, 0)))
     kc = jnp.moveaxis(k_blk.reshape(*k_blk.shape[:2], num, chunk, -1), 2, 0)
     vc = jnp.moveaxis(v_blk.reshape(*v_blk.shape[:2], num, chunk, -1), 2, 0)
+    if seg_q is not None:
+        sc = jnp.moveaxis(
+            jnp.pad(seg_k_blk, ((0, 0), (0, pad)),
+                    constant_values=-1).reshape(seg_k_blk.shape[0], num,
+                                                chunk), 1, 0)
+    else:
+        sc = jnp.zeros((num, k_blk.shape[0], chunk), jnp.int32)
 
     def body(carry, xs):
         m, l, acc = carry
-        k_i, v_i, ci = xs
+        k_i, v_i, ci, seg_k_i = xs
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_i) * scale
         k_pos_i = k_pos_start + ci * chunk + jnp.arange(chunk)
         mask_i = (k_pos_i - k_pos_start < k_len)[None, :]
@@ -1044,6 +1053,10 @@ def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
         if window is not None:
             mask_i = mask_i & (q_pos[:, None] - k_pos_i[None, :] < window)
         s = jnp.where(mask_i[None, None], s, _NEG_INF)
+        if seg_q is not None:
+            s = jnp.where(
+                (seg_q[:, :, None] == seg_k_i[:, None, :])[:, None],
+                s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
@@ -1054,14 +1067,14 @@ def _online_block_update(q, k_blk, v_blk, m, l, acc, scale, q_pos,
         return (m_new, l_new, acc_new), None
 
     (m, l, acc), _ = jax.lax.scan(body, (m, l, acc),
-                                  (kc, vc, jnp.arange(num)))
+                                  (kc, vc, jnp.arange(num), sc))
     return m, l, acc
 
 
 def ring_attention(q, k, v, mesh, axis_name: str = "data",
                    softmax_scale: float = 1.0, causal: bool = False,
                    chunk: int = 512, impl: str = "pallas",
-                   window: int | None = None):
+                   window: int | None = None, segment_ids=None):
     """Sequence-parallel attention: q/k/v sharded on the sequence axis over
     ``axis_name``; K/V blocks rotate around the ring with ``ppermute``
     while each device keeps a running (output, LSE) carry (SURVEY §5
@@ -1080,11 +1093,15 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
     attention output. N must divide by the ring size. ``window``:
     sliding-window causal attention over GLOBAL positions — hops entirely
     outside a device's band no-op via the in-kernel liveness check.
+    ``segment_ids``: packed-sequence block-diagonal masking — a (B, N)
+    GLOBAL int array (self-attention); the local query slice stays home
+    and the key slice rotates with its K/V block.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
+    segs = _norm_segments(segment_ids, q.shape[0], q.shape[2], k.shape[2])
     if impl == "xla" and k.shape[1] != q.shape[1]:
         # GQA: the chunked-einsum impl wants matched heads; the Pallas
         # impl streams the shared KV page without materializing this.
@@ -1110,11 +1127,15 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
         src = jax.lax.rem(my - i + n_dev, n_dev)
         return my * local, src * local, src
 
-    def local_fwd_impl(q_loc, k_loc, v_loc):
+    def local_fwd_impl(q_loc, k_loc, v_loc, seg_q_loc=None, seg_k_loc=None):
         my = jax.lax.axis_index(axis_name)
+        has_seg = seg_q_loc is not None
 
         def step(carry, i):
-            o_c, lse_c, k_blk, v_blk = carry
+            if has_seg:
+                o_c, lse_c, k_blk, v_blk, seg_blk = carry
+            else:
+                (o_c, lse_c, k_blk, v_blk), seg_blk = carry, None
             q_off, k_off, src = _hop_offsets(my, i)
 
             # Every device enters the kernel on every hop (divergent
@@ -1128,26 +1149,36 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
                 q_offset=q_off if causal else None,
                 k_offset=k_off if causal else None,
                 window=window,
+                segment_ids=(seg_q_loc, seg_blk) if has_seg else None,
             )
             # Log-sum-exp merge of per-hop partial attention results.
             lse_new = jnp.logaddexp(lse_c, lse_i)
             w_c = jnp.exp(lse_c - lse_new)[..., None]
             w_i = jnp.exp(lse_i - lse_new)[..., None]
             o_new = o_c * w_c + o_i.astype(jnp.float32) * w_i
-            return (o_new, lse_new, _rot(k_blk), _rot(v_blk)), None
+            out = (o_new, lse_new, _rot(k_blk), _rot(v_blk))
+            if has_seg:
+                out += (_rot(seg_blk),)
+            return out, None
 
         init = _varying((
             jnp.zeros(q_loc.shape[:3] + (v_loc.shape[-1],), jnp.float32),
             jnp.full(q_loc.shape[:3], _NEG_INF, jnp.float32),
-        )) + (k_loc, v_loc)
-        (o, lse, _, _), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
+        )) + (k_loc, v_loc) + ((seg_k_loc,) if has_seg else ())
+        (o, lse, *_), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
         return o.astype(q_loc.dtype), lse
 
-    def local_bwd_impl(q_loc, k_loc, v_loc, o, lse, do):
+    def local_bwd_impl(q_loc, k_loc, v_loc, o, lse, do, seg_q_loc=None,
+                       seg_k_loc=None):
         my = jax.lax.axis_index(axis_name)
+        has_seg = seg_q_loc is not None
 
         def step(carry, i):
-            dq_acc, k_blk, v_blk, dk_acc, dv_acc = carry
+            if has_seg:
+                dq_acc, k_blk, v_blk, dk_acc, dv_acc, seg_blk = carry
+            else:
+                (dq_acc, k_blk, v_blk, dk_acc, dv_acc), seg_blk = (
+                    carry, None)
             q_off, k_off, src = _hop_offsets(my, i)
 
             # p recomputed per block from the GLOBAL saved LSE — the
@@ -1160,22 +1191,28 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
                 q_offset=q_off if causal else None,
                 k_offset=k_off if causal else None,
                 window=window,
+                segment_ids=(seg_q_loc, seg_blk) if has_seg else None,
             )
             # dq stays home; dk/dv travel with their block around the ring
             # (after n_dev rotations both are back at the owner).
             # Accumulators are f32 regardless of input dtype — n_dev
             # sequential bf16 roundings would loosen grads as the ring
             # grows (the single-chip kernels accumulate in f32 scratch).
-            return (dq_acc + dq_i.astype(jnp.float32),
-                    _rot(k_blk), _rot(v_blk),
-                    _rot(dk_acc + dk_i.astype(jnp.float32)),
-                    _rot(dv_acc + dv_i.astype(jnp.float32))), None
+            out = (dq_acc + dq_i.astype(jnp.float32),
+                   _rot(k_blk), _rot(v_blk),
+                   _rot(dk_acc + dk_i.astype(jnp.float32)),
+                   _rot(dv_acc + dv_i.astype(jnp.float32)))
+            if has_seg:
+                out += (_rot(seg_blk),)
+            return out, None
 
         f32_zeros = lambda t: jnp.zeros(t.shape, jnp.float32)
         init = _varying((f32_zeros(q_loc),)) + (
             k_loc, v_loc) + _varying(
-            (f32_zeros(k_loc), f32_zeros(v_loc)))
-        (dq, _, _, dk, dv), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
+            (f32_zeros(k_loc), f32_zeros(v_loc))) + (
+            (seg_k_loc,) if has_seg else ())
+        (dq, _, _, dk, dv, *_), _ = jax.lax.scan(step, init,
+                                                 jnp.arange(n_dev))
         return (dq.astype(q_loc.dtype), dk.astype(k_loc.dtype),
                 dv.astype(v_loc.dtype))
 
@@ -1192,19 +1229,42 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
 
     local_pallas.defvjp(local_pallas_fwd, local_pallas_bwd)
 
-    def local_xla(q_loc, k_loc, v_loc):
+    @jax.custom_vjp
+    def local_pallas_seg(q_loc, k_loc, v_loc, seg_q_loc, seg_k_loc):
+        return local_fwd_impl(q_loc, k_loc, v_loc, seg_q_loc, seg_k_loc)[0]
+
+    def local_pallas_seg_fwd(q_loc, k_loc, v_loc, seg_q_loc, seg_k_loc):
+        o, lse = local_fwd_impl(q_loc, k_loc, v_loc, seg_q_loc, seg_k_loc)
+        return o, (q_loc, k_loc, v_loc, o, lse, seg_q_loc, seg_k_loc)
+
+    def local_pallas_seg_bwd(res, g):
+        q_loc, k_loc, v_loc, o, lse, seg_q_loc, seg_k_loc = res
+        return local_bwd_impl(q_loc, k_loc, v_loc, o, lse, g, seg_q_loc,
+                              seg_k_loc) + (None, None)
+
+    local_pallas_seg.defvjp(local_pallas_seg_fwd, local_pallas_seg_bwd)
+
+    def local_xla(q_loc, k_loc, v_loc, seg_q_loc=None, seg_k_loc=None):
         my = jax.lax.axis_index(axis_name)
         q_pos = my * local + jnp.arange(local)
+        has_seg = seg_q_loc is not None
 
         def step(carry, i):
-            m, l, acc, k_blk, v_blk = carry
+            if has_seg:
+                m, l, acc, k_blk, v_blk, seg_blk = carry
+            else:
+                (m, l, acc, k_blk, v_blk), seg_blk = carry, None
             # K/V block currently held came from rank (my - i) mod n_dev.
             src = jax.lax.rem(my - i + n_dev, n_dev)
             m, l, acc = _online_block_update(
                 q_loc, k_blk, v_blk, m, l, acc, softmax_scale,
-                q_pos, src * local, local, causal, chunk, window=window
+                q_pos, src * local, local, causal, chunk, window=window,
+                seg_q=seg_q_loc, seg_k_blk=seg_blk
             )
-            return (m, l, acc, _rot(k_blk), _rot(v_blk)), None
+            out = (m, l, acc, _rot(k_blk), _rot(v_blk))
+            if has_seg:
+                out += (_rot(seg_blk),)
+            return out, None
 
         # The fresh accumulators must be marked device-varying to match
         # the loop outputs under shard_map's manual-axes typing.
@@ -1212,15 +1272,20 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
             jnp.full(q_loc.shape[:3], _NEG_INF, jnp.float32),
             jnp.zeros(q_loc.shape[:3], jnp.float32),
             jnp.zeros(q_loc.shape[:3] + (v_loc.shape[-1],), jnp.float32),
-        )) + (k_loc, v_loc)
-        (m, l, acc, _, _), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
+        )) + (k_loc, v_loc) + ((seg_k_loc,) if has_seg else ())
+        (m, l, acc, *_), _ = jax.lax.scan(step, init, jnp.arange(n_dev))
         return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q_loc.dtype)
 
-    local_fn = local_pallas if impl == "pallas" else local_xla
+    if segs is None:
+        local_fn = local_pallas if impl == "pallas" else local_xla
+    else:
+        local_fn = local_pallas_seg if impl == "pallas" else local_xla
     seq_sharded = NamedSharding(mesh, P(None, None, axis_name, None))
+    seg_spec = P(None, axis_name)
     shard = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(None, None, axis_name, None),) * 3,
+        in_specs=(P(None, None, axis_name, None),) * 3
+        + ((seg_spec, seg_spec) if segs is not None else ()),
         out_specs=P(None, None, axis_name, None),
         # pallas_call outputs carry no vma type under shard_map's
         # varying-manual-axes checker (same workaround as the CD DP
@@ -1230,4 +1295,9 @@ def ring_attention(q, k, v, mesh, axis_name: str = "data",
     q_s = jax.device_put(q, seq_sharded)
     k_s = jax.device_put(k, seq_sharded)
     v_s = jax.device_put(v, seq_sharded)
-    return shard(q_s, k_s, v_s)
+    if segs is None:
+        return shard(q_s, k_s, v_s)
+    seg_sharded = NamedSharding(mesh, seg_spec)
+    seg_q_s = jax.device_put(segs[0], seg_sharded)
+    seg_k_s = jax.device_put(segs[1], seg_sharded)
+    return shard(q_s, k_s, v_s, seg_q_s, seg_k_s)

@@ -658,6 +658,51 @@ def test_segment_dispatch_differentiable(rng):
         flash_attention(q, q, q, segment_ids=jnp.zeros((1, 7), jnp.int32))
 
 
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+def test_ring_attention_segments_8_devices(rng, impl):
+    """Packed sequences inside the sequence ring (both impls): the key-id
+    slice rotates with its K/V block; causal + segments == dense
+    block-diagonal oracle (fwd + grads). Boundaries are NOT aligned to
+    the 8-way shard (local length 8)."""
+    from ku.dist import make_mesh
+    from ku.pallas.flash_attention import ring_attention
+
+    mesh = make_mesh({"data": 8})
+    h, n, d = 2, 64, 16
+    q = jnp.asarray(rng.normal(size=(2, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, h, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, h, n, d)).astype(np.float32))
+    seg = np.zeros((2, n), np.int32)
+    seg[0, 27:] = 1
+    seg[1, 13:] = 4
+    seg[1, 50:] = 7
+    seg_j = jnp.asarray(seg)
+
+    def dense_out(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.25
+        keep = (seg_j[:, :, None] == seg_j[:, None, :]) & jnp.tril(
+            jnp.ones((n, n), bool))[None]
+        s = jnp.where(keep[:, None], s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    ring = lambda q, k, v: ring_attention(
+        q, k, v, mesh, axis_name="data", softmax_scale=0.25, causal=True,
+        impl=impl, segment_ids=seg_j)
+    np.testing.assert_allclose(np.asarray(ring(q, k, v)),
+                               np.asarray(dense_out(q, k, v)),
+                               rtol=1e-4, atol=1e-5)
+
+    if impl == "pallas":
+        gr = jax.grad(lambda q, k, v: jnp.sum(ring(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(lambda q, k, v: jnp.sum(dense_out(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gr, gd, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4, err_msg=name)
+
+
 def test_ring_pallas_vs_xla_impls(rng):
     """The kernel-based ring (impl='pallas') and the chunked-einsum ring
     (impl='xla') agree, causal and not."""

@@ -471,6 +471,22 @@ def test_ring_attention_compiled_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
                                    atol=2e-3, err_msg=name)
 
+    # Packed sequences in the ring (offsets + segment SMEM/VMEM streams
+    # compile together): causal + segment_ids vs the dense oracle.
+    seg = np.zeros((1, n), np.int32)
+    seg[0, 100:] = 1
+    seg[0, 200:] = 2
+    out_seg = ring_attention(q, k, v, mesh, axis_name="data",
+                             softmax_scale=scale, causal=True,
+                             segment_ids=jnp.asarray(seg))
+    s2 = np.where((seg[0][:, None] == seg[0][None, :]) & mask,
+                  np.einsum("bhqd,bhkd->bhqk", q, k) * scale, -np.inf)
+    e2 = np.exp(s2 - s2.max(-1, keepdims=True))
+    expected_seg = np.einsum("bhqk,bhkd->bhqd",
+                             e2 / e2.sum(-1, keepdims=True), v)
+    np.testing.assert_allclose(np.asarray(out_seg), expected_seg,
+                               rtol=2e-2, atol=2e-3)
+
 
 def test_transformer_flash_training_on_tpu(rng):
     """A transformer with use_flash=True TRAINS on hardware: the flash
