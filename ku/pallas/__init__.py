@@ -7,4 +7,8 @@
   ku/ebm/rbm.py:163-234).
 - :mod:`ku.pallas.flash_attention` — blockwise flash attention for the
   ``scaled`` similarity path of :class:`ku.nn.MultiHeadAttention`.
+- :mod:`ku.pallas.sparse_attention` — splash-style block-sparse
+  attention: static patterns (sliding window + attention sinks, extra
+  blocks, arbitrary block matrices) compiled to scalar-prefetched block
+  maps so dead blocks cost no compute and no HBM traffic.
 """
