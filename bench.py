@@ -143,6 +143,35 @@ def flash_throughput():
     return per, flops / (per / 1e3) / 1e12
 
 
+def sparse_throughput():
+    """Block-sparse gate: 64k sink+window StreamingLLM pattern (B1·H4·
+    D64 bf16, window 4096 + 128 sinks, 512x512 blocks), amortized
+    forward per-call ms (see benchmarks/sparse_bench.py)."""
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    try:
+        import flash_amortized as fam
+    finally:
+        sys.path.pop(0)
+    from ku.pallas.sparse_attention import _sparse_fwd, make_block_mask
+
+    rng = np.random.default_rng(0)
+    B, H, NN, D = 1, 4, 65536, 64
+    q = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, H, NN, D)) * 0.1, jnp.bfloat16)
+    mask = make_block_mask(NN, block_q=512, block_k=512, causal=True,
+                           window=4096, global_prefix=128)
+    fmap, _ = mask.arrays()
+    return fam.measure(
+        "bench_sparse_64k", lambda s, q, k, v: _sparse_fwd(
+            q * (1 + s * 1e-20), k, v, fmap,
+            1.0 / np.sqrt(D), 512, 512, mask.meta, False)[0],
+        q, k, v, s_hi=16)
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     import jax
@@ -226,6 +255,11 @@ def main():
             record["flash_d128_fwd_tflops"] = round(fl_tf, 1)
         except Exception as e:
             record["flash_error"] = repr(e)[:200]
+        # Block-sparse gate (round-3): 64k sink+window fwd, amortized.
+        try:
+            record["sparse_64k_sink_fwd_ms"] = round(sparse_throughput(), 2)
+        except Exception as e:
+            record["sparse_error"] = repr(e)[:200]
     print(json.dumps(record))
 
 

@@ -98,31 +98,31 @@ def main():
 
     mask = make_block_mask(N, block_q=BQ, block_k=BK, causal=True,
                            window=W, global_prefix=SINK)
-    kmap, kcnt, kflag, qmap, qcnt, qflag = mask.arrays()
+    fmap, tmap = mask.arrays()
     print(f"sparse pattern: {1 - mask.sparsity:.4f} of blocks visited "
-          f"(Lk={mask.kmap.shape[1]})", file=sys.stderr)
+          f"(E={mask.fmap.shape[0]} flat entries)", file=sys.stderr)
     out["visited_block_frac"] = round(1 - mask.sparsity, 4)
 
     sparse_ms = measure(
         "sparse_sink_fwd", lambda s, q, k, v: _sparse_fwd(
-            q * (1 + s * 1e-20), k, v, kmap, kcnt, kflag, scale, BQ, BK,
+            q * (1 + s * 1e-20), k, v, fmap, scale, BQ, BK,
             mask.meta, False)[0],
         q, k, v, out=out)
     # Kernel throughput on the work it actually visits.
-    visited = float(mask.kcnt.sum()) * BQ * BK
+    visited = float(mask.fmap.shape[0]) * BQ * BK
     out["sparse_fwd_visited_tflops"] = round(
         B * H * 4 * visited * D / (sparse_ms / 1e3) / 1e12, 2)
     out["sparse_vs_causal_speedup"] = round(causal_ms / sparse_ms, 2)
 
     o, lse = jax.jit(lambda q, k, v: _sparse_fwd(
-        q, k, v, kmap, kcnt, kflag, scale, BQ, BK, mask.meta, False)
+        q, k, v, fmap, scale, BQ, BK, mask.meta, False)
     )(q, k, v)
     do = jnp.asarray(rng.normal(size=(B, H, N, D)) * 0.1, jnp.bfloat16)
     sparse_bwd_ms = measure(
         "sparse_sink_bwd",
         lambda s, q, k, v, o, lse, do: _sparse_bwd(
-            q * (1 + s * 1e-20), k, v, o, lse, do, kmap, kcnt, kflag,
-            qmap, qcnt, qflag, scale, BQ, BK, mask.meta, False),
+            q * (1 + s * 1e-20), k, v, o, lse, do, fmap, tmap,
+            scale, BQ, BK, mask.meta, False),
         q, k, v, o, lse, do, s_hi=8, out=out)
     out["sparse_bwd_visited_tflops"] = round(
         2.5 * B * H * 4 * visited * D / (sparse_bwd_ms / 1e3) / 1e12, 2)

@@ -79,11 +79,29 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
-                 decode: bool = False, segment_ids=None):
+                 decode: bool = False, segment_ids=None, block_mask=None):
         if self.similarity_type not in _SIMILARITY_TYPES:
             raise ValueError(f"similarity_type {self.similarity_type!r} is not valid.")
         if self.window is not None and not self.causal:
             raise ValueError("window requires causal=True")
+        if block_mask is not None:
+            # Block-sparse attention (ku/pallas/sparse_attention.py): the
+            # pattern — causality included — is defined by the BlockMask;
+            # the layer's causal flag must agree and its window must be
+            # unset (the mask's window governs).
+            if (self.similarity_type != SIMILARITY_TYPE_SCALED
+                    or self.use_mask or decode or segment_ids is not None):
+                raise ValueError("block_mask supports the scaled no-mask "
+                                 "non-decode path without segment_ids")
+            if self.causal != block_mask.causal or self.window is not None:
+                raise ValueError(
+                    "block_mask pattern conflicts with the layer: set "
+                    "causal on the mask (and window only on the mask)")
+            if self.dropout_rate > 0.0 and not deterministic:
+                raise ValueError(
+                    "block_mask cannot apply attention-probability "
+                    "dropout (no N² probs exist to drop) — set "
+                    "dropout_rate=0.0")
         if decode and not self.causal:
             raise ValueError("decode=True requires causal=True")
         if decode and self.max_decode_len is None:
@@ -153,6 +171,11 @@ class MultiHeadAttention(nn.Module):
             p = nn.softmax(s, axis=-1)
             head = jnp.einsum("bhgqk,bhkd->bhgqd", p, cv.value).reshape(
                 bsz, h, 1, d_v_h)
+        elif block_mask is not None:
+            from ku.pallas.sparse_attention import sparse_attention
+
+            head = sparse_attention(q_h, k_h, v_h, block_mask,
+                                    softmax_scale=1.0 / math.sqrt(d_k))
         elif (
             self.use_flash
             and self.similarity_type == SIMILARITY_TYPE_SCALED

@@ -41,8 +41,10 @@ class Transformer(nn.Module):
     # Extensions beyond the reference, forwarded to the attention layers:
     # causal/sliding-window masking, grouped-query heads, KV-cache
     # autoregressive decoding (``__call__(..., decode=True)`` with the
-    # 'cache' collection mutable; requires causal + max_decode_len), and
-    # packed-sequence masking (``__call__(..., segment_ids=...)``).
+    # 'cache' collection mutable; requires causal + max_decode_len),
+    # packed-sequence masking (``__call__(..., segment_ids=...)``), and
+    # block-sparse patterns (``__call__(..., block_mask=BlockMask)`` —
+    # see ku/pallas/sparse_attention.py).
     causal: bool = False
     window: int | None = None
     num_kv_head: int | None = None
@@ -50,7 +52,7 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
-                 decode: bool = False, segment_ids=None):
+                 decode: bool = False, segment_ids=None, block_mask=None):
         x, m = inputs[0], inputs[1] if len(inputs) > 1 else None
 
         def attn_block(y):
@@ -65,7 +67,7 @@ class Transformer(nn.Module):
                 num_kv_head=self.num_kv_head,
                 max_decode_len=self.max_decode_len,
             )([y, y, y, m], deterministic=deterministic, decode=decode,
-              segment_ids=segment_ids)
+              segment_ids=segment_ids, block_mask=block_mask)
             y2 = nn.Dropout(self.dropout_rate)(y2, deterministic=deterministic)
             y2 = y + y2
             if self.layer_norm_f:

@@ -1,23 +1,20 @@
 """Splash-style block-sparse flash attention for TPU.
 
-Static attention patterns are compiled to *block maps* on the host: for
-every query block the list of key blocks it must visit (and for the
-backward's dk/dv pass, the transpose). The Pallas kernels stream only the
-live blocks — dead blocks cost NO compute and NO HBM traffic (the grid
-never visits them; map padding repeats the previous index so the pipeline
-elides the DMA). Work scales with the number of live blocks instead of
-O(N²): a 64k causal+window pattern runs at the banded-window cost while
-also supporting attention-sink ("global prefix") keys and arbitrary
-extra/full block patterns (BigBird-style) that a fixed band cannot
-express.
+Static attention patterns are compiled to *flat block maps* on the host:
+one entry per live (query block, key block) pair, grouped into runs (by
+query block for the forward/dq kernels, by key block for dk/dv). The
+Pallas grid is exactly the live entries — GRID COMPACTION: dead blocks
+are not masked, not skipped, they are never grid steps at all (no
+compute, no DMA, no sequencer time), and ragged patterns (e.g. an
+attention-sink column that every query block visits) waste nothing.
+Work scales with the number of live blocks instead of O(N²).
 
 This generalizes the dense streaming kernels in
 :mod:`ku.pallas.flash_attention` (same transposed-slab layout, same
 online-softmax scheme — see that module for the layout rationale); those
-stay the fast path for the patterns their grids already elide
-(full/causal/sliding-window). Use this module when the pattern needs
-escapes from the band (global-prefix keys, extra blocks) or a custom
-block-level pattern.
+stay the fast path for plain full/causal attention. Use this module when
+the pattern needs escapes from a band (global-prefix keys, extra
+blocks) or a custom block-level pattern.
 
 Capability extension beyond the reference (which materializes full N²
 score matrices, ku/layer_ext/attention.py:120-136); no reference
@@ -32,10 +29,10 @@ Supported element-level semantics, fixed per :class:`BlockMask`::
 with ``block_pattern`` mode replacing the window clause by an arbitrary
 (nqb, nkb) block-level liveness matrix (element mask = causal only).
 
-The per-slot block maps ride as scalar-prefetch arguments
-(``pltpu.PrefetchScalarGridSpec``) so BlockSpec index maps can chase
-them; the flag array distinguishes fully-live slots (no element mask
-pass at all) from partial slots (in-kernel iota mask, one ``lax.cond``).
+The flat maps ride as a scalar-prefetch argument
+(``pltpu.PrefetchScalarGridSpec``) so BlockSpec index maps chase them;
+each entry's flag distinguishes fully-live blocks (no element-mask pass
+at all) from partial ones (in-kernel iota mask behind one ``lax.cond``).
 """
 
 from __future__ import annotations
@@ -53,21 +50,26 @@ from ku.pallas.flash_attention import _kv_heads
 
 _NEG_INF = -1e30
 
-# Per-slot element-mask flags (host-computed).
+# Per-entry element-mask flags (host-computed).
 _FULL = 0      # every (q, k) in the block passes — no mask pass
 _PARTIAL = 1   # causal AND (window OR global-prefix) element mask
 _CAUSAL_ONLY = 2  # window-exempt block (extra/pattern): causal mask only
 
+# Flat-map entry columns: [q_block, k_block, flag, first_of_run,
+# last_of_run].
+_QI, _KB, _FLAG, _FIRST, _LAST = range(5)
+
 
 @dataclasses.dataclass(frozen=True)
 class BlockMask:
-    """Host-precomputed block-sparsity maps for one static pattern.
+    """Host-precomputed flat block maps for one static pattern.
 
-    Build with :func:`make_block_mask`. ``kmap``/``kcnt``/``kflag`` drive
-    the forward and dq kernels (query-major: live key blocks per query
-    block); ``qmap``/``qcnt``/``qflag`` drive the dk/dv kernel
-    (key-major transpose). Maps are padded by repeating the last live
-    index — consecutive equal indices elide the DMA.
+    Build with :func:`make_block_mask`. ``fmap`` drives the forward and
+    dq kernels (entries grouped by query block), ``tmap`` the dk/dv
+    kernel (grouped by key block); both are (E, 5) int32
+    [qi, kb, flag, first, last] where first/last bound each run.
+    ``kcnt``/``qcnt`` are per-block live counts (stats + zero-fill of
+    never-attended key blocks in the backward).
     """
 
     n: int
@@ -77,12 +79,10 @@ class BlockMask:
     causal: bool
     window: int | None
     global_prefix: int
-    kmap: np.ndarray
+    fmap: np.ndarray
+    tmap: np.ndarray
     kcnt: np.ndarray
-    kflag: np.ndarray
-    qmap: np.ndarray
     qcnt: np.ndarray
-    qflag: np.ndarray
 
     @property
     def meta(self):
@@ -90,41 +90,38 @@ class BlockMask:
         return (self.causal, self.window, self.global_prefix)
 
     def arrays(self):
-        return tuple(
-            jnp.asarray(a, jnp.int32)
-            for a in (self.kmap, self.kcnt, self.kflag,
-                      self.qmap, self.qcnt, self.qflag))
+        return (jnp.asarray(self.fmap, jnp.int32),
+                jnp.asarray(self.tmap, jnp.int32))
 
     @property
     def sparsity(self) -> float:
         """Fraction of (q block, k block) pairs NOT visited."""
         total = (self.n // self.block_q) * (self.kn // self.block_k)
-        return 1.0 - float(self.kcnt.sum()) / total
+        return 1.0 - self.fmap.shape[0] / total
 
 
-def _slot_maps(live, flag):
-    """Compress a (rows, cols) block-liveness matrix into per-row slot
-    lists: (map, cnt, flags), map padded with the last live index (or 0
-    for empty rows)."""
-    rows, _ = live.shape
-    cnt = live.sum(axis=1).astype(np.int32)
-    width = max(1, int(cnt.max()) if rows else 1)
-    idx = np.zeros((rows, width), np.int32)
-    flg = np.zeros((rows, width), np.int32)
-    for r in range(rows):
-        cols = np.nonzero(live[r])[0]
-        if len(cols):
-            idx[r, :len(cols)] = cols
-            idx[r, len(cols):] = cols[-1]
-            flg[r, :len(cols)] = flag[r, cols]
-    return idx, cnt, flg
+def _flat_runs(live, flag, by_col=False):
+    """Flatten a (nqb, nkb) block-liveness matrix into flat run entries
+    (E, 5) int32 [qi, kb, flag, first, last], grouped by row (q-major,
+    ``by_col=False``) or by column (k-major)."""
+    entries = []
+    outer = live.T if by_col else live
+    for r in range(outer.shape[0]):
+        cols = np.nonzero(outer[r])[0]
+        for i, c in enumerate(cols):
+            qi, kb = (c, r) if by_col else (r, c)
+            entries.append((qi, kb, flag[qi, kb], int(i == 0),
+                            int(i == len(cols) - 1)))
+    if not entries:
+        raise ValueError("empty block pattern: no live blocks")
+    return np.asarray(entries, np.int32)
 
 
 def make_block_mask(n, kn=None, block_q: int = 512, block_k: int = 512,
                     *, causal: bool = False, window: int | None = None,
                     global_prefix: int = 0, extra_blocks=(),
                     block_pattern=None) -> BlockMask:
-    """Compile a static attention pattern to block maps (host, numpy).
+    """Compile a static attention pattern to flat block maps (host).
 
     ``window`` (requires ``causal``): sliding-window band, from which
     ``global_prefix`` keys (attention sinks — the first ``global_prefix``
@@ -133,7 +130,9 @@ def make_block_mask(n, kn=None, block_q: int = 512, block_k: int = 512,
     BigBird-style) escape; causality always applies. ``block_pattern``:
     an (nqb, nkb) boolean matrix giving arbitrary block-level liveness
     instead of the window clause (mutually exclusive with
-    window/global_prefix/extra_blocks).
+    window/global_prefix/extra_blocks). Every query block must keep at
+    least one live key block (softmax over an empty row is undefined) —
+    custom patterns violating this are rejected; keep the diagonal live.
 
     ``n`` / ``kn`` must divide by ``block_q`` / ``block_k`` (pad inputs
     to block multiples first — sparse patterns target long, aligned
@@ -191,19 +190,24 @@ def make_block_mask(n, kn=None, block_q: int = 512, block_k: int = 512,
         full = c_full
         flag = np.where(full, _FULL, _PARTIAL if causal else _FULL)
 
-    kmap, kcnt, kflag = _slot_maps(live, flag)
-    qmap, qcnt, qflag = _slot_maps(live.T, flag.T)
+    kcnt = live.sum(axis=1).astype(np.int32)
+    if (kcnt == 0).any():
+        raise ValueError(
+            f"query blocks {np.nonzero(kcnt == 0)[0].tolist()} attend no "
+            f"key block — every query needs at least one live key")
     return BlockMask(n=n, kn=kn, block_q=block_q, block_k=block_k,
                      causal=causal, window=window,
-                     global_prefix=global_prefix, kmap=kmap, kcnt=kcnt,
-                     kflag=kflag, qmap=qmap, qcnt=qcnt, qflag=qflag)
+                     global_prefix=global_prefix,
+                     fmap=_flat_runs(live, flag),
+                     tmap=_flat_runs(live, flag, by_col=True),
+                     kcnt=kcnt, qcnt=live.sum(axis=0).astype(np.int32))
 
 
 def _mask_sparse(s, q_start, k_start, flag, *, causal, window,
                  global_prefix, block_q, block_k):
     """Element mask for one (possibly partial) transposed score slab.
     ``q_start``/``k_start``/``flag`` are traced scalars (from the
-    prefetched maps); fully-live slots (flag == 0) skip the whole pass
+    prefetched map); fully-live entries (flag == 0) skip the whole pass
     via lax.cond."""
 
     def masked(s):
@@ -223,180 +227,161 @@ def _mask_sparse(s, q_start, k_start, flag, *, causal, window,
     return jax.lax.cond(flag > 0, masked, lambda s: s, s)
 
 
-def _sparse_fwd_kernel(kmap_ref, kcnt_ref, kflag_ref, q_ref, k_ref, v_ref,
-                       o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale,
-                       causal, window, global_prefix):
-    """Forward grid step — the transposed-slab online-softmax update of
-    flash_attention._fwd_kernel, with the key-block index chased through
-    the prefetched map and liveness = slot < count."""
-    jb = pl.program_id(2)
-    qi = pl.program_id(1)
-    num = pl.num_programs(2)
+def _sparse_fwd_kernel(m_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr,
+                       l_scr, acc_scr, *, scale, causal, window,
+                       global_prefix):
+    """Forward grid step over the FLAT map — the transposed-slab
+    online-softmax update of flash_attention._fwd_kernel, with scratch
+    reset/flush at run boundaries instead of grid-dimension edges. Every
+    step is a live block; there is no liveness branch."""
+    j = pl.program_id(1)
+    qi, kb, flag = m_ref[j, _QI], m_ref[j, _KB], m_ref[j, _FLAG]
     block_q = q_ref.shape[1]
     block_k = k_ref.shape[1]
 
-    @pl.when(jb == 0)
+    @pl.when(m_ref[j, _FIRST] == 1)
     def _():
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    @pl.when(jb < kcnt_ref[qi])
-    def _():
-        kb = kmap_ref[qi, jb]
-        flag = kflag_ref[qi, jb]
-        q = q_ref[0]
-        k_blk = k_ref[0]
-        v_blk = v_ref[0]
-        s = jax.lax.dot_general(
-            k_blk, q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (BLOCK_K, BLOCK_Q)
-        s = _mask_sparse(s, qi * block_q, kb * block_k, flag,
-                         causal=causal, window=window,
-                         global_prefix=global_prefix, block_q=block_q,
-                         block_k=block_k)
-        m_prev = m_scr[:]
-        l_prev = l_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m_prev - m_new)
-        m_scr[:] = m_new
-        l_scr[:] = l_prev * corr + jnp.sum(p, axis=0, keepdims=True)
-        acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
-            v_blk, p.astype(v_blk.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (DV, BLOCK_Q)
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    s = jax.lax.dot_general(
+        k_blk, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BLOCK_K, BLOCK_Q)
+    s = _mask_sparse(s, qi * block_q, kb * block_k, flag,
+                     causal=causal, window=window,
+                     global_prefix=global_prefix, block_q=block_q,
+                     block_k=block_k)
+    m_prev = m_scr[:]
+    l_prev = l_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    m_scr[:] = m_new
+    l_scr[:] = l_prev * corr + jnp.sum(p, axis=0, keepdims=True)
+    acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+        v_blk, p.astype(v_blk.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (DV, BLOCK_Q)
 
-    @pl.when(jb == num - 1)
+    @pl.when(m_ref[j, _LAST] == 1)
     def _():
         l = jnp.maximum(l_scr[:], 1e-30)
         o_ref[0] = (acc_scr[:] / l).T.astype(o_ref.dtype)
         lse_ref[0] = (m_scr[:] + jnp.log(l)).T
 
 
-def _sparse_dq_kernel(kmap_ref, kcnt_ref, kflag_ref, q_ref, k_ref, v_ref,
-                      do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale,
-                      causal, window, global_prefix):
-    jb = pl.program_id(2)
-    qi = pl.program_id(1)
-    num = pl.num_programs(2)
+def _sparse_dq_kernel(m_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, dq_scr, *, scale, causal, window,
+                      global_prefix):
+    j = pl.program_id(1)
+    qi, kb, flag = m_ref[j, _QI], m_ref[j, _KB], m_ref[j, _FLAG]
     block_q = q_ref.shape[1]
     block_k = k_ref.shape[1]
 
-    @pl.when(jb == 0)
+    @pl.when(m_ref[j, _FIRST] == 1)
     def _():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    @pl.when(jb < kcnt_ref[qi])
-    def _():
-        kb = kmap_ref[qi, jb]
-        flag = kflag_ref[qi, jb]
-        q = q_ref[0]
-        k_blk = k_ref[0]
-        v_blk = v_ref[0]
-        do = do_ref[0]
-        lse = lse_ref[0]      # (1, BLOCK_Q)
-        delta = delta_ref[0]  # (1, BLOCK_Q)
-        s = jax.lax.dot_general(
-            k_blk, q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = _mask_sparse(s, qi * block_q, kb * block_k, flag,
-                         causal=causal, window=window,
-                         global_prefix=global_prefix, block_q=block_q,
-                         block_k=block_k)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            v_blk, do, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = (p * (dp - delta)).astype(k_blk.dtype)
-        dq_scr[:] = dq_scr[:] + scale * jax.lax.dot_general(
-            ds, k_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]      # (1, BLOCK_Q)
+    delta = delta_ref[0]  # (1, BLOCK_Q)
+    s = jax.lax.dot_general(
+        k_blk, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = _mask_sparse(s, qi * block_q, kb * block_k, flag,
+                     causal=causal, window=window,
+                     global_prefix=global_prefix, block_q=block_q,
+                     block_k=block_k)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        v_blk, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta)).astype(k_blk.dtype)
+    dq_scr[:] = dq_scr[:] + scale * jax.lax.dot_general(
+        ds, k_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    @pl.when(jb == num - 1)
+    @pl.when(m_ref[j, _LAST] == 1)
     def _():
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _sparse_dkv_kernel(qmap_ref, qcnt_ref, qflag_ref, q_ref, k_ref, v_ref,
-                       do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr,
-                       dv_scr, *, scale, causal, window, global_prefix):
-    jb = pl.program_id(2)
-    kb = pl.program_id(1)
-    num = pl.num_programs(2)
+def _sparse_dkv_kernel(m_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                       scale, causal, window, global_prefix):
+    j = pl.program_id(1)
+    qi, kb, flag = m_ref[j, _QI], m_ref[j, _KB], m_ref[j, _FLAG]
     block_q = q_ref.shape[1]
     block_k = k_ref.shape[1]
 
-    @pl.when(jb == 0)
+    @pl.when(m_ref[j, _FIRST] == 1)
     def _():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    @pl.when(jb < qcnt_ref[kb])
-    def _():
-        qi = qmap_ref[kb, jb]
-        flag = qflag_ref[kb, jb]
-        q = q_ref[0]
-        k_blk = k_ref[0]
-        v_blk = v_ref[0]
-        do = do_ref[0]
-        lse = lse_ref[0]
-        delta = delta_ref[0]
-        s = jax.lax.dot_general(
-            k_blk, q, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = _mask_sparse(s, qi * block_q, kb * block_k, flag,
-                         causal=causal, window=window,
-                         global_prefix=global_prefix, block_q=block_q,
-                         block_k=block_k)
-        p = jnp.exp(s - lse)
-        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (BLOCK_K, DV)
-        dp = jax.lax.dot_general(
-            v_blk, do, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = (p * (dp - delta)).astype(q.dtype)
-        dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
-            ds, q, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (BLOCK_K, D)
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+    s = jax.lax.dot_general(
+        k_blk, q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = _mask_sparse(s, qi * block_q, kb * block_k, flag,
+                     causal=causal, window=window,
+                     global_prefix=global_prefix, block_q=block_q,
+                     block_k=block_k)
+    p = jnp.exp(s - lse)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK_K, DV)
+    dp = jax.lax.dot_general(
+        v_blk, do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
+        ds, q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BLOCK_K, D)
 
-    @pl.when(jb == num - 1)
+    @pl.when(m_ref[j, _LAST] == 1)
     def _():
         dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _check_shapes(q, k, v, block_q, block_k, nqb, nkb):
-    b, h, n, d = q.shape
-    kn = k.shape[2]
-    if n != nqb * block_q or kn != nkb * block_k:
+def _check_shapes(q, k, n, kn):
+    if q.shape[2] != n or k.shape[2] != kn:
         raise ValueError(
-            f"q/k lengths ({n}, {kn}) do not match the BlockMask "
-            f"({nqb}x{block_q}, {nkb}x{block_k})")
+            f"q/k lengths ({q.shape[2]}, {k.shape[2]}) do not match the "
+            f"BlockMask ({n}, {kn})")
 
 
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "block_q", "block_k",
                               "meta", "interpret"))
-def _sparse_fwd(q, k, v, kmap, kcnt, kflag, softmax_scale, block_q,
-                block_k, meta, interpret):
+def _sparse_fwd(q, k, v, fmap, softmax_scale, block_q, block_k, meta,
+                interpret):
     causal, window, global_prefix = meta
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv = v.shape[-1]
     hkv, group = _kv_heads(q, k, v)
-    nqb = kmap.shape[0]
-    nkb = kn // block_k
-    _check_shapes(q, k, v, block_q, block_k, nqb, nkb)
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * hkv, kn, d)
@@ -405,27 +390,26 @@ def _sparse_fwd(q, k, v, kmap, kcnt, kflag, softmax_scale, block_q,
     def kv_page(bh):
         return bh if group == 1 else (bh // h) * hkv + (bh % h) // group
 
-    def kv_idx(bh, qi, j, kmap, kcnt, kflag):
-        return (kv_page(bh), kmap[qi, j], 0)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(b * h, nqb, kmap.shape[1]),
+        num_scalar_prefetch=1,
+        grid=(b * h, fmap.shape[0]),
         in_specs=[
             pl.BlockSpec((1, block_q, d),
-                         lambda bh, qi, j, *_: (bh, qi, 0),
+                         lambda bh, j, m: (bh, m[j, _QI], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), kv_idx,
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, j, m: (kv_page(bh), m[j, _KB], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dv), kv_idx,
+            pl.BlockSpec((1, block_k, dv),
+                         lambda bh, j, m: (kv_page(bh), m[j, _KB], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, dv),
-                         lambda bh, qi, j, *_: (bh, qi, 0),
+                         lambda bh, j, m: (bh, m[j, _QI], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 1),
-                         lambda bh, qi, j, *_: (bh, qi, 0),
+                         lambda bh, j, m: (bh, m[j, _QI], 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -444,26 +428,23 @@ def _sparse_fwd(q, k, v, kmap, kcnt, kflag, softmax_scale, block_q,
             jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(kmap, kcnt, kflag, qf, kf, vf)
+    )(fmap, qf, kf, vf)
     return (out.reshape(b, h, n, dv), lse[..., 0].reshape(b, h, n))
 
 
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "block_q", "block_k",
-                              "meta", "interpret"))
-def _sparse_bwd(q, k, v, o, lse, do, kmap, kcnt, kflag, qmap, qcnt, qflag,
-                softmax_scale, block_q, block_k, meta, interpret):
+                              "meta", "interpret", "zero_fill"))
+def _sparse_bwd(q, k, v, o, lse, do, fmap, tmap, softmax_scale, block_q,
+                block_k, meta, interpret, zero_fill=()):
     causal, window, global_prefix = meta
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv_dim = v.shape[-1]
     hkv, group = _kv_heads(q, k, v)
-    nqb = kmap.shape[0]
-    nkb = qmap.shape[0]
-    _check_shapes(q, k, v, block_q, block_k, nqb, nkb)
     interpret_mode = pltpu.InterpretParams() if interpret else False
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
@@ -477,32 +458,32 @@ def _sparse_bwd(q, k, v, o, lse, do, kmap, kcnt, kflag, qmap, qcnt, qflag,
     def kv_page(bh):
         return bh if group == 1 else (bh // h) * hkv + (bh % h) // group
 
-    def kv_idx(bh, qi, j, kmap, kcnt, kflag):
-        return (kv_page(bh), kmap[qi, j], 0)
+    def q_blk(bh, j, m):
+        return (bh, m[j, _QI], 0)
+
+    def q_row(bh, j, m):
+        return (bh, 0, m[j, _QI])
+
+    def kv_blk(bh, j, m):
+        return (kv_page(bh), m[j, _KB], 0)
 
     dq_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(b * h, nqb, kmap.shape[1]),
+        num_scalar_prefetch=1,
+        grid=(b * h, fmap.shape[0]),
         in_specs=[
-            pl.BlockSpec((1, block_q, d),
-                         lambda bh, qi, j, *_: (bh, qi, 0),
+            pl.BlockSpec((1, block_q, d), q_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), kv_blk,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), kv_idx,
+            pl.BlockSpec((1, block_k, dv_dim), kv_blk,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dv_dim), kv_idx,
+            pl.BlockSpec((1, block_q, dv_dim), q_blk,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, dv_dim),
-                         lambda bh, qi, j, *_: (bh, qi, 0),
+            pl.BlockSpec((1, 1, block_q), q_row,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q),
-                         lambda bh, qi, j, *_: (bh, 0, qi),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q),
-                         lambda bh, qi, j, *_: (bh, 0, qi),
+            pl.BlockSpec((1, 1, block_q), q_row,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda bh, qi, j, *_: (bh, qi, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), q_blk,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
     )
@@ -513,30 +494,21 @@ def _sparse_bwd(q, k, v, o, lse, do, kmap, kcnt, kflag, qmap, qcnt, qflag,
         grid_spec=dq_grid,
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret_mode,
-    )(kmap, kcnt, kflag, qf, kf, vf, dof, lsef, deltaf)
-
-    def q_idx(bh, kb, j, qmap, qcnt, qflag):
-        return (bh, qmap[kb, j], 0)
-
-    def q_row(bh, kb, j, qmap, qcnt, qflag):
-        return (bh, 0, qmap[kb, j])
+    )(fmap, qf, kf, vf, dof, lsef, deltaf)
 
     dkv_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(b * h, nkb, qmap.shape[1]),
+        num_scalar_prefetch=1,
+        grid=(b * h, tmap.shape[0]),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), q_idx,
+            pl.BlockSpec((1, block_q, d), q_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), kv_blk,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d),
-                         lambda bh, kb, j, *_: (kv_page(bh), kb, 0),
+            pl.BlockSpec((1, block_k, dv_dim), kv_blk,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, dv_dim),
-                         lambda bh, kb, j, *_: (kv_page(bh), kb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, dv_dim), q_idx,
+            pl.BlockSpec((1, block_q, dv_dim), q_blk,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q), q_row,
                          memory_space=pltpu.VMEM),
@@ -545,10 +517,10 @@ def _sparse_bwd(q, k, v, o, lse, do, kmap, kcnt, kflag, qmap, qcnt, qflag,
         ],
         out_specs=(
             pl.BlockSpec((1, block_k, d),
-                         lambda bh, kb, j, *_: (bh, kb, 0),
+                         lambda bh, j, m: (bh, m[j, _KB], 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, dv_dim),
-                         lambda bh, kb, j, *_: (bh, kb, 0),
+                         lambda bh, j, m: (bh, m[j, _KB], 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -566,10 +538,24 @@ def _sparse_bwd(q, k, v, o, lse, do, kmap, kcnt, kflag, qmap, qcnt, qflag,
             jax.ShapeDtypeStruct((b * h, kn, dv_dim), v.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret_mode,
-    )(qmap, qcnt, qflag, qf, kf, vf, dof, lsef, deltaf)
+    )(tmap, qf, kf, vf, dof, lsef, deltaf)
+
+    if zero_fill:
+        # Key blocks no query attends are never grid steps, so their
+        # dk/dv output blocks are UNWRITTEN (garbage) — zero them with
+        # one elementwise pass. ``zero_fill`` is the static tuple of
+        # dead key-block indices (host-computed; empty for the usual
+        # patterns where every key is attended).
+        att = np.ones(kn // block_k, bool)
+        att[list(zero_fill)] = False
+        # where, not multiply: the unwritten blocks can hold NaN bit
+        # patterns and NaN * 0 = NaN.
+        att = jnp.asarray(np.repeat(att, block_k))[None, :, None]
+        dk = jnp.where(att, dk, 0)
+        dv = jnp.where(att, dv, 0)
 
     dq = dq.reshape(b, h, n, d)
     if group == 1:
@@ -583,28 +569,28 @@ def _sparse_bwd(q, k, v, o, lse, do, kmap, kcnt, kflag, qmap, qcnt, qflag,
     return dq, gsum(dk, d), gsum(dv, dv_dim)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
-def _sparse_dispatch(q, k, v, kmap, kcnt, kflag, qmap, qcnt, qflag,
-                     softmax_scale, block_q, block_k, meta, interpret):
-    o, _ = _sparse_fwd(q, k, v, kmap, kcnt, kflag, softmax_scale, block_q,
-                       block_k, meta, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _sparse_dispatch(q, k, v, fmap, tmap, softmax_scale, block_q, block_k,
+                     meta, interpret, zero_fill):
+    o, _ = _sparse_fwd(q, k, v, fmap, softmax_scale, block_q, block_k,
+                       meta, interpret)
     return o
 
 
-def _sparse_dispatch_fwd(q, k, v, kmap, kcnt, kflag, qmap, qcnt, qflag,
-                         softmax_scale, block_q, block_k, meta, interpret):
-    o, lse = _sparse_fwd(q, k, v, kmap, kcnt, kflag, softmax_scale,
-                         block_q, block_k, meta, interpret)
-    return o, (q, k, v, o, lse, kmap, kcnt, kflag, qmap, qcnt, qflag)
+def _sparse_dispatch_fwd(q, k, v, fmap, tmap, softmax_scale, block_q,
+                         block_k, meta, interpret, zero_fill):
+    o, lse = _sparse_fwd(q, k, v, fmap, softmax_scale, block_q, block_k,
+                         meta, interpret)
+    return o, (q, k, v, o, lse, fmap, tmap)
 
 
 def _sparse_dispatch_bwd(softmax_scale, block_q, block_k, meta, interpret,
-                         res, g):
-    q, k, v, o, lse, kmap, kcnt, kflag, qmap, qcnt, qflag = res
-    dq, dk, dv = _sparse_bwd(q, k, v, o, lse, g, kmap, kcnt, kflag, qmap,
-                             qcnt, qflag, softmax_scale, block_q, block_k,
-                             meta, interpret)
-    return (dq, dk, dv) + (None,) * 6
+                         zero_fill, res, g):
+    q, k, v, o, lse, fmap, tmap = res
+    dq, dk, dv = _sparse_bwd(q, k, v, o, lse, g, fmap, tmap,
+                             softmax_scale, block_q, block_k, meta,
+                             interpret, zero_fill)
+    return dq, dk, dv, None, None
 
 
 _sparse_dispatch.defvjp(_sparse_dispatch_fwd, _sparse_dispatch_bwd)
@@ -614,15 +600,14 @@ def sparse_attention(q, k, v, mask: BlockMask, softmax_scale: float = 1.0,
                      interpret: bool | None = None):
     """Block-sparse flash attention over a static :class:`BlockMask`
     pattern. q: (B, H, N, D); k/v: (B, H_kv, KN, D) (GQA streams the
-    shared KV page). Differentiable (saved-LSE Pallas backward). Work and
-    HBM traffic scale with the live blocks only.
+    shared KV page). Differentiable (saved-LSE Pallas backward). Work,
+    HBM traffic, and grid steps all scale with the live blocks only.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if q.shape[2] != mask.n or k.shape[2] != mask.kn:
-        raise ValueError(
-            f"q/k lengths ({q.shape[2]}, {k.shape[2]}) != BlockMask "
-            f"({mask.n}, {mask.kn})")
-    return _sparse_dispatch(q, k, v, *mask.arrays(), softmax_scale,
+    _check_shapes(q, k, mask.n, mask.kn)
+    zero_fill = tuple(int(i) for i in np.nonzero(mask.qcnt == 0)[0])
+    fmap, tmap = mask.arrays()
+    return _sparse_dispatch(q, k, v, fmap, tmap, softmax_scale,
                             mask.block_q, mask.block_k, mask.meta,
-                            bool(interpret))
+                            bool(interpret), zero_fill)

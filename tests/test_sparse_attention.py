@@ -50,21 +50,28 @@ def _dense_attn(q, k, v, scale, keep):
 
 
 def test_make_block_mask_structure():
-    """Block map construction: counts, fullness flags, sparsity."""
+    """Flat block map construction: runs, fullness flags, sparsity."""
     m = make_block_mask(128, block_q=16, block_k=16, causal=True,
                         window=24, global_prefix=4)
     # Row 0 (queries 0-15): only k block 0 (diagonal).
-    assert m.kcnt[0] == 1 and m.kmap[0, 0] == 0
-    # Deep rows: global block 0 + the band (ceil(24+15 / 16)+..).
-    assert m.kmap[7, 0] == 0       # sink block first
-    assert m.kflag[7, 0] == 1      # partial: only k<4 pass there
-    assert m.kcnt[7] == 1 + 3      # sink + 3 band blocks
-    # Diagonal blocks are causal-partial, strictly-inside-band interior
-    # full: q block 7, k block 6 (k in 96..111, q in 112..127):
-    # q-k max = 31 >= window -> partial. k block 7 diag partial.
+    assert m.kcnt[0] == 1
+    row0 = m.fmap[m.fmap[:, 0] == 0]
+    assert list(row0[0, :2]) == [0, 0] and row0[0, 3] == 1  # first
+    # Deep row 7: sink block 0 first (partial: only k<4 pass) + 3 band
+    # blocks; run boundaries marked.
+    row7 = m.fmap[m.fmap[:, 0] == 7]
+    assert list(row7[:, 1]) == [0, 5, 6, 7]
+    assert row7[0, 2] == 1          # sink block is partial
+    assert row7[0, 3] == 1 and row7[-1, 4] == 1
+    assert m.kcnt[7] == 4
     assert m.sparsity > 0.5
-    # Transposed maps agree with the forward maps on total liveness.
-    assert m.qcnt.sum() == m.kcnt.sum()
+    # The transposed map covers the same entries, grouped by key block.
+    assert m.tmap.shape == m.fmap.shape
+    assert m.qcnt.sum() == m.kcnt.sum() == m.fmap.shape[0]
+    # tmap runs: k block 0 (the sink column) is live for ALL q blocks.
+    col0 = m.tmap[m.tmap[:, 1] == 0]
+    assert list(col0[:, 0]) == list(range(8))
+    assert col0[0, 3] == 1 and col0[-1, 4] == 1 and (col0[1:-1, 3:] == 0).all()
 
     with pytest.raises(ValueError, match="divide"):
         make_block_mask(100, block_q=16, block_k=16)
@@ -144,6 +151,44 @@ def test_sparse_block_pattern(rng):
                                atol=2e-4)
 
 
+def test_sparse_unattended_keys_zero_grad(rng):
+    """Cross-attention block pattern where some key blocks are attended
+    by nobody: their dk/dv must be ZERO (their output blocks are never
+    grid steps — the zero-fill pass covers them)."""
+    b, h, n, kn, d = 1, 2, 32, 96, 16
+    pat = np.zeros((2, 6), bool)
+    pat[0, 0] = pat[0, 2] = True
+    pat[1, 1] = True                  # columns 3,4,5 never attended
+    mask = make_block_mask(n, kn, block_q=16, block_k=16,
+                           block_pattern=pat)
+    assert list(np.nonzero(mask.qcnt == 0)[0]) == [3, 4, 5]
+    keep = _dense_keep(n, kn, 16, 16, False, None, 0, block_pattern=pat)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, kn, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, kn, d)).astype(np.float32))
+
+    out = sparse_attention(q, k, v, mask, softmax_scale=0.25)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_dense_attn(q, k, v, 0.25, keep)),
+                               rtol=2e-4, atol=2e-5)
+
+    gs = jax.grad(lambda q, k, v: jnp.sum(
+        sparse_attention(q, k, v, mask, softmax_scale=0.25) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(lambda q, k, v: jnp.sum(
+        _dense_attn(q, k, v, 0.25, keep) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    assert np.all(np.asarray(gs[1])[:, :, 48:] == 0)
+    assert np.all(np.asarray(gs[2])[:, :, 48:] == 0)
+    for got, want, name in zip(gs, gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+    with pytest.raises(ValueError, match="attend no"):
+        make_block_mask(n, kn, block_q=16, block_k=16,
+                        block_pattern=np.zeros((2, 6), bool))
+
+
 def test_sparse_gqa(rng):
     """GQA: fewer KV heads stream shared pages through the sparse grid."""
     b, h, hkv, n, d = 1, 4, 2, 64, 16
@@ -193,3 +238,57 @@ def test_sparse_shape_validation(rng):
     mask = make_block_mask(32, block_q=16, block_k=16, causal=True)
     with pytest.raises(ValueError, match="BlockMask"):
         sparse_attention(q, q, q, mask)
+
+
+def test_mha_block_mask(rng):
+    """Layer-level block-sparse attention: MultiHeadAttention(
+    block_mask=...) matches the dense layer restricted to the pattern;
+    conflicting configs raise."""
+    import ku
+
+    key = jax.random.PRNGKey(3)
+    b, t, dm = 2, 64, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    mask = make_block_mask(t, block_q=16, block_k=16, causal=True,
+                           window=20, global_prefix=3)
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True)
+    variables = layer.init(key, [x, x, x])
+    y = np.asarray(layer.apply(variables, [x, x, x], block_mask=mask))
+
+    # Dense oracle: rebuild the layer math with the element-level keep.
+    keep = _dense_keep(t, t, 16, 16, True, 20, 3)
+    p = variables["params"]
+
+    def split(z, w):
+        return jnp.transpose((z @ w).reshape(b, t, 2, dm // 2),
+                             (0, 2, 1, 3))
+
+    qh = split(x, p["W_Q"])
+    kh = split(x, p["W_K"])
+    vh = split(x, p["W_V"])
+    head = _dense_attn(qh, kh, vh, 1.0 / np.sqrt(dm), keep)
+    want = np.asarray(
+        jnp.transpose(head, (0, 2, 1, 3)).reshape(b, t, dm)
+        @ p["W_multi_head"])
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+    # Transformer forwards it; cross-pattern influence is blocked.
+    block = ku.Transformer(2, dm, 0.0, causal=True)
+    bv = block.init(key, [x])
+    yb = np.asarray(block.apply(bv, [x], block_mask=mask))
+    assert yb.shape == (b, t, dm) and np.isfinite(yb).all()
+
+    with pytest.raises(ValueError, match="conflicts"):
+        ku.MultiHeadAttention(2, dm, 0.0, causal=False).apply(
+            variables, [x, x, x], block_mask=mask)
+    with pytest.raises(ValueError, match="conflicts"):
+        ku.MultiHeadAttention(2, dm, 0.0, causal=True, window=20).apply(
+            variables, [x, x, x], block_mask=mask)
+    with pytest.raises(ValueError, match="dropout"):
+        ku.MultiHeadAttention(2, dm, 0.5, causal=True).apply(
+            variables, [x, x, x], block_mask=mask, deterministic=False,
+            rngs={"dropout": key})
+    with pytest.raises(ValueError, match="segment_ids"):
+        ku.MultiHeadAttention(2, dm, 0.0, causal=True).apply(
+            variables, [x, x, x], block_mask=mask,
+            segment_ids=jnp.zeros((b, t), jnp.int32))
