@@ -28,7 +28,7 @@ from ku.nn import Transformer
 D_MODEL, HEADS, KV_HEADS, BLOCKS, BATCH = 512, 8, 2, 2, 8
 
 
-def build(max_len):
+def build(max_len, window=None, global_prefix=0):
     import flax.linen as nn
 
     class LM(nn.Module):
@@ -38,6 +38,7 @@ def build(max_len):
                 x = Transformer(HEADS, D_MODEL, 0.0, causal=True,
                                 num_kv_head=KV_HEADS,
                                 max_decode_len=max_len,
+                                window=window, global_prefix=global_prefix,
                                 name=f"block{i}")([x], decode=decode)
             return x
 
@@ -46,9 +47,15 @@ def build(max_len):
 
 def main():
     t_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    # "ring": StreamingLLM serving — sliding window 512 + 32 sinks; the
+    # KV cache is a 544-slot ring buffer PER LAYER regardless of
+    # t_tokens (unbounded decode at constant memory), vs the dense
+    # cache's t_tokens slots.
+    ring = len(sys.argv) > 2 and sys.argv[2] == "ring"
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
-    model = build(t_tokens)
+    model = build(t_tokens, window=512 if ring else None,
+                  global_prefix=32 if ring else 0)
     x0 = jnp.asarray(rng.normal(size=(BATCH, 1, D_MODEL)), jnp.float32)
     variables = model.init(jax.random.key(0), x0, decode=True)
     params = variables["params"]
@@ -81,6 +88,9 @@ def main():
         "batch": BATCH, "t": t_tokens, "d_model": D_MODEL,
         "heads": HEADS, "kv_heads": KV_HEADS, "blocks": BLOCKS,
     }
+    if ring:
+        out["cache_slots_per_layer"] = 512 + 32
+        out["mode"] = "ring"
     print(json.dumps(out))
 
 

@@ -74,8 +74,19 @@ class MultiHeadAttention(nn.Module):
     num_kv_head: Optional[int] = None
     # Autoregressive serving: maximum sequence length of the KV cache
     # allocated when __call__ runs with decode=True (one token per call,
-    # 'cache' collection mutable). Requires causal=True.
+    # 'cache' collection mutable). Requires causal=True. With a sliding
+    # ``window`` the cache is instead a RING BUFFER of
+    # global_prefix + window slots (StreamingLLM: pinned attention-sink
+    # keys + rolling window) — decode length is UNBOUNDED at constant
+    # memory and max_decode_len is ignored.
     max_decode_len: Optional[int] = None
+    # Attention sinks (StreamingLLM): the first global_prefix key
+    # positions escape the sliding window (causality still applies).
+    # Requires window; honored by the dense path and the ring-buffer
+    # decode. For the flash path express sinks via block_mask
+    # (make_block_mask(global_prefix=...)) — the banded flash kernel has
+    # no sink escape.
+    global_prefix: int = 0
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -93,19 +104,31 @@ class MultiHeadAttention(nn.Module):
                     or self.use_mask or decode or segment_ids is not None):
                 raise ValueError("block_mask supports the scaled no-mask "
                                  "non-decode path without segment_ids")
-            if self.causal != block_mask.causal or self.window is not None:
+            if (self.causal != block_mask.causal or self.window is not None
+                    or self.global_prefix):
                 raise ValueError(
                     "block_mask pattern conflicts with the layer: set "
-                    "causal on the mask (and window only on the mask)")
+                    "causal on the mask (and window/global_prefix only "
+                    "on the mask)")
             if self.dropout_rate > 0.0 and not deterministic:
                 raise ValueError(
                     "block_mask cannot apply attention-probability "
                     "dropout (no N² probs exist to drop) — set "
                     "dropout_rate=0.0")
+        if self.global_prefix:
+            if self.window is None:
+                raise ValueError("global_prefix (attention sinks) is an "
+                                 "escape from a sliding window — set "
+                                 "window too")
+            if self.use_flash:
+                raise ValueError("the flash window kernel has no sink "
+                                 "escape — express global_prefix via "
+                                 "block_mask instead")
         if decode and not self.causal:
             raise ValueError("decode=True requires causal=True")
-        if decode and self.max_decode_len is None:
-            raise ValueError("decode=True requires max_decode_len")
+        if decode and self.max_decode_len is None and self.window is None:
+            raise ValueError("decode=True requires max_decode_len (or a "
+                             "sliding window for the ring-buffer cache)")
         if decode and (self.similarity_type != SIMILARITY_TYPE_SCALED
                        or self.use_mask):
             raise ValueError("decode supports the scaled no-mask path")
@@ -140,12 +163,19 @@ class MultiHeadAttention(nn.Module):
             # K/V (h_kv heads — GQA shrinks the cache num_head/num_kv_head
             # ×) and attend the query against the filled prefix. Grouped
             # einsums read the shared KV page without materializing the
-            # head repeat. One token per call (q length 1).
+            # head repeat. One token per call (q length 1). With a
+            # sliding window the cache is a RING BUFFER of
+            # global_prefix + window slots: sink positions are pinned,
+            # later tokens overwrite the oldest in-window slot, and a
+            # per-slot global-position array drives the mask — decode
+            # length is unbounded at constant memory (StreamingLLM).
             bsz, L = q.shape[0], q.shape[1]
             if L != 1:
                 raise ValueError(f"decode processes one token per call, "
                                  f"got length {L}")
-            mx = self.max_decode_len
+            gp, win = self.global_prefix, self.window
+            ring = win is not None
+            mx = gp + win if ring else self.max_decode_len
             ck = self.variable("cache", "cached_key", jnp.zeros,
                                (bsz, hkv, mx, d_k_h), k_h.dtype)
             cv = self.variable("cache", "cached_value", jnp.zeros,
@@ -153,17 +183,28 @@ class MultiHeadAttention(nn.Module):
             ci = self.variable("cache", "cache_index",
                                lambda: jnp.zeros((), jnp.int32))
             idx = ci.value
+            if ring:
+                cpos = self.variable(
+                    "cache", "cache_pos",
+                    lambda: jnp.full((mx,), -1, jnp.int32))
+                slot = jnp.where(idx < gp, idx,
+                                 gp + jax.lax.rem(idx - gp, win))
+                cpos.value = jax.lax.dynamic_update_slice(
+                    cpos.value, idx.reshape(1), (slot,))
+                pos = cpos.value
+                # Occupied slots only; sinks escape the window.
+                keep = (pos >= 0) & ((pos < gp) | (idx - pos < win))
+            else:
+                slot = idx
+                pos = jnp.arange(mx)
+                keep = pos <= idx
             ck.value = jax.lax.dynamic_update_slice(ck.value, k_h,
-                                                    (0, 0, idx, 0))
+                                                    (0, 0, slot, 0))
             cv.value = jax.lax.dynamic_update_slice(cv.value, v_h,
-                                                    (0, 0, idx, 0))
+                                                    (0, 0, slot, 0))
             ci.value = idx + 1
 
             group = h // hkv
-            pos = jnp.arange(mx)
-            keep = pos <= idx
-            if self.window is not None:
-                keep = keep & (idx - pos < self.window)
             qg = q_h.reshape(bsz, hkv, group, 1, d_k_h)
             s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, ck.value) / math.sqrt(
                 d_k)
@@ -218,7 +259,10 @@ class MultiHeadAttention(nn.Module):
                 k_pos = jnp.arange(nk)[None, :]
                 keep = k_pos <= q_pos
                 if self.window is not None:
-                    keep = keep & (q_pos - k_pos < self.window)
+                    # Attention sinks (global_prefix) escape the window
+                    # but not causality (StreamingLLM semantics).
+                    keep = keep & ((q_pos - k_pos < self.window)
+                                   | (k_pos < self.global_prefix))
                 scores = jnp.where(keep[None, None], scores, -1e30)
             if segment_ids is not None:
                 # Packed sequences: block-diagonal masking from (B, N) ids

@@ -49,6 +49,10 @@ class Transformer(nn.Module):
     window: int | None = None
     num_kv_head: int | None = None
     max_decode_len: int | None = None
+    # Attention sinks escaping the window (StreamingLLM; with window in
+    # decode the KV cache becomes an unbounded-length ring buffer of
+    # global_prefix + window slots).
+    global_prefix: int = 0
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -66,6 +70,7 @@ class Transformer(nn.Module):
                 window=self.window,
                 num_kv_head=self.num_kv_head,
                 max_decode_len=self.max_decode_len,
+                global_prefix=self.global_prefix,
             )([y, y, y, m], deterministic=deterministic, decode=decode,
               segment_ids=segment_ids, block_mask=block_mask)
             y2 = nn.Dropout(self.dropout_rate)(y2, deterministic=deterministic)

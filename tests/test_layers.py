@@ -291,6 +291,68 @@ def test_transformer_kv_cache_decode_matches_full(key, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("gp,hkv", [(0, 2), (2, 2), (2, 1)])
+def test_mha_ring_buffer_decode_unbounded(key, rng, gp, hkv):
+    """StreamingLLM ring-buffer decode: with a sliding window the cache
+    is global_prefix + window slots and decode length is UNBOUNDED —
+    feeding t >> cache-size tokens one-by-one reproduces the full
+    sink+window causal forward, with and without sinks/GQA."""
+    b, t, dm, win = 2, 23, 8, 6
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True, window=win,
+                                  global_prefix=gp, num_kv_head=hkv)
+    variables = layer.init(key, [x, x, x])
+    full = np.asarray(layer.apply(variables, [x, x, x]))
+
+    cache = {}
+    steps = []
+    for i in range(t):
+        tok = x[:, i:i + 1]
+        y, mut = layer.apply(
+            {"params": variables["params"], **cache},
+            [tok, tok, tok], decode=True, mutable=["cache"])
+        cache = mut
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=1e-4, atol=1e-5)
+    # The cache really is bounded: gp + window slots, far below t.
+    assert cache["cache"]["cached_key"].shape[2] == gp + win < t
+    assert int(cache["cache"]["cache_index"]) == t
+
+
+def test_transformer_ring_buffer_decode(key, rng):
+    """Transformer block with sinks + window decodes unbounded lengths
+    through ring-buffer caches in both attention sublayers."""
+    b, t, dm = 1, 19, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, window=5,
+                           global_prefix=1)
+    variables = block.init(key, [x])
+    full = np.asarray(block.apply(variables, [x]))
+
+    cache = {}
+    steps = []
+    for i in range(t):
+        y, mut = block.apply(
+            {"params": variables["params"], **cache},
+            [x[:, i:i + 1]], decode=True, mutable=["cache"])
+        cache = mut
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mha_global_prefix_validation(key, rng):
+    x = jnp.zeros((1, 4, 8))
+    with pytest.raises(ValueError, match="window too"):
+        ku.MultiHeadAttention(2, 8, causal=True, global_prefix=2).init(
+            key, [x, x, x])
+    with pytest.raises(ValueError, match="block_mask"):
+        ku.MultiHeadAttention(2, 8, causal=True, window=2,
+                              global_prefix=1, use_flash=True).init(
+            key, [x, x, x])
+
+
 def test_mha_decode_validation(key, rng):
     x = jnp.zeros((1, 1, 8))
     mha = ku.MultiHeadAttention(2, 8, causal=False, max_decode_len=4)
