@@ -6,7 +6,12 @@ WHOLE decode loop runs as ONE dispatch (lax.scan with the functional
 cache dict as carry), so the ~25-30 ms axon-tunnel round trip amortizes
 across T steps (BASELINE.md methodology); scalar-readback fencing.
 
-Usage: python benchmarks/decode_bench.py [T]
+Usage: python benchmarks/decode_bench.py [T] [ring|prefill]
+
+``ring``    — StreamingLLM serving: window 512 + 32 sinks ring cache.
+``prefill`` — one-dispatch prompt prefill of T tokens (chunked cache
+              fill) instead of T per-token steps; reports prompt
+              tokens/sec (S=16 chained prompt passes per dispatch).
 """
 
 from __future__ import annotations
@@ -51,7 +56,8 @@ def main():
     # KV cache is a 544-slot ring buffer PER LAYER regardless of
     # t_tokens (unbounded decode at constant memory), vs the dense
     # cache's t_tokens slots.
-    ring = len(sys.argv) > 2 and sys.argv[2] == "ring"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "dense"
+    ring = mode == "ring"
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
     model = build(t_tokens, window=512 if ring else None,
@@ -60,6 +66,36 @@ def main():
     variables = model.init(jax.random.key(0), x0, decode=True)
     params = variables["params"]
     cache0 = variables["cache"]
+
+    if mode == "prefill":
+        S = 16
+        xp = jnp.asarray(rng.normal(size=(BATCH, t_tokens, D_MODEL)),
+                         jnp.float32)
+
+        @jax.jit
+        def prefill_chain(params, cache0, xp, salt):
+            def step(x, _):
+                y, _ = model.apply({"params": params, "cache": cache0},
+                                   x, decode=True, mutable=["cache"])
+                return y * (1 + salt * 1e-30), jnp.sum(y)
+
+            _, sums = jax.lax.scan(step, xp, None, length=S)
+            return jnp.sum(sums)
+
+        _ = np.asarray(prefill_chain(params, cache0, xp, jnp.float32(0)))
+        best = float("inf")
+        for i in range(4):
+            t0 = time.perf_counter()
+            _ = np.asarray(prefill_chain(params, cache0, xp,
+                                         jnp.float32(1e-6 * i)))
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({
+            "prefill_tokens_per_sec": round(BATCH * t_tokens * S / best, 1),
+            "ms_per_prompt": round(best * 1e3 / S, 4), "mode": "prefill",
+            "batch": BATCH, "t": t_tokens, "d_model": D_MODEL,
+            "heads": HEADS, "kv_heads": KV_HEADS, "blocks": BLOCKS,
+        }))
+        return
 
     @jax.jit
     def decode_chain(params, cache0, x0, salt):

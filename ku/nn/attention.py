@@ -73,8 +73,9 @@ class MultiHeadAttention(nn.Module):
     # KV cache by num_head/num_kv_head.
     num_kv_head: Optional[int] = None
     # Autoregressive serving: maximum sequence length of the KV cache
-    # allocated when __call__ runs with decode=True (one token per call,
-    # 'cache' collection mutable). Requires causal=True. With a sliding
+    # allocated when __call__ runs with decode=True ('cache' collection
+    # mutable; length-1 calls decode one token, length-L calls PREFILL
+    # the prompt in one dispatch). Requires causal=True. With a sliding
     # ``window`` the cache is instead a RING BUFFER of
     # global_prefix + window slots (StreamingLLM: pinned attention-sink
     # keys + rolling window) — decode length is UNBOUNDED at constant
@@ -159,20 +160,29 @@ class MultiHeadAttention(nn.Module):
         v_h = split_heads(v @ w_v, d_v_h, hkv)
 
         if decode:
-            # Autoregressive KV-cache step (serving): append this token's
+            # Autoregressive KV-cache serving. L == 1: append this token's
             # K/V (h_kv heads — GQA shrinks the cache num_head/num_kv_head
             # ×) and attend the query against the filled prefix. Grouped
             # einsums read the shared KV page without materializing the
-            # head repeat. One token per call (q length 1). With a
-            # sliding window the cache is a RING BUFFER of
-            # global_prefix + window slots: sink positions are pinned,
-            # later tokens overwrite the oldest in-window slot, and a
-            # per-slot global-position array drives the mask — decode
-            # length is unbounded at constant memory (StreamingLLM).
+            # head repeat. With a sliding window the cache is a RING
+            # BUFFER of global_prefix + window slots: sink positions are
+            # pinned, later tokens overwrite the oldest in-window slot,
+            # and a per-slot global-position array drives the mask —
+            # decode length is unbounded at constant memory (StreamingLLM).
+            #
+            # L > 1: PREFILL — process the whole prompt chunk in ONE
+            # dispatch (full-MXU batched matmuls instead of L per-token
+            # dispatches) and leave the cache exactly as L single-token
+            # steps would. Dense cache: appends at cache_index, so
+            # chunked prefill composes (scores run against the full
+            # cache page — size prompt chunks accordingly). Ring cache:
+            # attention runs over the raw prompt (a window neighbor may
+            # occupy a slot that a LATER prompt token overwrites, so the
+            # final cache can't serve the prompt's own queries) and the
+            # surviving slot contents are gathered in closed form;
+            # REQUIRES an empty cache (cache_index == 0) — it overwrites
+            # rather than merges.
             bsz, L = q.shape[0], q.shape[1]
-            if L != 1:
-                raise ValueError(f"decode processes one token per call, "
-                                 f"got length {L}")
             gp, win = self.global_prefix, self.window
             ring = win is not None
             mx = gp + win if ring else self.max_decode_len
@@ -183,35 +193,80 @@ class MultiHeadAttention(nn.Module):
             ci = self.variable("cache", "cache_index",
                                lambda: jnp.zeros((), jnp.int32))
             idx = ci.value
+            group = h // hkv
+            qg = q_h.reshape(bsz, hkv, group, L, d_k_h)
             if ring:
                 cpos = self.variable(
                     "cache", "cache_pos",
                     lambda: jnp.full((mx,), -1, jnp.int32))
-                slot = jnp.where(idx < gp, idx,
-                                 gp + jax.lax.rem(idx - gp, win))
-                cpos.value = jax.lax.dynamic_update_slice(
-                    cpos.value, idx.reshape(1), (slot,))
-                pos = cpos.value
-                # Occupied slots only; sinks escape the window.
-                keep = (pos >= 0) & ((pos < gp) | (idx - pos < win))
+            if L > 1 and ring:
+                # Ring prefill: mask over the prompt itself, then gather
+                # each slot's last-written prompt position (sinks: slot s
+                # holds position s; ring slots hold the largest
+                # gp + (s-gp) + k·win below L).
+                q_pos = jnp.arange(L)[:, None]
+                k_pos = jnp.arange(L)[None, :]
+                keep = (k_pos <= q_pos) & ((q_pos - k_pos < win)
+                                           | (k_pos < gp))
+                s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k_h) / math.sqrt(
+                    d_k)
+                s = jnp.where(keep[None, None, None], s, -1e30)
+                p = nn.softmax(s, axis=-1)
+                head = jnp.einsum("bhgqk,bhkd->bhgqd", p, v_h).reshape(
+                    bsz, h, L, d_v_h)
+                sl = jnp.arange(mx)
+                r = sl - gp
+                last = jnp.where(sl < gp, sl,
+                                 gp + r + ((L - 1 - gp - r) // win) * win)
+                valid = jnp.where(sl < gp, sl < L, last >= gp)
+                src = jnp.clip(last, 0, L - 1)
+                ck.value = jnp.where(valid[None, None, :, None],
+                                     jnp.take(k_h, src, axis=2), ck.value)
+                cv.value = jnp.where(valid[None, None, :, None],
+                                     jnp.take(v_h, src, axis=2), cv.value)
+                cpos.value = jnp.where(valid, last, cpos.value)
+                ci.value = idx + L
+            elif L > 1:
+                # Dense-cache prefill: write the chunk at idx, attend the
+                # updated cache page with a shifted causal mask.
+                ck.value = jax.lax.dynamic_update_slice(ck.value, k_h,
+                                                        (0, 0, idx, 0))
+                cv.value = jax.lax.dynamic_update_slice(cv.value, v_h,
+                                                        (0, 0, idx, 0))
+                ci.value = idx + L
+                pos = jnp.arange(mx)[None, :]
+                keep = pos <= idx + jnp.arange(L)[:, None]
+                s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, ck.value
+                               ) / math.sqrt(d_k)
+                s = jnp.where(keep[None, None, None], s, -1e30)
+                p = nn.softmax(s, axis=-1)
+                head = jnp.einsum("bhgqk,bhkd->bhgqd", p, cv.value
+                                  ).reshape(bsz, h, L, d_v_h)
             else:
-                slot = idx
-                pos = jnp.arange(mx)
-                keep = pos <= idx
-            ck.value = jax.lax.dynamic_update_slice(ck.value, k_h,
-                                                    (0, 0, slot, 0))
-            cv.value = jax.lax.dynamic_update_slice(cv.value, v_h,
-                                                    (0, 0, slot, 0))
-            ci.value = idx + 1
+                if ring:
+                    slot = jnp.where(idx < gp, idx,
+                                     gp + jax.lax.rem(idx - gp, win))
+                    cpos.value = jax.lax.dynamic_update_slice(
+                        cpos.value, idx.reshape(1), (slot,))
+                    pos = cpos.value
+                    # Occupied slots only; sinks escape the window.
+                    keep = (pos >= 0) & ((pos < gp) | (idx - pos < win))
+                else:
+                    slot = idx
+                    pos = jnp.arange(mx)
+                    keep = pos <= idx
+                ck.value = jax.lax.dynamic_update_slice(ck.value, k_h,
+                                                        (0, 0, slot, 0))
+                cv.value = jax.lax.dynamic_update_slice(cv.value, v_h,
+                                                        (0, 0, slot, 0))
+                ci.value = idx + 1
 
-            group = h // hkv
-            qg = q_h.reshape(bsz, hkv, group, 1, d_k_h)
-            s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, ck.value) / math.sqrt(
-                d_k)
-            s = jnp.where(keep[None, None, None, None, :], s, -1e30)
-            p = nn.softmax(s, axis=-1)
-            head = jnp.einsum("bhgqk,bhkd->bhgqd", p, cv.value).reshape(
-                bsz, h, 1, d_v_h)
+                s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, ck.value
+                               ) / math.sqrt(d_k)
+                s = jnp.where(keep[None, None, None, None, :], s, -1e30)
+                p = nn.softmax(s, axis=-1)
+                head = jnp.einsum("bhgqk,bhkd->bhgqd", p, cv.value
+                                  ).reshape(bsz, h, 1, d_v_h)
         elif block_mask is not None:
             from ku.pallas.sparse_attention import sparse_attention
 

@@ -291,6 +291,101 @@ def test_transformer_kv_cache_decode_matches_full(key, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("hkv,chunks", [(2, (4,)), (1, (4,)), (2, (3, 4))])
+def test_mha_prefill_then_decode_matches_full(key, rng, hkv, chunks):
+    """Prefill (decode=True with a length-L chunk) fills the dense cache
+    in one dispatch; chunked prefill composes; subsequent per-token
+    decode continues where the prompt left off — all == full forward."""
+    b, t, dm = 2, 9, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, num_kv_head=hkv)
+    variables = layer.init(key, [x, x, x])
+    full = np.asarray(layer.apply(variables, [x, x, x]))
+
+    cache, steps, i = {}, [], 0
+    for c in chunks:
+        chunk = x[:, i:i + c]
+        y, cache = layer.apply(
+            {"params": variables["params"], **cache},
+            [chunk, chunk, chunk], decode=True, mutable=["cache"])
+        steps.append(np.asarray(y))
+        i += c
+    for j in range(i, t):
+        tok = x[:, j:j + 1]
+        y, cache = layer.apply(
+            {"params": variables["params"], **cache},
+            [tok, tok, tok], decode=True, mutable=["cache"])
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=1e-4, atol=1e-5)
+    assert int(cache["cache"]["cache_index"]) == t
+
+
+@pytest.mark.parametrize("gp,hkv,pre", [(2, 2, 17), (2, 1, 17), (1, 2, 5),
+                                        (2, 2, 2)])
+def test_mha_ring_prefill_then_decode(key, rng, gp, hkv, pre):
+    """Ring-cache prefill: a fresh-cache prompt longer OR shorter than
+    the gp+window cache lands the exact state L per-token steps would
+    (positions, sink pinning, overwrite order), so continuing decode
+    matches the full sink+window forward."""
+    b, t, dm, win = 2, 23, 8, 6
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True, window=win,
+                                  global_prefix=gp, num_kv_head=hkv)
+    variables = layer.init(key, [x, x, x])
+    full = np.asarray(layer.apply(variables, [x, x, x]))
+
+    chunk = x[:, :pre]
+    y, prefill_cache = layer.apply(variables, [chunk, chunk, chunk],
+                                   decode=True, mutable=["cache"])
+    cache = prefill_cache
+    steps = [np.asarray(y)]
+    for i in range(pre, t):
+        tok = x[:, i:i + 1]
+        y, cache = layer.apply(
+            {"params": variables["params"], **cache},
+            [tok, tok, tok], decode=True, mutable=["cache"])
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=1e-4, atol=1e-5)
+
+    # The prefilled cache state must equal the state of `pre` per-token
+    # steps (same slots, same positions).
+    ref_cache = {}
+    for i in range(pre):
+        tok = x[:, i:i + 1]
+        _, ref_cache = layer.apply(
+            {"params": variables["params"], **ref_cache},
+            [tok, tok, tok], decode=True, mutable=["cache"])
+    for k in ("cached_key", "cached_value", "cache_pos", "cache_index"):
+        np.testing.assert_allclose(
+            np.asarray(prefill_cache["cache"][k]),
+            np.asarray(ref_cache["cache"][k]), rtol=1e-5, atol=1e-6,
+            err_msg=k)
+
+
+def test_transformer_prefill_then_decode(key, rng):
+    """Transformer block: one-dispatch prompt prefill through both
+    attention sublayers, then per-token decode == full forward."""
+    b, t, pre, dm = 1, 11, 6, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=t)
+    variables = block.init(key, [x])
+    full = np.asarray(block.apply(variables, [x]))
+
+    y, cache = block.apply(variables, [x[:, :pre]], decode=True,
+                           mutable=["cache"])
+    steps = [np.asarray(y)]
+    for i in range(pre, t):
+        y, cache = block.apply(
+            {"params": variables["params"], **cache},
+            [x[:, i:i + 1]], decode=True, mutable=["cache"])
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("gp,hkv", [(0, 2), (2, 2), (2, 1)])
 def test_mha_ring_buffer_decode_unbounded(key, rng, gp, hkv):
     """StreamingLLM ring-buffer decode: with a sliding window the cache
