@@ -12,6 +12,9 @@ Usage: python benchmarks/decode_bench.py [T] [ring|prefill]
 ``prefill`` — one-dispatch prompt prefill of T tokens (chunked cache
               fill) instead of T per-token steps; reports prompt
               tokens/sec (S=16 chained prompt passes per dispatch).
+``int8``    — dense cache quantized to int8 (kv_cache_dtype): halves the
+              per-step cache read; run at large T where the decode step
+              is cache-read-bound.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ from ku.nn import Transformer
 D_MODEL, HEADS, KV_HEADS, BLOCKS, BATCH = 512, 8, 2, 2, 8
 
 
-def build(max_len, window=None, global_prefix=0):
+def build(max_len, window=None, global_prefix=0, kv_cache_dtype=None):
     import flax.linen as nn
 
     class LM(nn.Module):
@@ -44,6 +47,7 @@ def build(max_len, window=None, global_prefix=0):
                                 num_kv_head=KV_HEADS,
                                 max_decode_len=max_len,
                                 window=window, global_prefix=global_prefix,
+                                kv_cache_dtype=kv_cache_dtype,
                                 name=f"block{i}")([x], decode=decode)
             return x
 
@@ -61,7 +65,8 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(0)
     model = build(t_tokens, window=512 if ring else None,
-                  global_prefix=32 if ring else 0)
+                  global_prefix=32 if ring else 0,
+                  kv_cache_dtype="int8" if mode == "int8" else None)
     x0 = jnp.asarray(rng.normal(size=(BATCH, 1, D_MODEL)), jnp.float32)
     variables = model.init(jax.random.key(0), x0, decode=True)
     params = variables["params"]
@@ -126,7 +131,8 @@ def main():
     }
     if ring:
         out["cache_slots_per_layer"] = 512 + 32
-        out["mode"] = "ring"
+    if mode != "dense":
+        out["mode"] = mode
     print(json.dumps(out))
 
 

@@ -53,6 +53,8 @@ class Transformer(nn.Module):
     # decode the KV cache becomes an unbounded-length ring buffer of
     # global_prefix + window slots).
     global_prefix: int = 0
+    # 'int8' = quantized KV cache in decode (see MultiHeadAttention).
+    kv_cache_dtype: str | None = None
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -71,6 +73,7 @@ class Transformer(nn.Module):
                 num_kv_head=self.num_kv_head,
                 max_decode_len=self.max_decode_len,
                 global_prefix=self.global_prefix,
+                kv_cache_dtype=self.kv_cache_dtype,
             )([y, y, y, m], deterministic=deterministic, decode=decode,
               segment_ids=segment_ids, block_mask=block_mask)
             y2 = nn.Dropout(self.dropout_rate)(y2, deterministic=deterministic)

@@ -386,6 +386,67 @@ def test_transformer_prefill_then_decode(key, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("ring,hkv", [(False, 2), (False, 1), (True, 2)])
+def test_mha_int8_kv_cache_decode(key, rng, ring, hkv):
+    """int8-quantized KV cache: per-token decode tracks the f32 full
+    forward within quantization tolerance, the cache really stores int8,
+    and prefill lands bit-identical quantized state to per-token steps
+    (dense and ring caches, GQA)."""
+    b, t, dm, pre = 2, 13, 16, 7
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    kw = dict(window=6, global_prefix=2) if ring else dict(
+        max_decode_len=t)
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  num_kv_head=hkv, kv_cache_dtype="int8",
+                                  **kw)
+    variables = layer.init(key, [x, x, x])
+    full = np.asarray(layer.apply(variables, [x, x, x]))
+
+    cache, steps = {}, []
+    for i in range(t):
+        tok = x[:, i:i + 1]
+        y, cache = layer.apply(
+            {"params": variables["params"], **cache},
+            [tok, tok, tok], decode=True, mutable=["cache"])
+        steps.append(np.asarray(y))
+    got = np.concatenate(steps, axis=1)
+    np.testing.assert_allclose(got, full, rtol=5e-2, atol=5e-3)
+    assert cache["cache"]["cached_key"].dtype == jnp.int8
+    assert cache["cache"]["cached_value"].dtype == jnp.int8
+
+    # Prefill must land the exact same quantized state as per-token steps.
+    chunk = x[:, :pre]
+    _, pc = layer.apply(variables, [chunk, chunk, chunk], decode=True,
+                        mutable=["cache"])
+    ref = {}
+    for i in range(pre):
+        tok = x[:, i:i + 1]
+        _, ref = layer.apply({"params": variables["params"], **ref},
+                             [tok, tok, tok], decode=True,
+                             mutable=["cache"])
+    for k in ("cached_key", "cached_value", "key_scale", "value_scale"):
+        np.testing.assert_array_equal(np.asarray(pc["cache"][k]),
+                                      np.asarray(ref["cache"][k]),
+                                      err_msg=k)
+
+
+def test_transformer_int8_kv_cache_decode(key, rng):
+    b, t, dm = 1, 9, 8
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=t,
+                           kv_cache_dtype="int8")
+    variables = block.init(key, [x])
+    full = np.asarray(block.apply(variables, [x]))
+    cache, steps = {}, []
+    for i in range(t):
+        y, cache = block.apply(
+            {"params": variables["params"], **cache},
+            [x[:, i:i + 1]], decode=True, mutable=["cache"])
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=5e-2, atol=1e-2)
+
+
 @pytest.mark.parametrize("gp,hkv", [(0, 2), (2, 2), (2, 1)])
 def test_mha_ring_buffer_decode_unbounded(key, rng, gp, hkv):
     """StreamingLLM ring-buffer decode: with a sliding window the cache
