@@ -9,6 +9,7 @@ from ku.dist.mesh import (
     replicate,
     cd_epoch_dp,
     shard_gan_state,
+    shard_decode_state,
     shard_stacked_batches,
     shard_batch,
 )

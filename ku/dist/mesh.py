@@ -108,6 +108,68 @@ def shard_gan_state(state, mesh, model_axis: str = "model",
     )
 
 
+def shard_decode_state(params, cache, mesh, model_axis: str = "model"):
+    """Tensor-parallel SERVING: place a transformer stack's params and KV
+    cache on the mesh with attention heads sharded over ``model_axis``.
+
+    Head parallelism is the natural TP axis for decode — every per-head
+    einsum in the KV-cache step is head-local, so the only collective
+    GSPMD inserts is the psum closing the output projection (and the MLP,
+    whose first/second Dense kernels are column-/row-sharded to ride the
+    same psum). The KV cache shards over its head axis: each device holds
+    ``H_kv / tp`` heads' slots — cache HBM per device shrinks by the TP
+    degree, which is what lets one serving replica hold long contexts.
+
+    Layout notes: ``W_Q``/``W_K``/``W_V`` are (d, heads·dh) with heads
+    OUTER in the head split, so contiguous column shards = contiguous
+    head groups, matching the cache's axis-1 shard; GQA query groups
+    (h/hkv consecutive query heads per KV head) stay device-local because
+    h and h_kv shard by the same factor. ``W_multi_head`` row-shards so
+    its contraction closes with one psum.
+
+    Requires ``h_kv % tp == 0`` (cache axis); kernels whose columns/rows
+    don't divide fall back to replicated. Returns (params, cache) placed.
+    """
+    tp = mesh.shape[model_axis]
+
+    def put(leaf, spec):
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    def param_spec(path, leaf):
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        nd = getattr(leaf, "ndim", 0)
+        if nd == 2:
+            if (name.endswith(("W_Q", "W_K", "W_V"))
+                    or "Dense_0/kernel" in name):
+                if leaf.shape[1] % tp == 0:
+                    return P(None, model_axis)
+            elif (name.endswith("W_multi_head")
+                    or "Dense_1/kernel" in name):
+                if leaf.shape[0] % tp == 0:
+                    return P(model_axis, None)
+        if nd == 1 and "Dense_0/bias" in name and leaf.shape[0] % tp == 0:
+            return P(model_axis)
+        return P()
+
+    def cache_spec(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1])) if path else ""
+        nd = getattr(leaf, "ndim", 0)
+        if name in ("cached_key", "cached_value") and nd == 4 \
+                and leaf.shape[1] % tp == 0:
+            return P(None, model_axis, None, None)
+        if name in ("key_scale", "value_scale") and nd == 3 \
+                and leaf.shape[1] % tp == 0:
+            return P(None, model_axis, None)
+        return P()
+
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: put(leaf, param_spec(path, leaf)), params)
+    cache = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: put(leaf, cache_spec(path, leaf)), cache)
+    return params, cache
+
+
 def shard_stacked_batches(batches, mesh, axis_name: str = "data",
                           batch_axis: int = 1):
     """Shard the engine's stacked batch dict over the data axis.

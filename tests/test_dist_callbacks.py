@@ -353,3 +353,68 @@ def test_progressive_on_mesh(rng):
     )
     assert len(h) == 2
     assert all(np.isfinite(hh["disc_ext_loss"]).all() for hh in h)
+
+
+def test_tensor_parallel_decode_matches_single(rng):
+    """Head-sharded serving: shard_decode_state places a transformer
+    stack's params and KV cache over the model axis (heads); prefill +
+    per-token decode under jit on the mesh reproduce the unsharded
+    decode, the cache stays head-sharded across steps (each device holds
+    H_kv/tp heads' slots), and the int8 cache shards its scales too."""
+    import ku
+    from ku.dist import shard_decode_state
+
+    mesh = make_mesh({"model": 4})
+    b, t, pre, dm, h, hkv = 2, 9, 4, 32, 8, 4
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    block = ku.Transformer(h, dm, 0.0, causal=True, num_kv_head=hkv,
+                           max_decode_len=t, kv_cache_dtype="int8")
+    variables = block.init(jax.random.key(7), [x])
+    params = variables["params"]
+
+    # Unsharded oracle: prefill then per-token decode.
+    y, cache = block.apply({"params": params}, [x[:, :pre]], decode=True,
+                           mutable=["cache"])
+    outs = [np.asarray(y)]
+    for i in range(pre, t):
+        y, cache = block.apply(
+            {"params": params, **cache}, [x[:, i:i + 1]], decode=True,
+            mutable=["cache"])
+        outs.append(np.asarray(y))
+    ref = np.concatenate(outs, axis=1)
+
+    @jax.jit
+    def step(params, cache, tok):
+        return block.apply({"params": params, "cache": cache}, [tok],
+                           decode=True, mutable=["cache"])
+
+    @jax.jit
+    def prefill(params, tok):
+        return block.apply({"params": params}, [tok], decode=True,
+                           mutable=["cache"])
+
+    with mesh:
+        sp, _ = shard_decode_state(params, {}, mesh)
+        y, mut = prefill(sp, x[:, :pre])
+        # Re-place the fresh cache on the mesh (prefill created it
+        # unsharded inside jit; a serving loop shards it once here).
+        sp, scache = shard_decode_state(sp, mut["cache"], mesh)
+        outs = [np.asarray(y)]
+        for i in range(pre, t):
+            y, mut = step(sp, scache, x[:, i:i + 1])
+            scache = mut["cache"]
+            outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+    # The cache must still be head-sharded after the jitted steps.
+    leaves = jax.tree_util.tree_leaves_with_path(scache)
+    checked = 0
+    for path, leaf in leaves:
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name in ("cached_key", "cached_value", "key_scale",
+                    "value_scale"):
+            assert "model" in str(leaf.sharding.spec), (name,
+                                                        leaf.sharding)
+            checked += 1
+    assert checked >= 8  # 2 tensors + 2 scales x 2 attention sublayers
