@@ -1,0 +1,103 @@
+"""Autoregressive generation loop for KV-cache serving.
+
+Reference analogue: none — the reference (tonandr/keras_unsupervised) has
+no autoregressive serving; this completes the transformer stack
+(ku/nn/transformer.py, ku/nn/attention.py decode path) into a usable LM
+serving API the TPU way: prompt PREFILL in one dispatch, then the whole
+token-by-token loop as ONE ``lax.scan`` dispatch (the ~ms-scale dispatch
+round trip amortizes across all generated tokens), with the functional
+cache dict as the scan carry.
+
+The model contract is embedding-in/embedding-out (the layer zoo has no
+vocab conventions): the caller supplies ``embed`` (token ids → embeddings)
+and ``readout`` (model output → vocab logits). Works with any flax module
+whose ``__call__(xs, decode=...)`` follows the MultiHeadAttention cache
+protocol — including ring-buffer (StreamingLLM), int8-quantized, and
+tensor-parallel-sharded caches.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def greedy(logits, key):
+    """argmax sampler (key unused; kept for a uniform signature)."""
+    del key
+    return jnp.argmax(logits, axis=-1)
+
+
+def make_sampler(temperature: float = 1.0,
+                 top_k: Optional[int] = None) -> Callable:
+    """Build a stochastic sampler: softmax at ``temperature`` after an
+    optional top-k cut (non-top-k logits masked to -inf)."""
+
+    def sampler(logits, key):
+        lg = logits / jnp.maximum(temperature, 1e-6)
+        if top_k is not None:
+            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        return jax.random.categorical(key, lg, axis=-1)
+
+    return sampler
+
+
+def generate(model, params, prompt_ids, steps: int, *,
+             embed: Callable, readout: Callable,
+             sampler: Callable = greedy,
+             rng: Optional[jax.Array] = None,
+             model_kwargs: Optional[dict] = None) -> Any:
+    """Generate ``steps`` tokens after a prompt, all in TWO dispatches.
+
+    1. PREFILL: ``model.apply`` over the embedded prompt with
+       ``decode=True`` fills the KV caches in one dispatch; the last
+       position's readout samples the first new token.
+    2. DECODE: one ``lax.scan`` runs the remaining ``steps - 1``
+       single-token steps device-side.
+
+    Args:
+      model: flax module; ``__call__([x], decode=...)`` → (B, L, D).
+      params: the model's 'params' collection.
+      prompt_ids: (B, P) int32 token ids.
+      steps: number of tokens to generate.
+      embed: (B, L) ids → (B, L, D) embeddings (e.g. a bound embedding
+        table — quirks like scaling by √D belong to the caller).
+      readout: (B, 1, D) model output → (B, 1, V) logits (e.g. the tied
+        transpose of the embedding).
+      sampler: (logits (B, V), key) → (B,) ids. :func:`greedy` (default)
+        or :func:`make_sampler` for temperature / top-k.
+      rng: PRNG key for stochastic samplers (defaults to key 0).
+      model_kwargs: extra kwargs for ``model.apply`` (e.g. nothing for
+        Transformer stacks; deterministic=True is implied by serving).
+
+    Returns:
+      (B, steps) int32 generated ids (prompt not included).
+    """
+    kw = model_kwargs or {}
+    if rng is None:
+        rng = jax.random.key(0)
+
+    def apply_step(cache, x):
+        variables = {"params": params, **cache}
+        y, mut = model.apply(variables, [x], decode=True,
+                             mutable=["cache"], **kw)
+        return mut, y
+
+    # Prefill (one dispatch).
+    cache, y = apply_step({}, embed(prompt_ids))
+    key0, key_scan = jax.random.split(rng)
+    tok = sampler(readout(y[:, -1:])[:, 0], key0)
+
+    def step(carry, key):
+        cache, tok = carry
+        cache, y = apply_step(cache, embed(tok[:, None]))
+        nxt = sampler(readout(y)[:, 0], key)
+        return (cache, nxt), tok
+
+    (_, last), toks = jax.lax.scan(
+        step, (cache, tok), jax.random.split(key_scan, steps - 1))
+    out = jnp.moveaxis(toks, 0, 1)  # (B, steps-1)
+    return jnp.concatenate([out, last[:, None]], axis=1)

@@ -647,3 +647,74 @@ def test_he_normal_initializer(key):
     std = float(jnp.std(w))
     # Truncated-normal variance scaling: std ≈ sqrt(2/1000) within tolerance.
     assert 0.7 * np.sqrt(2 / 1000) < std < 1.1 * np.sqrt(2 / 1000)
+
+
+def test_generate_greedy_matches_manual_loop(key, rng):
+    """ku.nn.generate (prefill + scanned decode, two dispatches) emits
+    the same tokens as a hand-rolled per-token greedy loop."""
+    from ku.nn import generate
+
+    vocab, dm, b, p, steps = 11, 8, 2, 4, 6
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True,
+                           max_decode_len=p + steps)
+
+    def embed(ids):
+        return table[ids]
+
+    def readout(y):
+        return y @ table.T
+
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, p)), jnp.int32)
+    variables = block.init(key, [embed(ids)])
+    params = variables["params"]
+
+    got = np.asarray(generate(block, params, ids, steps,
+                              embed=embed, readout=readout))
+
+    # Manual loop: prefill via per-token decode calls, then greedy.
+    cache, cur = {}, ids
+    toks = []
+    y = None
+    for i in range(p):
+        y, cache = block.apply({"params": params, **cache},
+                               [embed(cur[:, i:i + 1])], decode=True,
+                               mutable=["cache"])
+    tok = jnp.argmax(readout(y)[:, 0], axis=-1)
+    for _ in range(steps):
+        toks.append(np.asarray(tok))
+        y, cache = block.apply({"params": params, **cache},
+                               [embed(tok[:, None])], decode=True,
+                               mutable=["cache"])
+        tok = jnp.argmax(readout(y)[:, 0], axis=-1)
+    np.testing.assert_array_equal(got, np.stack(toks, axis=1))
+    assert got.shape == (b, steps)
+
+
+def test_generate_samplers(key, rng):
+    """top_k=1 sampling == greedy; temperature sampling is deterministic
+    per key, in-vocab, and jit-compatible."""
+    from ku.nn import generate, make_sampler
+
+    vocab, dm, b, p, steps = 7, 8, 2, 3, 5
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, window=4,
+                           global_prefix=1)  # ring cache: unbounded
+    embed, readout = (lambda i: table[i]), (lambda y: y @ table.T)
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, p)), jnp.int32)
+    params = block.init(key, [embed(ids)])["params"]
+
+    g = generate(block, params, ids, steps, embed=embed, readout=readout)
+    k1 = generate(block, params, ids, steps, embed=embed, readout=readout,
+                  sampler=make_sampler(temperature=1e-4, top_k=1),
+                  rng=jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(k1))
+
+    samp = make_sampler(temperature=1.0, top_k=3)
+    jitted = jax.jit(lambda ids, r: generate(
+        block, params, ids, steps, embed=embed, readout=readout,
+        sampler=samp, rng=r))
+    s1 = np.asarray(jitted(ids, jax.random.key(5)))
+    s2 = np.asarray(jitted(ids, jax.random.key(5)))
+    np.testing.assert_array_equal(s1, s2)
+    assert s1.shape == (b, steps) and s1.min() >= 0 and s1.max() < vocab
