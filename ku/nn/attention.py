@@ -254,16 +254,27 @@ class MultiHeadAttention(nn.Module):
                 # each slot's last-written prompt position (sinks: slot s
                 # holds position s; ring slots hold the largest
                 # gp + (s-gp) + k·win below L).
-                q_pos = jnp.arange(L)[:, None]
-                k_pos = jnp.arange(L)[None, :]
-                keep = (k_pos <= q_pos) & ((q_pos - k_pos < win)
-                                           | (k_pos < gp))
-                s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k_h) / math.sqrt(
-                    d_k)
-                s = jnp.where(keep[None, None, None], s, -1e30)
-                p = nn.softmax(s, axis=-1)
-                head = jnp.einsum("bhgqk,bhkd->bhgqd", p, v_h).reshape(
-                    bsz, h, L, d_v_h)
+                if self.use_flash:
+                    # gp == 0 here (use_flash + global_prefix is
+                    # rejected at validation): the prompt pass IS banded
+                    # flash attention — O(L·window) work and memory.
+                    from ku.pallas.flash_attention import (
+                        flash_attention_pallas)
+
+                    head = flash_attention_pallas(
+                        q_h, k_h, v_h, softmax_scale=1.0 / math.sqrt(d_k),
+                        causal=True, window=win)
+                else:
+                    q_pos = jnp.arange(L)[:, None]
+                    k_pos = jnp.arange(L)[None, :]
+                    keep = (k_pos <= q_pos) & ((q_pos - k_pos < win)
+                                               | (k_pos < gp))
+                    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k_h
+                                   ) / math.sqrt(d_k)
+                    s = jnp.where(keep[None, None, None], s, -1e30)
+                    p = nn.softmax(s, axis=-1)
+                    head = jnp.einsum("bhgqk,bhkd->bhgqd", p, v_h
+                                      ).reshape(bsz, h, L, d_v_h)
                 sl = jnp.arange(mx)
                 r = sl - gp
                 last = jnp.where(sl < gp, sl,
@@ -296,14 +307,28 @@ class MultiHeadAttention(nn.Module):
                     vsc.value = jax.lax.dynamic_update_slice(
                         vsc.value, v_s, (0, 0, idx))
                 ci.value = idx + L
-                pos = jnp.arange(mx)[None, :]
-                keep = pos <= idx + jnp.arange(L)[:, None]
-                s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
-                               ) / math.sqrt(d_k)
-                s = jnp.where(keep[None, None, None], s, -1e30)
-                p = nn.softmax(s, axis=-1)
-                head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
-                                  ).reshape(bsz, h, L, d_v_h)
+                if self.use_flash:
+                    # Long-prompt prefill without the L×slots score
+                    # matrix: the streaming kernel runs over the cache
+                    # page with a traced global query offset — causality
+                    # at q_offset=idx both admits earlier chunks' keys
+                    # and masks the unwritten tail of the page.
+                    from ku.pallas.flash_attention import (
+                        flash_attention_pallas)
+
+                    head = flash_attention_pallas(
+                        q_h, _read_k(), _read_v(),
+                        softmax_scale=1.0 / math.sqrt(d_k),
+                        causal=True, q_offset=idx)
+                else:
+                    pos = jnp.arange(mx)[None, :]
+                    keep = pos <= idx + jnp.arange(L)[:, None]
+                    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
+                                   ) / math.sqrt(d_k)
+                    s = jnp.where(keep[None, None, None], s, -1e30)
+                    p = nn.softmax(s, axis=-1)
+                    head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
+                                      ).reshape(bsz, h, L, d_v_h)
             else:
                 if ring:
                     slot = jnp.where(idx < gp, idx,

@@ -440,18 +440,26 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
                            interpret: bool | None = None,
                            causal: bool = False,
                            window: int | None = None,
-                           segment_ids=None):
+                           segment_ids=None,
+                           q_offset=None, k_offset=None):
     """Streaming Pallas flash attention. q: (B, H, N, D), k/v: (B, H, KN, D).
     Sequence length is HBM-bounded (K/V blocks stream through the grid).
     ``window``: Mistral-style sliding window — each query attends to the
     ``window`` most recent positions only (requires ``causal=True``).
     ``segment_ids``: packed-sequence masking — a (B, N) int array (or a
     (seg_q, seg_k) pair for cross-attention); scores across segment
-    boundaries are masked. Ids must be >= 0 (pads use -1 internally)."""
+    boundaries are masked. Ids must be >= 0 (pads use -1 internally).
+    ``q_offset``/``k_offset``: traced int32 GLOBAL position offsets added
+    to the local query/key indices in the causal/window mask (the ring
+    hops and chunked KV-cache prefill use this — e.g. ``q_offset=idx``
+    lets a prompt chunk attend a cache page holding positions 0..idx-1
+    before it). Forward-only in this form (the custom-VJP dispatcher
+    :func:`flash_attention` covers the training paths)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     out, _ = _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal,
-                         interpret, window=window, segment_ids=segment_ids)
+                         interpret, window=window, segment_ids=segment_ids,
+                         q_offset=q_offset, k_offset=k_offset)
     return out
 
 

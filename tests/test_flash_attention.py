@@ -722,3 +722,33 @@ def test_ring_pallas_vs_xla_impls(rng):
                                impl="xla", chunk=8)
         np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                    rtol=1e-4, atol=1e-5, err_msg=str(causal))
+
+
+def test_flash_pallas_q_offset_prefill_parity(rng):
+    """flash_attention_pallas with a traced q_offset (KV-cache prefill
+    shape: L queries over a longer cache page) == dense shifted-causal
+    oracle — including masking of the page's unwritten tail."""
+    import jax
+    import jax.numpy as jnp
+
+    from ku.pallas.flash_attention import flash_attention_pallas
+
+    b, h, L, mx, d, idx = 2, 3, 5, 16, 8, 4
+    q = jnp.asarray(rng.normal(size=(b, h, L, d)).astype(np.float32))
+    page = np.zeros((b, h, mx, d), np.float32)
+    page[:, :, : idx + L] = rng.normal(size=(b, h, idx + L, d))
+    k = jnp.asarray(page)
+    v = jnp.asarray(rng.normal(size=(b, h, mx, d)).astype(np.float32))
+
+    got = jax.jit(
+        lambda q, k, v, off: flash_attention_pallas(
+            q, k, v, softmax_scale=0.3, causal=True, q_offset=off)
+    )(q, k, v, jnp.int32(idx))
+
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), page) * 0.3
+    keep = np.arange(mx)[None, :] <= idx + np.arange(L)[:, None]
+    s = np.where(keep[None, None], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)

@@ -291,15 +291,22 @@ def test_transformer_kv_cache_decode_matches_full(key, rng):
                                rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("hkv,chunks", [(2, (4,)), (1, (4,)), (2, (3, 4))])
-def test_mha_prefill_then_decode_matches_full(key, rng, hkv, chunks):
+@pytest.mark.parametrize("hkv,chunks,flash", [
+    (2, (4,), False), (1, (4,), False), (2, (3, 4), False),
+    (2, (4,), True), (2, (3, 4), True),  # flash: q_offset 0 and >0 paths
+])
+def test_mha_prefill_then_decode_matches_full(key, rng, hkv, chunks,
+                                              flash):
     """Prefill (decode=True with a length-L chunk) fills the dense cache
     in one dispatch; chunked prefill composes; subsequent per-token
-    decode continues where the prompt left off — all == full forward."""
+    decode continues where the prompt left off — all == full forward.
+    With use_flash the prompt pass runs the streaming kernel over the
+    cache page with a traced global query offset."""
     b, t, dm = 2, 9, 8
     x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
     layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
-                                  max_decode_len=t, num_kv_head=hkv)
+                                  max_decode_len=t, num_kv_head=hkv,
+                                  use_flash=flash)
     variables = layer.init(key, [x, x, x])
     full = np.asarray(layer.apply(variables, [x, x, x]))
 
@@ -322,9 +329,11 @@ def test_mha_prefill_then_decode_matches_full(key, rng, hkv, chunks):
     assert int(cache["cache"]["cache_index"]) == t
 
 
-@pytest.mark.parametrize("gp,hkv,pre", [(2, 2, 17), (2, 1, 17), (1, 2, 5),
-                                        (2, 2, 2)])
-def test_mha_ring_prefill_then_decode(key, rng, gp, hkv, pre):
+@pytest.mark.parametrize("gp,hkv,pre,flash", [
+    (2, 2, 17, False), (2, 1, 17, False), (1, 2, 5, False),
+    (2, 2, 2, False), (0, 2, 17, True),  # flash: banded prompt pass
+])
+def test_mha_ring_prefill_then_decode(key, rng, gp, hkv, pre, flash):
     """Ring-cache prefill: a fresh-cache prompt longer OR shorter than
     the gp+window cache lands the exact state L per-token steps would
     (positions, sink pinning, overwrite order), so continuing decode
@@ -332,7 +341,8 @@ def test_mha_ring_prefill_then_decode(key, rng, gp, hkv, pre):
     b, t, dm, win = 2, 23, 8, 6
     x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
     layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True, window=win,
-                                  global_prefix=gp, num_kv_head=hkv)
+                                  global_prefix=gp, num_kv_head=hkv,
+                                  use_flash=flash)
     variables = layer.init(key, [x, x, x])
     full = np.asarray(layer.apply(variables, [x, x, x]))
 
