@@ -63,8 +63,11 @@ def generate(model, params, prompt_ids, steps: int, *,
       params: the model's 'params' collection.
       prompt_ids: (B, P) int32 token ids.
       steps: number of tokens to generate.
-      embed: (B, L) ids → (B, L, D) embeddings (e.g. a bound embedding
-        table — quirks like scaling by √D belong to the caller).
+      embed: (ids (B, L), positions (L,)) → (B, L, D) embeddings.
+        Positions are the GLOBAL sequence indices of the ids (prompt:
+        0..P-1; then one per generated token) so absolute position
+        encodings stay correct through the scan; table-only models
+        ignore the second argument.
       readout: (B, 1, D) model output → (B, 1, V) logits (e.g. the tied
         transpose of the embedding).
       sampler: (logits (B, V), key) → (B,) ids. :func:`greedy` (default)
@@ -87,17 +90,21 @@ def generate(model, params, prompt_ids, steps: int, *,
         return mut, y
 
     # Prefill (one dispatch).
-    cache, y = apply_step({}, embed(prompt_ids))
+    p = prompt_ids.shape[1]
+    cache, y = apply_step({}, embed(prompt_ids, jnp.arange(p)))
     key0, key_scan = jax.random.split(rng)
     tok = sampler(readout(y[:, -1:])[:, 0], key0)
 
-    def step(carry, key):
+    def step(carry, xs):
         cache, tok = carry
-        cache, y = apply_step(cache, embed(tok[:, None]))
+        key, pos = xs
+        cache, y = apply_step(cache, embed(tok[:, None], pos[None]))
         nxt = sampler(readout(y)[:, 0], key)
         return (cache, nxt), tok
 
     (_, last), toks = jax.lax.scan(
-        step, (cache, tok), jax.random.split(key_scan, steps - 1))
+        step, (cache, tok),
+        (jax.random.split(key_scan, steps - 1),
+         p + jnp.arange(steps - 1)))
     out = jnp.moveaxis(toks, 0, 1)  # (B, steps-1)
     return jnp.concatenate([out, last[:, None]], axis=1)

@@ -669,7 +669,7 @@ def test_generate_greedy_matches_manual_loop(key, rng):
     block = ku.Transformer(2, dm, 0.0, causal=True,
                            max_decode_len=p + steps)
 
-    def embed(ids):
+    def embed(ids, pos=None):
         return table[ids]
 
     def readout(y):
@@ -710,7 +710,7 @@ def test_generate_samplers(key, rng):
     table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
     block = ku.Transformer(2, dm, 0.0, causal=True, window=4,
                            global_prefix=1)  # ring cache: unbounded
-    embed, readout = (lambda i: table[i]), (lambda y: y @ table.T)
+    embed, readout = (lambda i, p=None: table[i]), (lambda y: y @ table.T)
     ids = jnp.asarray(rng.integers(0, vocab, size=(b, p)), jnp.int32)
     params = block.init(key, [embed(ids)])["params"]
 
