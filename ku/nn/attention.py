@@ -98,7 +98,8 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
-                 decode: bool = False, segment_ids=None, block_mask=None):
+                 decode: bool = False, segment_ids=None, block_mask=None,
+                 prompt_lengths=None):
         if self.similarity_type not in _SIMILARITY_TYPES:
             raise ValueError(f"similarity_type {self.similarity_type!r} is not valid.")
         if self.window is not None and not self.causal:
@@ -145,6 +146,19 @@ class MultiHeadAttention(nn.Module):
         if self.kv_cache_dtype not in (None, "int8"):
             raise ValueError("kv_cache_dtype must be None or 'int8', got "
                              f"{self.kv_cache_dtype!r}")
+        if prompt_lengths is not None:
+            # Ragged (continuous-batching) prefill: per-sequence true
+            # prompt lengths for a right-padded chunk — each sequence's
+            # cache_index advances by its own length, so decode resumes
+            # at the right slot per sequence and later overwrites the
+            # padding slots.
+            if not decode:
+                raise ValueError("prompt_lengths is a decode-prefill "
+                                 "argument")
+            if self.window is not None:
+                raise ValueError("ragged prefill is not supported on "
+                                 "ring caches (per-sequence ring layouts "
+                                 "diverge) — pad to equal lengths")
         q, k, v = inputs[0], inputs[1], inputs[2]
         m = inputs[3] if len(inputs) > 3 else None
 
@@ -203,8 +217,12 @@ class MultiHeadAttention(nn.Module):
             cv = self.variable("cache", "cached_value", jnp.zeros,
                                (bsz, hkv, mx, d_v_h),
                                jnp.int8 if qdt else v_h.dtype)
+            # Per-sequence fill index: ragged prompts (prompt_lengths)
+            # and continuous batching leave each sequence at its own
+            # position; the uniform case is just the equal-values
+            # special case.
             ci = self.variable("cache", "cache_index",
-                               lambda: jnp.zeros((), jnp.int32))
+                               lambda: jnp.zeros((bsz,), jnp.int32))
             if qdt:
                 ksc = self.variable("cache", "key_scale", jnp.zeros,
                                     (bsz, hkv, mx), jnp.float32)
@@ -242,13 +260,20 @@ class MultiHeadAttention(nn.Module):
 
                 def _read_v():
                     return cv.value
-            idx = ci.value
+            idx = ci.value  # (B,)
             group = h // hkv
             qg = q_h.reshape(bsz, hkv, group, L, d_k_h)
+            # Per-sequence cache writes: vmap a dynamic_update_slice over
+            # the batch so every sequence lands at its own index.
+            upd4 = jax.vmap(
+                lambda c, u, i: jax.lax.dynamic_update_slice(
+                    c, u, (0, i, 0)))
+            upd3 = jax.vmap(
+                lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, i)))
             if ring:
                 cpos = self.variable(
                     "cache", "cache_pos",
-                    lambda: jnp.full((mx,), -1, jnp.int32))
+                    lambda: jnp.full((bsz, mx), -1, jnp.int32))
             if L > 1 and ring:
                 # Ring prefill: mask over the prompt itself, then gather
                 # each slot's last-written prompt position (sinks: slot s
@@ -292,27 +317,31 @@ class MultiHeadAttention(nn.Module):
                     vsc.value = jnp.where(valid[None, None, :],
                                           jnp.take(v_s, src, axis=2),
                                           vsc.value)
-                cpos.value = jnp.where(valid, last, cpos.value)
+                cpos.value = jnp.where(valid[None, :], last[None, :],
+                                       cpos.value)
                 ci.value = idx + L
             elif L > 1:
-                # Dense-cache prefill: write the chunk at idx, attend the
-                # updated cache page with a shifted causal mask.
-                ck.value = jax.lax.dynamic_update_slice(ck.value, k_st,
-                                                        (0, 0, idx, 0))
-                cv.value = jax.lax.dynamic_update_slice(cv.value, v_st,
-                                                        (0, 0, idx, 0))
+                # Dense-cache prefill: write the chunk at each sequence's
+                # own idx, attend the updated cache page with a shifted
+                # causal mask. Ragged chunks (prompt_lengths): padding
+                # positions are written but each cache_index only
+                # advances by the true length, so subsequent tokens
+                # overwrite the padding slots; outputs at padding query
+                # positions are garbage the caller ignores.
+                ck.value = upd4(ck.value, k_st, idx)
+                cv.value = upd4(cv.value, v_st, idx)
                 if qdt:
-                    ksc.value = jax.lax.dynamic_update_slice(
-                        ksc.value, k_s, (0, 0, idx))
-                    vsc.value = jax.lax.dynamic_update_slice(
-                        vsc.value, v_s, (0, 0, idx))
-                ci.value = idx + L
+                    ksc.value = upd3(ksc.value, k_s, idx)
+                    vsc.value = upd3(vsc.value, v_s, idx)
+                ci.value = idx + (
+                    jnp.asarray(prompt_lengths, jnp.int32)
+                    if prompt_lengths is not None else L)
                 if self.use_flash:
                     # Long-prompt prefill without the L×slots score
                     # matrix: the streaming kernel runs over the cache
-                    # page with a traced global query offset — causality
-                    # at q_offset=idx both admits earlier chunks' keys
-                    # and masks the unwritten tail of the page.
+                    # page with traced PER-SEQUENCE global query offsets
+                    # — causality at q_offset=idx[b] both admits earlier
+                    # chunks' keys and masks the unwritten page tail.
                     from ku.pallas.flash_attention import (
                         flash_attention_pallas)
 
@@ -321,11 +350,12 @@ class MultiHeadAttention(nn.Module):
                         softmax_scale=1.0 / math.sqrt(d_k),
                         causal=True, q_offset=idx)
                 else:
-                    pos = jnp.arange(mx)[None, :]
-                    keep = pos <= idx + jnp.arange(L)[:, None]
+                    pos = jnp.arange(mx)[None, None, :]
+                    keep = pos <= (idx[:, None, None]
+                                   + jnp.arange(L)[None, :, None])
                     s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
                                    ) / math.sqrt(d_k)
-                    s = jnp.where(keep[None, None, None], s, -1e30)
+                    s = jnp.where(keep[:, None, None], s, -1e30)
                     p = nn.softmax(s, axis=-1)
                     head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
                                       ).reshape(bsz, h, L, d_v_h)
@@ -333,29 +363,26 @@ class MultiHeadAttention(nn.Module):
                 if ring:
                     slot = jnp.where(idx < gp, idx,
                                      gp + jax.lax.rem(idx - gp, win))
-                    cpos.value = jax.lax.dynamic_update_slice(
-                        cpos.value, idx.reshape(1), (slot,))
-                    pos = cpos.value
+                    cpos.value = cpos.value.at[
+                        jnp.arange(bsz), slot].set(idx)
+                    pos = cpos.value  # (B, mx) global positions
                     # Occupied slots only; sinks escape the window.
-                    keep = (pos >= 0) & ((pos < gp) | (idx - pos < win))
+                    keep = (pos >= 0) & ((pos < gp)
+                                         | (idx[:, None] - pos < win))
                 else:
                     slot = idx
-                    pos = jnp.arange(mx)
-                    keep = pos <= idx
-                ck.value = jax.lax.dynamic_update_slice(ck.value, k_st,
-                                                        (0, 0, slot, 0))
-                cv.value = jax.lax.dynamic_update_slice(cv.value, v_st,
-                                                        (0, 0, slot, 0))
+                    pos = jnp.arange(mx)[None, :]
+                    keep = pos <= idx[:, None]
+                ck.value = upd4(ck.value, k_st, slot)
+                cv.value = upd4(cv.value, v_st, slot)
                 if qdt:
-                    ksc.value = jax.lax.dynamic_update_slice(
-                        ksc.value, k_s, (0, 0, slot))
-                    vsc.value = jax.lax.dynamic_update_slice(
-                        vsc.value, v_s, (0, 0, slot))
+                    ksc.value = upd3(ksc.value, k_s, slot)
+                    vsc.value = upd3(vsc.value, v_s, slot)
                 ci.value = idx + 1
 
                 s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
                                ) / math.sqrt(d_k)
-                s = jnp.where(keep[None, None, None, None, :], s, -1e30)
+                s = jnp.where(keep[:, None, None, None, :], s, -1e30)
                 p = nn.softmax(s, axis=-1)
                 head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
                                   ).reshape(bsz, h, 1, d_v_h)

@@ -49,6 +49,7 @@ def generate(model, params, prompt_ids, steps: int, *,
              embed: Callable, readout: Callable,
              sampler: Callable = greedy,
              rng: Optional[jax.Array] = None,
+             prompt_lengths=None,
              model_kwargs: Optional[dict] = None) -> Any:
     """Generate ``steps`` tokens after a prompt, all in TWO dispatches.
 
@@ -73,6 +74,11 @@ def generate(model, params, prompt_ids, steps: int, *,
       sampler: (logits (B, V), key) → (B,) ids. :func:`greedy` (default)
         or :func:`make_sampler` for temperature / top-k.
       rng: PRNG key for stochastic samplers (defaults to key 0).
+      prompt_lengths: optional (B,) true lengths of right-padded prompts
+        (ragged/continuous batching, dense caches only): each sequence's
+        first sampled token reads position ``len_b - 1`` and its cache
+        resumes at ``len_b``; generated positions are then per-sequence,
+        so ``embed`` receives (B, 1) positions in the scan.
       model_kwargs: extra kwargs for ``model.apply`` (e.g. nothing for
         Transformer stacks; deterministic=True is implied by serving).
 
@@ -83,28 +89,37 @@ def generate(model, params, prompt_ids, steps: int, *,
     if rng is None:
         rng = jax.random.key(0)
 
-    def apply_step(cache, x):
+    def apply_step(cache, x, **extra):
         variables = {"params": params, **cache}
         y, mut = model.apply(variables, [x], decode=True,
-                             mutable=["cache"], **kw)
+                             mutable=["cache"], **kw, **extra)
         return mut, y
 
     # Prefill (one dispatch).
     p = prompt_ids.shape[1]
-    cache, y = apply_step({}, embed(prompt_ids, jnp.arange(p)))
+    ragged = prompt_lengths is not None
+    if ragged:
+        lens = jnp.asarray(prompt_lengths, jnp.int32)
+        cache, y = apply_step({}, embed(prompt_ids, jnp.arange(p)),
+                              prompt_lengths=lens)
+        y_last = jnp.take_along_axis(y, (lens - 1)[:, None, None], axis=1)
+    else:
+        cache, y = apply_step({}, embed(prompt_ids, jnp.arange(p)))
+        y_last = y[:, -1:]
     key0, key_scan = jax.random.split(rng)
-    tok = sampler(readout(y[:, -1:])[:, 0], key0)
+    tok = sampler(readout(y_last)[:, 0], key0)
 
     def step(carry, xs):
         cache, tok = carry
-        key, pos = xs
-        cache, y = apply_step(cache, embed(tok[:, None], pos[None]))
+        key, i = xs
+        pos = (lens + i)[:, None] if ragged else (p + i)[None]
+        cache, y = apply_step(cache, embed(tok[:, None], pos))
         nxt = sampler(readout(y)[:, 0], key)
         return (cache, nxt), tok
 
     (_, last), toks = jax.lax.scan(
         step, (cache, tok),
         (jax.random.split(key_scan, steps - 1),
-         p + jnp.arange(steps - 1)))
+         jnp.arange(steps - 1)))
     out = jnp.moveaxis(toks, 0, 1)  # (B, steps-1)
     return jnp.concatenate([out, last[:, None]], axis=1)

@@ -58,7 +58,8 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
-                 decode: bool = False, segment_ids=None, block_mask=None):
+                 decode: bool = False, segment_ids=None, block_mask=None,
+                 prompt_lengths=None):
         x, m = inputs[0], inputs[1] if len(inputs) > 1 else None
 
         def attn_block(y):
@@ -75,7 +76,8 @@ class Transformer(nn.Module):
                 global_prefix=self.global_prefix,
                 kv_cache_dtype=self.kv_cache_dtype,
             )([y, y, y, m], deterministic=deterministic, decode=decode,
-              segment_ids=segment_ids, block_mask=block_mask)
+              segment_ids=segment_ids, block_mask=block_mask,
+              prompt_lengths=prompt_lengths)
             y2 = nn.Dropout(self.dropout_rate)(y2, deterministic=deterministic)
             y2 = y + y2
             if self.layer_norm_f:

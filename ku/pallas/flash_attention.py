@@ -334,12 +334,25 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
                                 memory_space=pltpu.SMEM)
     off_specs, off_args = [], ()
     if offsets:
-        off_specs = [smem(), smem()]
-        off_args = (
-            jnp.asarray(q_offset, jnp.int32).reshape(1, 1),
-            jnp.asarray(k_offset if k_offset is not None else 0,
-                        jnp.int32).reshape(1, 1),
-        )
+        qo = jnp.asarray(q_offset, jnp.int32)
+        ko = jnp.asarray(k_offset if k_offset is not None else 0,
+                         jnp.int32)
+        if qo.ndim == 0 and ko.ndim == 0:
+            off_specs = [smem(), smem()]
+            off_args = (qo.reshape(1, 1), ko.reshape(1, 1))
+        else:
+            # PER-SEQUENCE offsets (ragged KV-cache prefill): one (1, 1)
+            # SMEM block per flattened (batch, head) grid row.
+            per = lambda: pl.BlockSpec((1, 1), lambda bh, qi, kb: (bh, 0),
+                                       memory_space=pltpu.SMEM)
+            off_specs = [per(), per()]
+            off_args = (
+                jnp.repeat(jnp.broadcast_to(qo.reshape(-1), (b,)),
+                           h)[:, None],
+                jnp.repeat(jnp.broadcast_to(ko.reshape(-1)
+                                            if ko.ndim else ko, (b,)),
+                           h)[:, None],
+            )
 
     nkb = nk_pad // block_k
     # Static-offset sliding window: BANDED grid — visit only the

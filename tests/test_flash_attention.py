@@ -752,3 +752,32 @@ def test_flash_pallas_q_offset_prefill_parity(rng):
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_flash_pallas_per_batch_q_offset(rng):
+    """Per-sequence q_offset array (ragged prefill): every batch row
+    masks at its own global offset."""
+    import jax
+    import jax.numpy as jnp
+
+    from ku.pallas.flash_attention import flash_attention_pallas
+
+    b, h, L, mx, d = 3, 2, 4, 12, 8
+    offs = np.array([0, 3, 7])
+    q = jnp.asarray(rng.normal(size=(b, h, L, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, mx, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, mx, d)).astype(np.float32))
+
+    got = jax.jit(
+        lambda q, k, v, off: flash_attention_pallas(
+            q, k, v, softmax_scale=0.35, causal=True, q_offset=off)
+    )(q, k, v, jnp.asarray(offs, jnp.int32))
+
+    s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) * 0.35
+    keep = (np.arange(mx)[None, None, :]
+            <= offs[:, None, None] + np.arange(L)[None, :, None])
+    s = np.where(keep[:, None], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)

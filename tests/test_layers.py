@@ -265,7 +265,8 @@ def test_mha_kv_cache_decode_matches_full(key, rng, kwargs):
         steps.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
                                rtol=1e-4, atol=1e-5)
-    assert int(cache["cache"]["cache_index"]) == t
+    np.testing.assert_array_equal(
+        np.asarray(cache["cache"]["cache_index"]), t)
 
 
 def test_transformer_kv_cache_decode_matches_full(key, rng):
@@ -326,7 +327,8 @@ def test_mha_prefill_then_decode_matches_full(key, rng, hkv, chunks,
         steps.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
                                rtol=1e-4, atol=1e-5)
-    assert int(cache["cache"]["cache_index"]) == t
+    np.testing.assert_array_equal(
+        np.asarray(cache["cache"]["cache_index"]), t)
 
 
 @pytest.mark.parametrize("gp,hkv,pre,flash", [
@@ -483,7 +485,8 @@ def test_mha_ring_buffer_decode_unbounded(key, rng, gp, hkv):
                                rtol=1e-4, atol=1e-5)
     # The cache really is bounded: gp + window slots, far below t.
     assert cache["cache"]["cached_key"].shape[2] == gp + win < t
-    assert int(cache["cache"]["cache_index"]) == t
+    np.testing.assert_array_equal(
+        np.asarray(cache["cache"]["cache_index"]), t)
 
 
 def test_transformer_ring_buffer_decode(key, rng):
@@ -728,3 +731,75 @@ def test_generate_samplers(key, rng):
     s2 = np.asarray(jitted(ids, jax.random.key(5)))
     np.testing.assert_array_equal(s1, s2)
     assert s1.shape == (b, steps) and s1.min() >= 0 and s1.max() < vocab
+
+
+@pytest.mark.parametrize("qdt,flash", [(None, False), ("int8", False),
+                                       (None, True)])
+def test_mha_ragged_prefill_continuous_batching(key, rng, qdt, flash):
+    """Ragged prefill (prompt_lengths): one right-padded batched prefill
+    + per-token decode reproduces, for every sequence, the batch-1
+    uniform prefill + decode of that sequence alone — per-sequence
+    cache_index, padding slots overwritten, dense/int8/flash paths."""
+    b, dm, pad, steps, total = 3, 8, 7, 3, 10
+    lens = np.array([7, 4, 6])
+    x = jnp.asarray(rng.normal(size=(b, total, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=total, num_kv_head=2,
+                                  kv_cache_dtype=qdt, use_flash=flash)
+    variables = layer.init(key, [x, x, x])
+    params = {"params": variables["params"]}
+
+    chunk = x[:, :pad]
+    y0, cache = layer.apply(variables, [chunk, chunk, chunk], decode=True,
+                            prompt_lengths=jnp.asarray(lens),
+                            mutable=["cache"])
+    np.testing.assert_array_equal(
+        np.asarray(cache["cache"]["cache_index"]), lens)
+    step_outs = []
+    for i in range(steps):
+        tok = x[jnp.arange(b), lens + i][:, None]
+        y_i, cache = layer.apply(
+            {**params, **cache}, [tok, tok, tok], decode=True,
+            mutable=["cache"])
+        step_outs.append(np.asarray(y_i))
+
+    for bi in range(b):
+        xb = x[bi:bi + 1, : lens[bi]]
+        yb, cb = layer.apply(variables, [xb, xb, xb], decode=True,
+                             mutable=["cache"])
+        np.testing.assert_allclose(np.asarray(y0)[bi, : lens[bi]],
+                                   np.asarray(yb)[0], rtol=2e-4,
+                                   atol=2e-5)
+        for i in range(steps):
+            tb = x[bi:bi + 1, lens[bi] + i][:, None]
+            yb_i, cb = layer.apply({**params, **cb}, [tb, tb, tb],
+                                   decode=True, mutable=["cache"])
+            np.testing.assert_allclose(step_outs[i][bi, 0],
+                                       np.asarray(yb_i)[0, 0], rtol=2e-4,
+                                       atol=2e-5)
+
+
+def test_generate_ragged_prompts(key, rng):
+    """generate(prompt_lengths=...) on right-padded prompts emits, per
+    sequence, exactly what batch-1 generate on the unpadded prompt
+    emits (greedy)."""
+    from ku.nn import generate
+
+    vocab, dm, b, pad, steps = 11, 8, 3, 5, 4
+    lens = np.array([5, 2, 4])
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True,
+                           max_decode_len=pad + steps)
+    embed = lambda i, p=None: table[i]  # noqa: E731
+    readout = lambda y: y @ table.T  # noqa: E731
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, pad)), jnp.int32)
+    params = block.init(key, [embed(ids)])["params"]
+
+    got = np.asarray(generate(block, params, ids, steps, embed=embed,
+                              readout=readout,
+                              prompt_lengths=jnp.asarray(lens)))
+    for bi in range(b):
+        solo = np.asarray(generate(block, params,
+                                   ids[bi:bi + 1, : lens[bi]], steps,
+                                   embed=embed, readout=readout))
+        np.testing.assert_array_equal(got[bi], solo[0], err_msg=str(bi))
