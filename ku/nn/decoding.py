@@ -123,3 +123,82 @@ def generate(model, params, prompt_ids, steps: int, *,
          jnp.arange(steps - 1)))
     out = jnp.moveaxis(toks, 0, 1)  # (B, steps-1)
     return jnp.concatenate([out, last[:, None]], axis=1)
+
+
+def beam_search(model, params, prompt_ids, steps: int, *,
+                embed: Callable, readout: Callable, beam_size: int,
+                model_kwargs: Optional[dict] = None):
+    """Fixed-length beam search over the KV-cache serving protocol.
+
+    The prompt prefills ONCE at batch B; the cache then expands to
+    B·beam_size rows (one per live hypothesis) and every scan step
+    re-gathers the whole cache pytree by the surviving beams' parent
+    indices — hypothesis switching is a batch-axis gather, never a
+    recompute. Beams score by total token log-probability; no EOS
+    contract (fixed ``steps``), uniform prompt lengths.
+
+    ``beam_size`` may exceed the vocab; expansion is capped at what
+    exists (V hypotheses after the first token, V² after the second, …),
+    so e.g. ``beam_size >= V**(steps-1)`` makes the search exhaustive.
+
+    Returns ``(ids (B, beam_size, steps), scores (B, beam_size))``,
+    best-first. Rows beyond the number of expressible hypotheses (fewer
+    than beam_size at small V) are duplicates of live beams with -inf
+    padding never selected — with beam_size <= V they do not occur.
+    """
+    kw = model_kwargs or {}
+    K = beam_size
+
+    def apply_step(cache, x):
+        variables = {"params": params, **cache}
+        y, mut = model.apply(variables, [x], decode=True,
+                             mutable=["cache"], **kw)
+        return mut, y
+
+    bsz, p = prompt_ids.shape
+    cache, y = apply_step({}, embed(prompt_ids, jnp.arange(p)))
+    logp = jax.nn.log_softmax(readout(y[:, -1:])[:, 0], axis=-1)  # (B, V)
+    vocab = logp.shape[-1]
+
+    # First expansion: top-K of V (padded with -inf when K > V, so the
+    # pad hypotheses are never preferred; their token 0 rows duplicate
+    # beam 0's cache and are simply never selected upward).
+    if K > vocab:
+        pad = jnp.full((bsz, K - vocab), -jnp.inf, logp.dtype)
+        scores, tok0 = jax.lax.top_k(jnp.concatenate([logp, pad], -1), K)
+        tok0 = jnp.where(tok0 < vocab, tok0, 0)
+    else:
+        scores, tok0 = jax.lax.top_k(logp, K)  # (B, K)
+
+    # One cache row per hypothesis: (B, ...) -> (B*K, ...).
+    cache = jax.tree.map(lambda c: jnp.repeat(c, K, axis=0), cache)
+
+    def step(carry, i):
+        cache, tok, scores = carry  # tok/scores: (B, K)
+        pos = (p + i)[None]
+        cache, y = apply_step(cache, embed(tok.reshape(-1, 1), pos))
+        logp = jax.nn.log_softmax(readout(y)[:, 0], -1)  # (B*K, V)
+        cand = scores[..., None] + logp.reshape(bsz, K, vocab)
+        scores, flat = jax.lax.top_k(cand.reshape(bsz, K * vocab), K)
+        parent, nxt = flat // vocab, flat % vocab  # (B, K)
+        gidx = (jnp.arange(bsz)[:, None] * K + parent).reshape(-1)
+        cache = jax.tree.map(lambda c: c[gidx], cache)
+        return (cache, nxt, scores), (tok, parent)
+
+    (_, last, scores), (toks, parents) = jax.lax.scan(
+        step, (cache, tok0, scores), jnp.arange(steps - 1))
+
+    # Backtrack: walk parent pointers from the final (sorted) beams.
+    def back(ptr, xs):
+        tok_t, parent_t = xs
+        # ptr indexes beams in post-top-k order at step t; parent maps
+        # to the pre-step order in which tok_t was emitted.
+        ptr = jnp.take_along_axis(parent_t, ptr, axis=1)
+        tok = jnp.take_along_axis(tok_t, ptr, axis=1)
+        return ptr, tok
+
+    ptr0 = jnp.broadcast_to(jnp.arange(K)[None], (bsz, K))
+    _, rev = jax.lax.scan(back, ptr0, (toks, parents), reverse=True)
+    ids = jnp.concatenate([jnp.moveaxis(rev, 0, 2), last[..., None]],
+                          axis=2)  # (B, K, steps)
+    return ids, scores

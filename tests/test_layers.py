@@ -803,3 +803,64 @@ def test_generate_ragged_prompts(key, rng):
                                    ids[bi:bi + 1, : lens[bi]], steps,
                                    embed=embed, readout=readout))
         np.testing.assert_array_equal(got[bi], solo[0], err_msg=str(bi))
+
+
+def test_beam_search_beam1_equals_greedy(key, rng):
+    from ku.nn import beam_search, generate
+
+    vocab, dm, b, p, steps = 9, 8, 2, 4, 5
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True,
+                           max_decode_len=p + steps)
+    embed = lambda i, pos=None: table[i]  # noqa: E731
+    readout = lambda y: y @ table.T  # noqa: E731
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, p)), jnp.int32)
+    params = block.init(key, [embed(ids)])["params"]
+
+    g = np.asarray(generate(block, params, ids, steps, embed=embed,
+                            readout=readout))
+    beams, scores = beam_search(block, params, ids, steps, embed=embed,
+                                readout=readout, beam_size=1)
+    np.testing.assert_array_equal(np.asarray(beams)[:, 0], g)
+    assert np.asarray(scores).shape == (b, 1)
+
+
+def test_beam_search_exhaustive_small(key, rng):
+    """With beam_size >= V**(steps-1) the search is exhaustive: the top
+    beam must equal the brute-force argmax over all V**steps sequences
+    scored by teacher-forced log-probability, and its score must match."""
+    from ku.nn import beam_search
+
+    vocab, dm, b, p, steps = 5, 8, 2, 3, 3
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True,
+                           max_decode_len=p + steps)
+    embed = lambda i, pos=None: table[i]  # noqa: E731
+    readout = lambda y: y @ table.T  # noqa: E731
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, p)), jnp.int32)
+    params = block.init(key, [embed(ids)])["params"]
+
+    beams, scores = beam_search(block, params, ids, steps, embed=embed,
+                                readout=readout, beam_size=vocab ** 2)
+    beams, scores = np.asarray(beams), np.asarray(scores)
+
+    # Brute force: teacher-forced full forwards over all 125 sequences.
+    from itertools import product
+    cands = np.array(list(product(range(vocab), repeat=steps)), np.int32)
+    best_score = np.full((b,), -np.inf)
+    best_seq = np.zeros((b, steps), np.int32)
+    for cand in cands:
+        seq = np.concatenate(
+            [np.asarray(ids), np.tile(cand, (b, 1))], axis=1)
+        y = block.apply({"params": params}, [embed(jnp.asarray(seq))])
+        logp = np.asarray(jax.nn.log_softmax(readout(y), axis=-1))
+        # log p(cand_t | prefix) read at positions p-1 .. p+steps-2.
+        sc = sum(logp[:, p - 1 + t, cand[t]] for t in range(steps))
+        upd = sc > best_score
+        best_score = np.where(upd, sc, best_score)
+        best_seq[upd] = cand
+    np.testing.assert_array_equal(beams[:, 0], best_seq)
+    np.testing.assert_allclose(scores[:, 0], best_score, rtol=1e-4,
+                               atol=1e-5)
+    # Scores must be sorted best-first.
+    assert (np.diff(scores, axis=1) <= 1e-6).all()
