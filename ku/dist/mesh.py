@@ -108,7 +108,9 @@ def shard_gan_state(state, mesh, model_axis: str = "model",
     )
 
 
-def shard_decode_state(params, cache, mesh, model_axis: str = "model"):
+def shard_decode_state(params, cache, mesh, model_axis: str = "model",
+                       num_head: Optional[int] = None,
+                       num_kv_head: Optional[int] = None):
     """Tensor-parallel SERVING: place a transformer stack's params and KV
     cache on the mesh with attention heads sharded over ``model_axis``.
 
@@ -128,9 +130,29 @@ def shard_decode_state(params, cache, mesh, model_axis: str = "model"):
     its contraction closes with one psum.
 
     Requires ``h_kv % tp == 0`` (cache axis); kernels whose columns/rows
-    don't divide fall back to replicated. Returns (params, cache) placed.
+    don't divide fall back to replicated. Pass ``num_head`` (and
+    ``num_kv_head`` for GQA) to let the helper verify head counts divide
+    the TP degree — a tp that divides the raw matrix dims but NOT the
+    head counts would shard weights mid-head while the cache stays
+    replicated (no HBM saving + per-step resharding collectives); in that
+    case everything is placed replicated and a warning is emitted.
+    Returns (params, cache) placed.
     """
     tp = mesh.shape[model_axis]
+    hkv = num_kv_head if num_kv_head is not None else num_head
+    if num_head is not None and (num_head % tp or hkv % tp):
+        import warnings
+
+        warnings.warn(
+            f"shard_decode_state: num_head={num_head}/num_kv_head={hkv} "
+            f"do not divide tp={tp} — placing everything replicated "
+            "(head-parallel serving needs head counts divisible by the "
+            "model axis)", stacklevel=2)
+
+        def rep(leaf, *_):
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+        return (jax.tree.map(rep, params), jax.tree.map(rep, cache))
 
     def put(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))

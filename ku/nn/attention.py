@@ -211,6 +211,18 @@ class MultiHeadAttention(nn.Module):
             ring = win is not None
             mx = gp + win if ring else self.max_decode_len
             qdt = self.kv_cache_dtype
+            has_cache = self.has_variable("cache", "cached_key")
+            if prompt_lengths is not None:
+                if L == 1:
+                    raise ValueError(
+                        "prompt_lengths requires a chunk of width > 1 "
+                        "(per-token steps always advance each sequence "
+                        "by 1)")
+                prompt_lengths = jnp.asarray(prompt_lengths, jnp.int32)
+                if prompt_lengths.shape != (bsz,):
+                    raise ValueError(
+                        f"prompt_lengths must have shape ({bsz},), got "
+                        f"{prompt_lengths.shape}")
             ck = self.variable("cache", "cached_key", jnp.zeros,
                                (bsz, hkv, mx, d_k_h),
                                jnp.int8 if qdt else k_h.dtype)
@@ -279,6 +291,11 @@ class MultiHeadAttention(nn.Module):
                 # each slot's last-written prompt position (sinks: slot s
                 # holds position s; ring slots hold the largest
                 # gp + (s-gp) + k·win below L).
+                if has_cache:
+                    raise ValueError(
+                        "ring-cache prefill requires an EMPTY cache (it "
+                        "overwrites rather than merges) — chunked "
+                        "prefill is dense-cache only")
                 if self.use_flash:
                     # gp == 0 here (use_flash + global_prefix is
                     # rejected at validation): the prompt pass IS banded
@@ -333,9 +350,8 @@ class MultiHeadAttention(nn.Module):
                 if qdt:
                     ksc.value = upd3(ksc.value, k_s, idx)
                     vsc.value = upd3(vsc.value, v_s, idx)
-                ci.value = idx + (
-                    jnp.asarray(prompt_lengths, jnp.int32)
-                    if prompt_lengths is not None else L)
+                ci.value = idx + (prompt_lengths
+                                  if prompt_lengths is not None else L)
                 if self.use_flash:
                     # Long-prompt prefill without the L×slots score
                     # matrix: the streaming kernel runs over the cache

@@ -24,6 +24,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _stepper(model, params, kw):
+    """Closure over the cache-protocol apply: (cache, x) → (cache', y)."""
+
+    def apply_step(cache, x, **extra):
+        variables = {"params": params, **cache}
+        y, mut = model.apply(variables, [x], decode=True,
+                             mutable=["cache"], **kw, **extra)
+        return mut, y
+
+    return apply_step
+
+
 def greedy(logits, key):
     """argmax sampler (key unused; kept for a uniform signature)."""
     del key
@@ -88,12 +100,7 @@ def generate(model, params, prompt_ids, steps: int, *,
     kw = model_kwargs or {}
     if rng is None:
         rng = jax.random.key(0)
-
-    def apply_step(cache, x, **extra):
-        variables = {"params": params, **cache}
-        y, mut = model.apply(variables, [x], decode=True,
-                             mutable=["cache"], **kw, **extra)
-        return mut, y
+    apply_step = _stepper(model, params, kw)
 
     # Prefill (one dispatch).
     p = prompt_ids.shape[1]
@@ -148,12 +155,7 @@ def beam_search(model, params, prompt_ids, steps: int, *,
     """
     kw = model_kwargs or {}
     K = beam_size
-
-    def apply_step(cache, x):
-        variables = {"params": params, **cache}
-        y, mut = model.apply(variables, [x], decode=True,
-                             mutable=["cache"], **kw)
-        return mut, y
+    apply_step = _stepper(model, params, kw)
 
     bsz, p = prompt_ids.shape
     cache, y = apply_step({}, embed(prompt_ids, jnp.arange(p)))

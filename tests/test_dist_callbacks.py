@@ -394,11 +394,13 @@ def test_tensor_parallel_decode_matches_single(rng):
                            mutable=["cache"])
 
     with mesh:
-        sp, _ = shard_decode_state(params, {}, mesh)
+        sp, _ = shard_decode_state(params, {}, mesh, num_head=h,
+                                   num_kv_head=hkv)
         y, mut = prefill(sp, x[:, :pre])
         # Re-place the fresh cache on the mesh (prefill created it
         # unsharded inside jit; a serving loop shards it once here).
-        sp, scache = shard_decode_state(sp, mut["cache"], mesh)
+        sp, scache = shard_decode_state(sp, mut["cache"], mesh,
+                                        num_head=h, num_kv_head=hkv)
         outs = [np.asarray(y)]
         for i in range(pre, t):
             y, mut = step(sp, scache, x[:, i:i + 1])
@@ -418,3 +420,26 @@ def test_tensor_parallel_decode_matches_single(rng):
                                                         leaf.sharding)
             checked += 1
     assert checked >= 8  # 2 tensors + 2 scales x 2 attention sublayers
+
+
+def test_shard_decode_state_indivisible_heads_replicates(rng):
+    """A TP degree that divides the matrix dims but not the head counts
+    must fall back to full replication with a warning (sharding mid-head
+    while the cache stays replicated would be a silent perf cliff)."""
+    import warnings
+
+    import ku
+    from ku.dist import shard_decode_state
+
+    mesh = make_mesh({"model": 4})
+    x = jnp.zeros((1, 4, 32), jnp.float32)
+    block = ku.Transformer(2, 32, 0.0, causal=True, num_kv_head=2,
+                           max_decode_len=4)
+    params = block.init(jax.random.key(0), [x])["params"]
+    with mesh, warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sp, _ = shard_decode_state(params, {}, mesh, num_head=2,
+                                   num_kv_head=2)
+    assert any("replicated" in str(x.message) for x in w)
+    for leaf in jax.tree_util.tree_leaves(sp):
+        assert "model" not in str(leaf.sharding.spec), leaf.sharding

@@ -864,3 +864,31 @@ def test_beam_search_exhaustive_small(key, rng):
                                atol=1e-5)
     # Scores must be sorted best-first.
     assert (np.diff(scores, axis=1) <= 1e-6).all()
+
+
+def test_serving_validation_guards(key, rng):
+    """Misuse fails fast: ring prefill into a non-empty cache, width-1
+    prompt_lengths, and wrong-shaped prompt_lengths all raise."""
+    dm = 8
+    x = jnp.asarray(rng.normal(size=(2, 6, dm)).astype(np.float32))
+    ring = ku.MultiHeadAttention(2, dm, 0.0, causal=True, window=3,
+                                 global_prefix=1)
+    variables = ring.init(key, [x, x, x])
+    chunk = x[:, :3]
+    _, cache = ring.apply(variables, [chunk, chunk, chunk], decode=True,
+                          mutable=["cache"])
+    with pytest.raises(ValueError, match="EMPTY cache"):
+        ring.apply({"params": variables["params"], **cache},
+                   [chunk, chunk, chunk], decode=True, mutable=["cache"])
+
+    dense = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=6)
+    dv = dense.init(key, [x, x, x])
+    tok = x[:, :1]
+    with pytest.raises(ValueError, match="width > 1"):
+        dense.apply(dv, [tok, tok, tok], decode=True,
+                    prompt_lengths=jnp.asarray([1, 1]), mutable=["cache"])
+    with pytest.raises(ValueError, match="shape"):
+        dense.apply(dv, [chunk, chunk, chunk], decode=True,
+                    prompt_lengths=jnp.asarray([[2], [3]]),
+                    mutable=["cache"])
