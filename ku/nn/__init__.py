@@ -32,4 +32,5 @@ from ku.nn.position_encoding import OrdinalPositionEncoding, PeriodicPositionEnc
 from ku.nn.transformer import Transformer, InterferedTransformer
 from ku.nn.dense_composite import DenseBatchNormalization
 from ku.nn.gnn import GraphConvolutionNetwork
-from ku.nn.decoding import generate, greedy, make_sampler, beam_search
+from ku.nn.decoding import (generate, greedy, make_sampler, beam_search,
+                            speculative_generate)

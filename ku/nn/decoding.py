@@ -132,6 +132,115 @@ def generate(model, params, prompt_ids, steps: int, *,
     return jnp.concatenate([out, last[:, None]], axis=1)
 
 
+def _rewind(cache, delta):
+    """Roll every layer's cache_index back by ``delta`` ((B,) int32).
+    Rollback is FREE on dense caches: masks admit only slots below the
+    per-sequence index, so stale K/V past the rewound index are invisible
+    until overwritten."""
+
+    def fix(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1]))
+        return leaf - delta if name == "cache_index" else leaf
+
+    return jax.tree_util.tree_map_with_path(fix, cache)
+
+
+def speculative_generate(model, params, draft_model, draft_params,
+                         prompt_ids, steps: int, *,
+                         embed: Callable, readout: Callable,
+                         draft_embed: Optional[Callable] = None,
+                         draft_readout: Optional[Callable] = None,
+                         gamma: int = 4,
+                         model_kwargs: Optional[dict] = None,
+                         draft_model_kwargs: Optional[dict] = None):
+    """Greedy speculative decoding: a cheap draft model proposes
+    ``gamma`` tokens per round, the target verifies them in ONE chunked
+    KV-cache call, and both caches roll back by the per-sequence
+    rejection count (per-batch ``cache_index`` + masked stale slots make
+    rollback a subtraction). Output is EXACTLY the target model's greedy
+    continuation — the draft only changes how many target dispatches it
+    takes (1 + steps/(accepted+1) instead of steps), so a well-matched
+    draft turns decode latency into prompt-prefill-shaped chunk passes.
+
+    Uniform prompt lengths; dense caches only (ring caches can't rewind
+    — overwritten slots are gone). Allocate ``max_decode_len >=
+    prompt + steps + gamma + 1`` on BOTH models (a round can overshoot
+    by up to gamma before truncation). ``readout`` must accept (B, L, D)
+    for chunk verification. The acceptance rule is greedy prefix match
+    (token-level), so the draft's sampling temperature is irrelevant.
+
+    Returns ((B, steps) ids, mean accepted-per-round diagnostics (B,)).
+    """
+    kw = model_kwargs or {}
+    dkw = draft_model_kwargs or {}
+    d_embed = draft_embed if draft_embed is not None else embed
+    d_readout = draft_readout if draft_readout is not None else readout
+    t_step = _stepper(model, params, kw)
+    d_step = _stepper(draft_model, draft_params, dkw)
+
+    bsz, p = prompt_ids.shape
+    cap = steps + gamma + 1
+
+    # Prompt prefill on both models; the first generated token (target
+    # greedy) becomes the shared pending token.
+    tcache, y = t_step({}, embed(prompt_ids, jnp.arange(p)))
+    dcache, _ = d_step({}, d_embed(prompt_ids, jnp.arange(p)))
+    pending = jnp.argmax(readout(y[:, -1:])[:, 0], axis=-1)  # (B,)
+    buf = jnp.zeros((bsz, cap), jnp.int32).at[:, 0].set(pending)
+    count = jnp.ones((bsz,), jnp.int32)  # generated tokens committed
+    rounds = jnp.zeros((), jnp.int32)
+
+    def cond(carry):
+        _, _, _, count, _, _ = carry
+        return jnp.min(count) < steps
+
+    def body(carry):
+        tcache, dcache, buf, count, pending, rounds = carry
+        base = p + count - 1  # (B,) global position of the pending token
+
+        # Draft phase: gamma proposals, plus one extra feed so the draft
+        # cache also holds the last proposal (uniform rewind later).
+        def draft_one(carry, i):
+            dcache, tok = carry
+            dcache, y = d_step(dcache,
+                               d_embed(tok[:, None], (base + i)[:, None]))
+            nxt = jnp.argmax(d_readout(y)[:, 0], axis=-1)
+            return (dcache, nxt), tok
+
+        (dcache, _), toks = jax.lax.scan(draft_one, (dcache, pending),
+                                         jnp.arange(gamma + 1))
+        chunk = jnp.moveaxis(toks, 0, 1)  # (B, gamma+1): pending, d1..dg
+
+        # Target verification: one chunked cache call over the proposals.
+        pos = base[:, None] + jnp.arange(gamma + 1)[None]
+        tcache, y = t_step(tcache, embed(chunk, pos))
+        g = jnp.argmax(readout(y), axis=-1)  # (B, gamma+1) target greedy
+
+        # Longest accepted prefix: d_{j+1} == g_j for j < gamma.
+        match = (chunk[:, 1:] == g[:, :-1]).astype(jnp.int32)
+        acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,) in [0, gamma]
+
+        # Commit d_1..d_acc then the bonus token g_acc; tail values past
+        # acc are placeholders overwritten by later rounds.
+        j = jnp.arange(gamma + 1)[None]
+        bonus = jnp.take_along_axis(g, acc[:, None], axis=1)  # (B, 1)
+        w = jnp.where(j < acc[:, None],
+                      jnp.pad(chunk[:, 1:], ((0, 0), (0, 1))), bonus)
+        buf2 = jax.vmap(
+            lambda b, ww, c: jax.lax.dynamic_update_slice(b, ww, (c,)))(
+                buf, w.astype(buf.dtype), count)
+
+        delta = gamma - acc
+        return (_rewind(tcache, delta), _rewind(dcache, delta), buf2,
+                count + acc + 1, bonus[:, 0], rounds + 1)
+
+    tcache, dcache, buf, count, pending, rounds = jax.lax.while_loop(
+        cond, body, (tcache, dcache, buf, count, pending, rounds))
+    mean_accepted = (count - 1).astype(jnp.float32) / jnp.maximum(
+        rounds, 1).astype(jnp.float32)
+    return buf[:, :steps], mean_accepted
+
+
 def beam_search(model, params, prompt_ids, steps: int, *,
                 embed: Callable, readout: Callable, beam_size: int,
                 model_kwargs: Optional[dict] = None):

@@ -892,3 +892,40 @@ def test_serving_validation_guards(key, rng):
         dense.apply(dv, [chunk, chunk, chunk], decode=True,
                     prompt_lengths=jnp.asarray([[2], [3]]),
                     mutable=["cache"])
+
+
+@pytest.mark.parametrize("same_draft,gamma", [(True, 3), (False, 3),
+                                              (False, 1), (False, 5)])
+def test_speculative_generate_equals_greedy(key, rng, same_draft, gamma):
+    """Speculative decoding is EXACT: output == target-only greedy
+    generate, whether the draft is the target itself (accept-all fast
+    path) or an unrelated model (frequent rejections); the acceptance
+    diagnostic reflects the difference."""
+    from ku.nn import generate, speculative_generate
+
+    vocab, dm, b, p, steps = 7, 8, 2, 4, 9
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    mx = p + steps + gamma + 1
+    block = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=mx)
+    embed = lambda i, pos=None: table[i]  # noqa: E731
+    readout = lambda y: y @ table.T  # noqa: E731
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, p)), jnp.int32)
+    params = block.init(key, [embed(ids)])["params"]
+    if same_draft:
+        draft, dparams = block, params
+    else:
+        draft = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=mx)
+        dparams = draft.init(jax.random.key(99), [embed(ids)])["params"]
+
+    want = np.asarray(generate(block, params, ids, steps, embed=embed,
+                               readout=readout))
+    got, acc = speculative_generate(
+        block, params, draft, dparams, ids, steps, embed=embed,
+        readout=readout, gamma=gamma)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    acc = np.asarray(acc)
+    if same_draft:
+        # Target-as-draft accepts everything: gamma+1 tokens per round.
+        np.testing.assert_allclose(acc, gamma + 1.0)
+    else:
+        assert (acc >= 1.0).all() and (acc <= gamma + 1.0).all()
