@@ -132,6 +132,16 @@ def generate(model, params, prompt_ids, steps: int, *,
     return jnp.concatenate([out, last[:, None]], axis=1)
 
 
+def fork_cache(cache, n: int):
+    """Prefix caching: replicate a prefilled cache ``n``× along the
+    batch axis (every leaf is batch-first, including the per-sequence
+    cache_index), so a shared prefix — a system prompt — prefills ONCE
+    at batch B and then serves B·n divergent continuations. Combine with
+    ``generate``'s per-token path or another (chunked) prefill for the
+    per-request suffixes."""
+    return jax.tree.map(lambda c: jnp.repeat(c, n, axis=0), cache)
+
+
 def _rewind(cache, delta):
     """Roll every layer's cache_index back by ``delta`` ((B,) int32).
     Rollback is FREE on dense caches: masks admit only slots below the

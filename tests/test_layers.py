@@ -929,3 +929,33 @@ def test_speculative_generate_equals_greedy(key, rng, same_draft, gamma):
         np.testing.assert_allclose(acc, gamma + 1.0)
     else:
         assert (acc >= 1.0).all() and (acc <= gamma + 1.0).all()
+
+
+def test_fork_cache_prefix_caching(key, rng):
+    """A shared prefix prefilled once and forked n ways serves divergent
+    suffixes identically to prefilling each full sequence separately."""
+    from ku.nn import fork_cache
+
+    dm, pre, n = 8, 5, 3
+    x = jnp.asarray(rng.normal(size=(1, pre, dm)).astype(np.float32))
+    sufs = jnp.asarray(rng.normal(size=(n, 4, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=16, num_kv_head=1)
+    variables = layer.init(key, [x, x, x])
+    params = {"params": variables["params"]}
+
+    _, shared = layer.apply(variables, [x, x, x], decode=True,
+                            mutable=["cache"])
+    forked = {"cache": fork_cache(shared["cache"], n)}
+    ys, cache = layer.apply(
+        {**params, **forked}, [sufs, sufs, sufs], decode=True,
+        mutable=["cache"])
+
+    for i in range(n):
+        seq = jnp.concatenate([x, sufs[i:i + 1]], axis=1)
+        # Forked suffix outputs == full-sequence forward outputs.
+        full = layer.apply(variables, [seq, seq, seq])
+        np.testing.assert_allclose(np.asarray(ys)[i], np.asarray(full)[
+            0, pre:], rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(cache["cache"]["cache_index"]), pre + 4)
