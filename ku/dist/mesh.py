@@ -110,7 +110,8 @@ def shard_gan_state(state, mesh, model_axis: str = "model",
 
 def shard_decode_state(params, cache, mesh, model_axis: str = "model",
                        num_head: Optional[int] = None,
-                       num_kv_head: Optional[int] = None):
+                       num_kv_head: Optional[int] = None,
+                       data_axis: Optional[str] = None):
     """Tensor-parallel SERVING: place a transformer stack's params and KV
     cache on the mesh with attention heads sharded over ``model_axis``.
 
@@ -177,12 +178,15 @@ def shard_decode_state(params, cache, mesh, model_axis: str = "model",
     def cache_spec(path, leaf):
         name = str(getattr(path[-1], "key", path[-1])) if path else ""
         nd = getattr(leaf, "ndim", 0)
+        da = data_axis  # batch axis 0 of every cache leaf
         if name in ("cached_key", "cached_value") and nd == 4 \
                 and leaf.shape[1] % tp == 0:
-            return P(None, model_axis, None, None)
+            return P(da, model_axis, None, None)
         if name in ("key_scale", "value_scale") and nd == 3 \
                 and leaf.shape[1] % tp == 0:
-            return P(None, model_axis, None)
+            return P(da, model_axis, None)
+        if da is not None and nd >= 1:
+            return P(da)  # cache_index (B,), cache_pos (B, mx)
         return P()
 
     params = jax.tree_util.tree_map_with_path(

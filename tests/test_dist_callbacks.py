@@ -443,3 +443,53 @@ def test_shard_decode_state_indivisible_heads_replicates(rng):
     assert any("replicated" in str(x.message) for x in w)
     for leaf in jax.tree_util.tree_leaves(sp):
         assert "model" not in str(leaf.sharding.spec), leaf.sharding
+
+
+def test_dp_tp_decode_on_2d_mesh(rng):
+    """Serving on a data×model mesh: batch sharded over 'data', heads +
+    cache over 'model' — jitted prefill + decode match the unsharded
+    oracle (full 2-D serving placement)."""
+    import ku
+    from ku.dist import shard_decode_state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    b, t, pre, dm, h, hkv = 4, 7, 4, 32, 8, 4
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    block = ku.Transformer(h, dm, 0.0, causal=True, num_kv_head=hkv,
+                           max_decode_len=t)
+    variables = block.init(jax.random.key(3), [x])
+    params = variables["params"]
+
+    y, cache = block.apply({"params": params}, [x[:, :pre]], decode=True,
+                           mutable=["cache"])
+    outs = [np.asarray(y)]
+    for i in range(pre, t):
+        y, cache = block.apply({"params": params, **cache},
+                               [x[:, i:i + 1]], decode=True,
+                               mutable=["cache"])
+        outs.append(np.asarray(y))
+    ref = np.concatenate(outs, axis=1)
+
+    @jax.jit
+    def step(p, c, tok):
+        return block.apply({"params": p, "cache": c}, [tok], decode=True,
+                           mutable=["cache"])
+
+    with mesh:
+        sp, _ = shard_decode_state(params, {}, mesh, num_head=h,
+                                   num_kv_head=hkv)
+        xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+        y, mut = jax.jit(
+            lambda p, tok: block.apply({"params": p}, [tok], decode=True,
+                                       mutable=["cache"])
+        )(sp, xb[:, :pre])
+        sp, sc = shard_decode_state(sp, mut["cache"], mesh, num_head=h,
+                                    num_kv_head=hkv, data_axis="data")
+        outs = [np.asarray(y)]
+        for i in range(pre, t):
+            y, mut = step(sp, sc, xb[:, i:i + 1])
+            sc = mut["cache"]
+            outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
