@@ -161,23 +161,33 @@ def speculative_generate(model, params, draft_model, draft_params,
                          draft_embed: Optional[Callable] = None,
                          draft_readout: Optional[Callable] = None,
                          gamma: int = 4,
+                         temperature: Optional[float] = None,
+                         rng: Optional[jax.Array] = None,
                          model_kwargs: Optional[dict] = None,
                          draft_model_kwargs: Optional[dict] = None):
-    """Greedy speculative decoding: a cheap draft model proposes
-    ``gamma`` tokens per round, the target verifies them in ONE chunked
-    KV-cache call, and both caches roll back by the per-sequence
-    rejection count (per-batch ``cache_index`` + masked stale slots make
-    rollback a subtraction). Output is EXACTLY the target model's greedy
-    continuation — the draft only changes how many target dispatches it
+    """Speculative decoding: a cheap draft model proposes ``gamma``
+    tokens per round, the target verifies them in ONE chunked KV-cache
+    call, and both caches roll back by the per-sequence rejection count
+    (per-batch ``cache_index`` + masked stale slots make rollback a
+    subtraction). The draft only changes how many target dispatches it
     takes (1 + steps/(accepted+1) instead of steps), so a well-matched
     draft turns decode latency into prompt-prefill-shaped chunk passes.
+
+    ``temperature=None`` (default): GREEDY — output is bit-identical to
+    the target model's greedy continuation (acceptance = prefix match of
+    argmaxes). ``temperature=T``: SPECULATIVE SAMPLING — the draft
+    samples at T, each proposal is accepted with probability
+    min(1, p(x)/q(x)), and a rejection resamples from the normalized
+    residual max(p-q, 0) (the bonus token after a fully-accepted round
+    samples from p directly), which makes the OUTPUT DISTRIBUTION
+    exactly the target model's temperature-T sampling distribution
+    (Leviathan et al.; distribution-tested).
 
     Uniform prompt lengths; dense caches only (ring caches can't rewind
     — overwritten slots are gone). Allocate ``max_decode_len >=
     prompt + steps + gamma + 1`` on BOTH models (a round can overshoot
     by up to gamma before truncation). ``readout`` must accept (B, L, D)
-    for chunk verification. The acceptance rule is greedy prefix match
-    (token-level), so the draft's sampling temperature is irrelevant.
+    for chunk verification.
 
     Returns ((B, steps) ids, mean accepted-per-round diagnostics (B,)).
     """
@@ -187,65 +197,110 @@ def speculative_generate(model, params, draft_model, draft_params,
     d_readout = draft_readout if draft_readout is not None else readout
     t_step = _stepper(model, params, kw)
     d_step = _stepper(draft_model, draft_params, dkw)
+    stochastic = temperature is not None
+    temp = max(temperature, 1e-6) if stochastic else 1.0
+    if rng is None:
+        rng = jax.random.key(0)
 
     bsz, p = prompt_ids.shape
     cap = steps + gamma + 1
+    eps = 1e-9
 
-    # Prompt prefill on both models; the first generated token (target
-    # greedy) becomes the shared pending token.
+    # Prompt prefill on both models; the first generated token becomes
+    # the shared pending token.
     tcache, y = t_step({}, embed(prompt_ids, jnp.arange(p)))
     dcache, _ = d_step({}, d_embed(prompt_ids, jnp.arange(p)))
-    pending = jnp.argmax(readout(y[:, -1:])[:, 0], axis=-1)  # (B,)
+    logits0 = readout(y[:, -1:])[:, 0]
+    key, k0 = jax.random.split(rng)
+    if stochastic:
+        pending = jax.random.categorical(k0, logits0 / temp, axis=-1)
+    else:
+        pending = jnp.argmax(logits0, axis=-1)  # (B,)
     buf = jnp.zeros((bsz, cap), jnp.int32).at[:, 0].set(pending)
     count = jnp.ones((bsz,), jnp.int32)  # generated tokens committed
     rounds = jnp.zeros((), jnp.int32)
 
     def cond(carry):
-        _, _, _, count, _, _ = carry
-        return jnp.min(count) < steps
+        return jnp.min(carry[3]) < steps
 
     def body(carry):
-        tcache, dcache, buf, count, pending, rounds = carry
+        tcache, dcache, buf, count, pending, rounds, key = carry
         base = p + count - 1  # (B,) global position of the pending token
+        key, kd, ka, kb = jax.random.split(key, 4)
 
         # Draft phase: gamma proposals, plus one extra feed so the draft
         # cache also holds the last proposal (uniform rewind later).
-        def draft_one(carry, i):
+        # Emits each step's draft distribution (stochastic acceptance
+        # needs q); categorical draws are row-independent under one key.
+        def draft_one(carry, xs):
+            i, ki = xs
             dcache, tok = carry
             dcache, y = d_step(dcache,
                                d_embed(tok[:, None], (base + i)[:, None]))
-            nxt = jnp.argmax(d_readout(y)[:, 0], axis=-1)
-            return (dcache, nxt), tok
+            lg = d_readout(y)[:, 0] / temp
+            if stochastic:
+                nxt = jax.random.categorical(ki, lg, axis=-1)
+            else:
+                nxt = jnp.argmax(lg, axis=-1)
+            return (dcache, nxt), (tok, jax.nn.softmax(lg, axis=-1))
 
-        (dcache, _), toks = jax.lax.scan(draft_one, (dcache, pending),
-                                         jnp.arange(gamma + 1))
+        (dcache, _), (toks, qdist) = jax.lax.scan(
+            draft_one, (dcache, pending),
+            (jnp.arange(gamma + 1), jax.random.split(kd, gamma + 1)))
         chunk = jnp.moveaxis(toks, 0, 1)  # (B, gamma+1): pending, d1..dg
+        qdist = jnp.moveaxis(qdist, 0, 1)  # (B, gamma+1, V)
 
         # Target verification: one chunked cache call over the proposals.
         pos = base[:, None] + jnp.arange(gamma + 1)[None]
         tcache, y = t_step(tcache, embed(chunk, pos))
-        g = jnp.argmax(readout(y), axis=-1)  # (B, gamma+1) target greedy
+        t_logits = readout(y) / temp  # (B, gamma+1, V)
 
-        # Longest accepted prefix: d_{j+1} == g_j for j < gamma.
-        match = (chunk[:, 1:] == g[:, :-1]).astype(jnp.int32)
-        acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,) in [0, gamma]
+        d = chunk[:, 1:]  # proposals d_1..d_gamma (B, gamma)
+        if stochastic:
+            pdist = jax.nn.softmax(t_logits, axis=-1)
+            p_d = jnp.take_along_axis(pdist[:, :gamma], d[..., None],
+                                      axis=-1)[..., 0]
+            q_d = jnp.take_along_axis(qdist[:, :gamma], d[..., None],
+                                      axis=-1)[..., 0]
+            u = jax.random.uniform(ka, d.shape)
+            ok = (u * jnp.maximum(q_d, eps) < p_d).astype(jnp.int32)
+            acc = jnp.cumprod(ok, axis=1).sum(axis=1)  # (B,) in [0,gamma]
+            # Bonus: residual max(p-q, 0) at the rejection position, or
+            # p itself after a fully-accepted round (q at index gamma
+            # proposed nothing). Degenerate residual (p==q) falls back
+            # to p — rejection there had probability 0 anyway.
+            p_acc = jnp.take_along_axis(
+                pdist, acc[:, None, None], axis=1)[:, 0]  # (B, V)
+            q_acc = jnp.take_along_axis(
+                qdist, acc[:, None, None], axis=1)[:, 0]
+            resid = jnp.maximum(p_acc - q_acc, 0.0)
+            rsum = resid.sum(-1, keepdims=True)
+            use_p = (acc[:, None] == gamma) | (rsum <= eps)
+            dist = jnp.where(use_p, p_acc, resid / jnp.maximum(rsum, eps))
+            bonus = jax.random.categorical(
+                kb, jnp.log(jnp.maximum(dist, 1e-30)), axis=-1)[:, None]
+        else:
+            g = jnp.argmax(t_logits, axis=-1)  # (B, gamma+1) greedy
+            # Longest accepted prefix: d_{j+1} == g_j for j < gamma.
+            match = (d == g[:, :-1]).astype(jnp.int32)
+            acc = jnp.cumprod(match, axis=1).sum(axis=1)
+            bonus = jnp.take_along_axis(g, acc[:, None], axis=1)
 
-        # Commit d_1..d_acc then the bonus token g_acc; tail values past
-        # acc are placeholders overwritten by later rounds.
+        # Commit d_1..d_acc then the bonus token; tail values past acc
+        # are placeholders overwritten by later rounds.
         j = jnp.arange(gamma + 1)[None]
-        bonus = jnp.take_along_axis(g, acc[:, None], axis=1)  # (B, 1)
-        w = jnp.where(j < acc[:, None],
-                      jnp.pad(chunk[:, 1:], ((0, 0), (0, 1))), bonus)
+        w = jnp.where(j < acc[:, None], jnp.pad(d, ((0, 0), (0, 1))),
+                      bonus)
         buf2 = jax.vmap(
             lambda b, ww, c: jax.lax.dynamic_update_slice(b, ww, (c,)))(
                 buf, w.astype(buf.dtype), count)
 
         delta = gamma - acc
         return (_rewind(tcache, delta), _rewind(dcache, delta), buf2,
-                count + acc + 1, bonus[:, 0], rounds + 1)
+                count + acc + 1, bonus[:, 0], rounds + 1, key)
 
-    tcache, dcache, buf, count, pending, rounds = jax.lax.while_loop(
-        cond, body, (tcache, dcache, buf, count, pending, rounds))
+    tcache, dcache, buf, count, pending, rounds, key = jax.lax.while_loop(
+        cond, body, (tcache, dcache, buf, count, pending, rounds, key))
     mean_accepted = (count - 1).astype(jnp.float32) / jnp.maximum(
         rounds, 1).astype(jnp.float32)
     return buf[:, :steps], mean_accepted

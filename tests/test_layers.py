@@ -959,3 +959,49 @@ def test_fork_cache_prefix_caching(key, rng):
             0, pre:], rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(cache["cache"]["cache_index"]), pre + 4)
+
+
+def test_speculative_sampling_matches_target_distribution(key, rng):
+    """Speculative SAMPLING (temperature mode) preserves the target
+    distribution exactly: over 8192 independent rows, the empirical
+    joint distribution of the first two sampled tokens matches the
+    teacher-forced target probabilities within multinomial noise, even
+    though proposals come from an unrelated draft model."""
+    from ku.nn import speculative_generate
+
+    vocab, dm, b, p, steps, gamma = 5, 8, 8192, 2, 2, 2
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    mx = p + steps + gamma + 1
+    block = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=mx)
+    draft = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=mx)
+    embed = lambda i, pos=None: table[i]  # noqa: E731
+    readout = lambda y: y @ table.T  # noqa: E731
+    prompt = np.array([1, 3], np.int32)
+    ids = jnp.asarray(np.tile(prompt, (b, 1)))
+    params = block.init(key, [embed(ids[:1])])["params"]
+    dparams = draft.init(jax.random.key(123), [embed(ids[:1])])["params"]
+
+    got, _ = speculative_generate(
+        block, params, draft, dparams, ids, steps, embed=embed,
+        readout=readout, gamma=gamma, temperature=1.0,
+        rng=jax.random.key(7))
+    got = np.asarray(got)
+
+    # Teacher-forced exact probabilities.
+    def probs_after(prefix):  # (1, L) -> (V,) next-token distribution
+        y = block.apply({"params": params},
+                        [embed(jnp.asarray(prefix)[None])])
+        return np.asarray(jax.nn.softmax(readout(y)[0, -1]))
+
+    p1 = probs_after(prompt)
+    joint = np.zeros((vocab, vocab))
+    for x1 in range(vocab):
+        p2 = probs_after(np.concatenate([prompt, [x1]]).astype(np.int32))
+        joint[x1] = p1[x1] * p2
+
+    emp = np.zeros((vocab, vocab))
+    for x1, x2 in got:
+        emp[x1, x2] += 1.0 / b
+    # Multinomial se <= sqrt(0.25/8192) ~ 0.0055; 0.025 is >4.5 sigma.
+    np.testing.assert_allclose(emp, joint, atol=0.025)
+    assert abs(emp.sum() - 1.0) < 1e-6
