@@ -570,3 +570,76 @@ def test_transformer_flash_training_on_tpu(rng):
     assert h[-1] < h[0], h  # learning, not just running
     logits = tr.predict(x[:256])
     assert np.isfinite(logits).all()
+
+
+def test_flash_prefill_offsets_compiled(rng):
+    """Compiled traced-offset flash forward (KV-cache prefill paths):
+    scalar q_offset and PER-SEQUENCE (B,) offset arrays — the per-(b,h)
+    SMEM BlockSpec lowering the CPU suite only interprets — vs the dense
+    shifted-causal oracle."""
+    from ku.pallas.flash_attention import flash_attention_pallas
+
+    b, h, L, mx, d = 2, 2, 128, 512, 64
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, h, L, d)).astype(np.float32)) * 0.1
+    k = jnp.asarray(rng.normal(size=(b, h, mx, d)).astype(np.float32)) * 0.1
+    v = jnp.asarray(rng.normal(size=(b, h, mx, d)).astype(np.float32)) * 0.1
+
+    def dense(offs):
+        s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k))
+        keep = (np.arange(mx)[None, None, :]
+                <= offs[:, None, None] + np.arange(L)[None, :, None])
+        s = np.where(keep[:, None], s * scale, -1e30)
+        e = np.exp(s - s.max(-1, keepdims=True))
+        p = e / e.sum(-1, keepdims=True)
+        return np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
+
+    got = jax.jit(lambda q, k, v, off: flash_attention_pallas(
+        q, k, v, softmax_scale=scale, causal=True, q_offset=off))(
+        q, k, v, jnp.int32(200))
+    np.testing.assert_allclose(np.asarray(got),
+                               dense(np.array([200, 200])),
+                               rtol=2e-2, atol=2e-3)
+
+    offs = np.array([37, 301])
+    got = jax.jit(lambda q, k, v, off: flash_attention_pallas(
+        q, k, v, softmax_scale=scale, causal=True, q_offset=off))(
+        q, k, v, jnp.asarray(offs, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), dense(offs),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_serving_decode_stack_on_tpu(rng):
+    """Serving smoke on hardware: int8 ring-buffer decode + flash
+    prefill + generate run compiled on the TPU and match the CPU-suite
+    semantics (step decode == full forward)."""
+    import ku
+    from ku.nn import generate
+
+    b, t, dm = 2, 12, 16
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True, window=6,
+                                  global_prefix=2, num_kv_head=1,
+                                  kv_cache_dtype="int8")
+    variables = layer.init(jax.random.key(0), [x, x, x])
+    full = np.asarray(layer.apply(variables, [x, x, x]))
+    cache, steps = {}, []
+    step = jax.jit(lambda v, tok: layer.apply(
+        v, [tok, tok, tok], decode=True, mutable=["cache"]))
+    for i in range(t):
+        y, cache = step({"params": variables["params"], **cache},
+                        x[:, i:i + 1])
+        steps.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(steps, axis=1), full,
+                               rtol=6e-2, atol=6e-3)
+
+    vocab = 11
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=24)
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, 6)), jnp.int32)
+    params = block.init(jax.random.key(1),
+                        [table[ids]])["params"]
+    out = np.asarray(generate(block, params, ids, 8,
+                              embed=lambda i, p=None: table[i],
+                              readout=lambda y: y @ table.T))
+    assert out.shape == (b, 8) and (out >= 0).all() and (out < vocab).all()
