@@ -172,9 +172,41 @@ def sparse_throughput():
         q, k, v, s_hi=16)
 
 
+def _await_tpu(attempts: int = 3, wait_s: int = 60) -> bool:
+    """Probe TPU init in a SUBPROCESS (an in-process failed backend init
+    is cached by jax) with retries — the axon tunnel flaps; a transient
+    outage at bench time shouldn't forfeit the round's record."""
+    import subprocess
+    import time as _t
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=240)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: TPU probe {i + 1}/{attempts} failed", file=sys.stderr)
+        if i + 1 < attempts:
+            _t.sleep(wait_s)
+    return False
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    tpu_ok = _await_tpu()
     import jax
+
+    if not tpu_ok:
+        # Degrade to the CPU path (valid schema, clearly labeled) rather
+        # than crash with an unusable BENCH record.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     from ku.ebm.rbm import MODE_VISIBLE_BERNOULLI, init_rbm_params
@@ -260,6 +292,8 @@ def main():
             record["sparse_64k_sink_fwd_ms"] = round(sparse_throughput(), 2)
         except Exception as e:
             record["sparse_error"] = repr(e)[:200]
+    if not on_tpu:
+        record["backend"] = "cpu_fallback_tpu_unavailable"
     print(json.dumps(record))
 
 
