@@ -12,6 +12,8 @@ Usage: python benchmarks/decode_bench.py [T] [ring|prefill]
 ``prefill`` — one-dispatch prompt prefill of T tokens (chunked cache
               fill) instead of T per-token steps; reports prompt
               tokens/sec (S=16 chained prompt passes per dispatch).
+``prefill_flash`` — same, through the streaming flash kernel (traced
+              q_offset over the cache page) instead of the dense einsum.
 ``int8``    — dense cache quantized to int8 (kv_cache_dtype): halves the
               per-step cache read; run at large T where the decode step
               is cache-read-bound.
@@ -36,7 +38,8 @@ from ku.nn import Transformer
 D_MODEL, HEADS, KV_HEADS, BLOCKS, BATCH = 512, 8, 2, 2, 8
 
 
-def build(max_len, window=None, global_prefix=0, kv_cache_dtype=None):
+def build(max_len, window=None, global_prefix=0, kv_cache_dtype=None,
+          use_flash=False):
     import flax.linen as nn
 
     class LM(nn.Module):
@@ -48,6 +51,7 @@ def build(max_len, window=None, global_prefix=0, kv_cache_dtype=None):
                                 max_decode_len=max_len,
                                 window=window, global_prefix=global_prefix,
                                 kv_cache_dtype=kv_cache_dtype,
+                                use_flash=use_flash,
                                 name=f"block{i}")([x], decode=decode)
             return x
 
@@ -66,13 +70,14 @@ def main():
     rng = np.random.default_rng(0)
     model = build(t_tokens, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
-                  kv_cache_dtype="int8" if mode == "int8" else None)
+                  kv_cache_dtype="int8" if mode == "int8" else None,
+                  use_flash=mode == "prefill_flash")
     x0 = jnp.asarray(rng.normal(size=(BATCH, 1, D_MODEL)), jnp.float32)
     variables = model.init(jax.random.key(0), x0, decode=True)
     params = variables["params"]
     cache0 = variables["cache"]
 
-    if mode == "prefill":
+    if mode.startswith("prefill"):
         S = 16
         xp = jnp.asarray(rng.normal(size=(BATCH, t_tokens, D_MODEL)),
                          jnp.float32)
@@ -96,7 +101,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         print(json.dumps({
             "prefill_tokens_per_sec": round(BATCH * t_tokens * S / best, 1),
-            "ms_per_prompt": round(best * 1e3 / S, 4), "mode": "prefill",
+            "ms_per_prompt": round(best * 1e3 / S, 4), "mode": mode,
             "batch": BATCH, "t": t_tokens, "d_model": D_MODEL,
             "heads": HEADS, "kv_heads": KV_HEADS, "blocks": BLOCKS,
         }))

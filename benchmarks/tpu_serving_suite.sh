@@ -20,6 +20,8 @@ echo "== decode ring T=512 (window 512 + 32 sinks) =="
 timeout 1800 python benchmarks/decode_bench.py 512 ring
 echo "== prefill T=512 =="
 timeout 1800 python benchmarks/decode_bench.py 512 prefill
+echo "== prefill_flash T=512 =="
+timeout 1800 python benchmarks/decode_bench.py 512 prefill_flash
 echo "== decode dense T=8192 (cache-read-bound regime) =="
 timeout 2400 python benchmarks/decode_bench.py 8192
 echo "== decode int8 T=8192 =="

@@ -33,4 +33,4 @@ from ku.nn.transformer import Transformer, InterferedTransformer
 from ku.nn.dense_composite import DenseBatchNormalization
 from ku.nn.gnn import GraphConvolutionNetwork
 from ku.nn.decoding import (generate, greedy, make_sampler, beam_search,
-                            speculative_generate, fork_cache)
+                            speculative_generate, fork_cache, mask_after_eos)

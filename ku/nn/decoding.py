@@ -132,6 +132,20 @@ def generate(model, params, prompt_ids, steps: int, *,
     return jnp.concatenate([out, last[:, None]], axis=1)
 
 
+def mask_after_eos(ids, eos_id: int, pad_id: int = 0):
+    """Post-process fixed-length generations: keep everything up to and
+    including each row's first ``eos_id``, replace the rest with
+    ``pad_id``, and return (masked ids, lengths incl. the EOS token).
+    Fixed-``steps`` scans can't early-exit per row (SPMD), so EOS is a
+    masking contract: rows that never emit EOS keep full length."""
+    ids = jnp.asarray(ids)
+    is_eos = (ids == eos_id).astype(jnp.int32)
+    seen = jnp.cumsum(is_eos, axis=1) - is_eos  # EOS itself not masked
+    lengths = jnp.where(is_eos.any(axis=1),
+                        jnp.argmax(is_eos, axis=1) + 1, ids.shape[1])
+    return jnp.where(seen > 0, pad_id, ids), lengths
+
+
 def fork_cache(cache, n: int):
     """Prefix caching: replicate a prefilled cache ``n``× along the
     batch axis (every leaf is batch-first, including the per-sequence

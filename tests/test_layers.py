@@ -1005,3 +1005,14 @@ def test_speculative_sampling_matches_target_distribution(key, rng):
     # Multinomial se <= sqrt(0.25/8192) ~ 0.0055; 0.025 is >4.5 sigma.
     np.testing.assert_allclose(emp, joint, atol=0.025)
     assert abs(emp.sum() - 1.0) < 1e-6
+
+
+def test_mask_after_eos():
+    from ku.nn import mask_after_eos
+
+    ids = jnp.asarray([[3, 7, 2, 5, 5], [1, 1, 1, 1, 1], [7, 3, 3, 7, 4]])
+    out, lens = mask_after_eos(ids, eos_id=7, pad_id=0)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  [[3, 7, 0, 0, 0], [1, 1, 1, 1, 1],
+                                   [7, 0, 0, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(lens), [2, 5, 1])
