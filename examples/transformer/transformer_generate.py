@@ -35,7 +35,8 @@ import optax  # noqa: E402
 
 from ku.core.config import load_config  # noqa: E402
 from ku.engine_ext import Trainer  # noqa: E402
-from ku.nn import Transformer, generate  # noqa: E402
+from ku.nn import (Transformer, beam_search, generate,  # noqa: E402
+                   speculative_generate)
 
 
 def make_dataset(n: int, seq_len: int, period: int, vocab: int,
@@ -159,6 +160,49 @@ def main():
           f"{prompt_len}-token prompt): {acc:.4f}")
     print(f"serving: {gen.size / dt:.0f} tokens/sec "
           f"(batch {test.shape[0]}, prefill + one-scan decode)")
+
+    # ---- Beam search: top beam must agree with greedy on this task ----
+    beams, _ = beam_search(core, params["core"], ids[:32], steps,
+                           embed=lambda i, p: table[i] + pos_table[p][None],
+                           readout=lambda y: y @ table.T, beam_size=4)
+    beam_acc = float((np.asarray(beams)[:, 0]
+                      == test[:32, prompt_len:]).mean())
+    print(f"beam search (beam 4) top-beam accuracy: {beam_acc:.4f}")
+
+    # ---- Speculative decoding: a 1-block draft accelerates the target
+    # with BIT-IDENTICAL greedy output (acceptance rate reported) ----
+    draft = LM(vocab=vocab, seq_len=seq_len, d_model=int(arch["d_model"]),
+               num_head=int(arch["num_head"]), num_blocks=1)
+    dtrainer = Trainer(draft, masked_xent,
+                       optimizer=optax.adam(float(hps["lr"])), seed=1)
+    dtrainer.fit(x_train, y_train, batch_size=int(hps["batch_size"]),
+                 epochs=max(2, int(hps["epochs"]) // 3), verbose=0)
+    dparams = dtrainer.state["params"]
+    dcore = LMCore(int(arch["d_model"]), int(arch["num_head"]), 1,
+                   max_decode_len=seq_len + 8)
+    core_sp = LMCore(int(arch["d_model"]), int(arch["num_head"]),
+                     int(arch.get("num_blocks", 2)),
+                     max_decode_len=seq_len + 8)
+    def hooks(tab, pos_tab):
+        # Positions arrive as (L,) for prefill and (B, L) for per-row
+        # feeds; speculative rounds can overshoot `steps`, so clip the
+        # PE index (overshoot tokens are truncated from the output).
+        def emb(i, p):
+            pe = pos_tab[jnp.clip(p, 0, seq_len - 1)]
+            return tab[i] + (pe[None] if jnp.ndim(p) == 1 else pe)
+
+        return emb, (lambda y: y @ tab.T)
+
+    t_emb, t_read = hooks(table, pos_table)
+    d_emb, d_read = hooks(dparams["tok"]["embedding"], dparams["pos"])
+    spec, accepted = speculative_generate(
+        core_sp, params["core"], dcore, dparams["core"], ids, steps,
+        gamma=3, embed=t_emb, readout=t_read,
+        draft_embed=d_emb, draft_readout=d_read)
+    spec = np.asarray(spec)
+    exact = bool((spec == gen).all())
+    print(f"speculative decoding: greedy-exact={exact}, mean accepted "
+          f"{float(np.asarray(accepted).mean()):.2f}/gamma+1=4 per round")
     return acc
 
 
