@@ -211,7 +211,16 @@ def main():
 
     from ku.ebm.rbm import MODE_VISIBLE_BERNOULLI, init_rbm_params
 
-    on_tpu = jax.default_backend() == "tpu"
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        # Tunnel flapped between the probe and the in-process init —
+        # same downgrade, never forfeit the record.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        on_tpu = False
     epochs_timed = EPOCHS_TIMED if on_tpu else 2  # keep CPU fallback quick
 
     V = _data()

@@ -182,7 +182,9 @@ def main():
                    max_decode_len=seq_len + 8)
     core_sp = LMCore(int(arch["d_model"]), int(arch["num_head"]),
                      int(arch.get("num_blocks", 2)),
-                     max_decode_len=seq_len + 8)
+                     max_decode_len=seq_len + 8,
+                     use_flash=bool(arch.get("use_flash", False)),
+                     kv_cache_dtype=arch.get("kv_cache_dtype"))
     def hooks(tab, pos_tab):
         # Positions arrive as (L,) for prefill and (B, L) for per-row
         # feeds; speculative rounds can overshoot `steps`, so clip the

@@ -136,7 +136,10 @@ def shard_decode_state(params, cache, mesh, model_axis: str = "model",
     the TP degree — a tp that divides the raw matrix dims but NOT the
     head counts would shard weights mid-head while the cache stays
     replicated (no HBM saving + per-step resharding collectives); in that
-    case everything is placed replicated and a warning is emitted.
+    case weights and the cache head axis fall back to replicated with a
+    warning. ``data_axis``: additionally shard every cache leaf's batch
+    axis (axis 0) over that mesh axis — 2-D request-DP × head-TP serving
+    placement; batch DP survives the head-divisibility fallback.
     Returns (params, cache) placed.
     """
     tp = mesh.shape[model_axis]
@@ -146,14 +149,22 @@ def shard_decode_state(params, cache, mesh, model_axis: str = "model",
 
         warnings.warn(
             f"shard_decode_state: num_head={num_head}/num_kv_head={hkv} "
-            f"do not divide tp={tp} — placing everything replicated "
-            "(head-parallel serving needs head counts divisible by the "
-            "model axis)", stacklevel=2)
+            f"do not divide tp={tp} — placing weights and cache heads "
+            "replicated (head-parallel serving needs head counts "
+            "divisible by the model axis)", stacklevel=2)
 
-        def rep(leaf, *_):
+        def rep_param(leaf):
             return jax.device_put(leaf, NamedSharding(mesh, P()))
 
-        return (jax.tree.map(rep, params), jax.tree.map(rep, cache))
+        def rep_cache(leaf):
+            # Keep the orthogonal batch-DP placement the caller asked
+            # for even when head-TP is impossible.
+            spec = (P(data_axis) if data_axis is not None
+                    and getattr(leaf, "ndim", 0) >= 1 else P())
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        return (jax.tree.map(rep_param, params),
+                jax.tree.map(rep_cache, cache))
 
     def put(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))

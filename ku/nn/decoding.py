@@ -76,11 +76,14 @@ def generate(model, params, prompt_ids, steps: int, *,
       params: the model's 'params' collection.
       prompt_ids: (B, P) int32 token ids.
       steps: number of tokens to generate.
-      embed: (ids (B, L), positions (L,)) → (B, L, D) embeddings.
-        Positions are the GLOBAL sequence indices of the ids (prompt:
-        0..P-1; then one per generated token) so absolute position
-        encodings stay correct through the scan; table-only models
-        ignore the second argument.
+      embed: (ids (B, L), positions) → (B, L, D) embeddings. Positions
+        are the GLOBAL sequence indices of the ids (prompt: 0..P-1;
+        then one per generated token) so absolute position encodings
+        stay correct through the scan; table-only models ignore the
+        second argument. Positions may be (L,) — shared across the
+        batch — OR (B, L) when rows diverge (ragged prompts here;
+        always possible in :func:`speculative_generate`): an
+        absolute-PE embed hook must handle both ranks.
       readout: (B, 1, D) model output → (B, 1, V) logits (e.g. the tied
         transpose of the embedding).
       sampler: (logits (B, V), key) → (B,) ids. :func:`greedy` (default)
@@ -201,7 +204,10 @@ def speculative_generate(model, params, draft_model, draft_params,
     — overwritten slots are gone). Allocate ``max_decode_len >=
     prompt + steps + gamma + 1`` on BOTH models (a round can overshoot
     by up to gamma before truncation). ``readout`` must accept (B, L, D)
-    for chunk verification.
+    for chunk verification, and ``embed`` receives (B, L) position
+    arrays (rows diverge by acceptance) as well as the prompt's (L,) —
+    absolute-PE hooks must handle both ranks (see the transformer
+    example's ``hooks``).
 
     Returns ((B, steps) ids, mean accepted-per-round diagnostics (B,)).
     """
@@ -361,7 +367,7 @@ def beam_search(model, params, prompt_ids, steps: int, *,
         scores, tok0 = jax.lax.top_k(logp, K)  # (B, K)
 
     # One cache row per hypothesis: (B, ...) -> (B*K, ...).
-    cache = jax.tree.map(lambda c: jnp.repeat(c, K, axis=0), cache)
+    cache = fork_cache(cache, K)
 
     def step(carry, i):
         cache, tok, scores = carry  # tok/scores: (B, K)

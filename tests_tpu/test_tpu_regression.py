@@ -610,9 +610,10 @@ def test_flash_prefill_offsets_compiled(rng):
 
 
 def test_serving_decode_stack_on_tpu(rng):
-    """Serving smoke on hardware: int8 ring-buffer decode + flash
-    prefill + generate run compiled on the TPU and match the CPU-suite
-    semantics (step decode == full forward)."""
+    """Serving smoke on hardware: int8 ring-buffer decode + generate run
+    compiled on the TPU and match the CPU-suite semantics (step decode
+    == full forward). The flash-prefill kernel path is covered by
+    test_flash_prefill_offsets_compiled above."""
     import ku
     from ku.nn import generate
 
