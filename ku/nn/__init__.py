@@ -22,6 +22,7 @@ from ku.nn.style import (
 )
 from ku.nn.attention import (
     MultiHeadAttention,
+    apply_rope,
     SIMILARITY_TYPE_DIFF_ABS,
     SIMILARITY_TYPE_PLAIN,
     SIMILARITY_TYPE_SCALED,

@@ -45,6 +45,23 @@ _SIMILARITY_TYPES = (
 )
 
 
+def apply_rope(x, pos, base: float = 10000.0):
+    """Rotate head vectors by absolute positions (RoPE, GPT-NeoX
+    rotate-half convention): the first/second halves of each head dim
+    form 2-D planes rotated by pos·baseⁱ angles, so dot products depend
+    on relative position only. ``x``: (B, H, L, D) with D even;
+    ``pos``: (L,) shared or (B, L) per-row int positions."""
+    d = x.shape[-1]
+    half = d // 2
+    freq = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = pos[..., None].astype(jnp.float32) * freq
+    ang = ang[None, None] if ang.ndim == 2 else ang[:, None]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1).astype(x.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """MHA over ``inputs = [Q, K, V, M]`` (reference attention.py:19-160)."""
 
@@ -95,6 +112,15 @@ class MultiHeadAttention(nn.Module):
     # dequantize multiply fuses into the cache read. Composes with GQA,
     # the ring buffer, and prefill. None = cache in the K/V dtype.
     kv_cache_dtype: Optional[str] = None
+    # Rotary position embedding (RoPE, GPT-NeoX rotate-half convention):
+    # q/k head vectors are rotated by their ABSOLUTE positions before
+    # the dot product, making scores a function of relative position
+    # only. Pure preprocessing — composes with every path (dense, flash,
+    # block-sparse, decode: keys are rotated before caching, so cached
+    # pages never need re-rotation; the ring buffer keeps absolute
+    # rotations). Requires the scaled similarity and an even head dim.
+    rope: bool = False
+    rope_base: float = 10000.0
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -146,6 +172,9 @@ class MultiHeadAttention(nn.Module):
         if self.kv_cache_dtype not in (None, "int8"):
             raise ValueError("kv_cache_dtype must be None or 'int8', got "
                              f"{self.kv_cache_dtype!r}")
+        if self.rope and (self.similarity_type != SIMILARITY_TYPE_SCALED
+                          or self.use_mask):
+            raise ValueError("rope requires the scaled no-mask path")
         if prompt_lengths is not None:
             # Ragged (continuous-batching) prefill: per-sequence true
             # prompt lengths for a right-padded chunk — each sequence's
@@ -182,6 +211,18 @@ class MultiHeadAttention(nn.Module):
         q_h = split_heads(q @ w_q, d_k_h)
         k_h = split_heads(k @ w_k, d_k_h, hkv)
         v_h = split_heads(v @ w_v, d_v_h, hkv)
+
+        if self.rope:
+            if d_k_h % 2:
+                raise ValueError(f"rope needs an even head dim, got "
+                                 f"{d_k_h}")
+            if not decode:
+                # Self-attention positions 0..n-1 on both sides; the
+                # decode branch rotates by global cache positions below.
+                q_h = apply_rope(q_h, jnp.arange(q_h.shape[2]),
+                                 self.rope_base)
+                k_h = apply_rope(k_h, jnp.arange(k_h.shape[2]),
+                                 self.rope_base)
 
         if decode:
             # Autoregressive KV-cache serving. L == 1: append this token's
@@ -235,6 +276,13 @@ class MultiHeadAttention(nn.Module):
             # special case.
             ci = self.variable("cache", "cache_index",
                                lambda: jnp.zeros((bsz,), jnp.int32))
+            idx = ci.value  # (B,)
+            if self.rope:
+                # Rotate by GLOBAL positions BEFORE quantization/caching
+                # — cached pages then never need re-rotation.
+                gpos = idx[:, None] + jnp.arange(L)[None]
+                q_h = apply_rope(q_h, gpos, self.rope_base)
+                k_h = apply_rope(k_h, gpos, self.rope_base)
             if qdt:
                 ksc = self.variable("cache", "key_scale", jnp.zeros,
                                     (bsz, hkv, mx), jnp.float32)
@@ -272,7 +320,6 @@ class MultiHeadAttention(nn.Module):
 
                 def _read_v():
                     return cv.value
-            idx = ci.value  # (B,)
             group = h // hkv
             qg = q_h.reshape(bsz, hkv, group, L, d_k_h)
             # Per-sequence cache writes: vmap a dynamic_update_slice over

@@ -55,6 +55,9 @@ class Transformer(nn.Module):
     global_prefix: int = 0
     # 'int8' = quantized KV cache in decode (see MultiHeadAttention).
     kv_cache_dtype: str | None = None
+    # Rotary position embedding on q/k (see MultiHeadAttention.rope).
+    rope: bool = False
+    rope_base: float = 10000.0
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -75,6 +78,7 @@ class Transformer(nn.Module):
                 max_decode_len=self.max_decode_len,
                 global_prefix=self.global_prefix,
                 kv_cache_dtype=self.kv_cache_dtype,
+                rope=self.rope, rope_base=self.rope_base,
             )([y, y, y, m], deterministic=deterministic, decode=decode,
               segment_ids=segment_ids, block_mask=block_mask,
               prompt_lengths=prompt_lengths)

@@ -1016,3 +1016,102 @@ def test_mask_after_eos():
                                   [[3, 7, 0, 0, 0], [1, 1, 1, 1, 1],
                                    [7, 0, 0, 0, 0]])
     np.testing.assert_array_equal(np.asarray(lens), [2, 5, 1])
+
+
+def test_apply_rope_relative_shift_invariance(rng):
+    """RoPE's defining property: rotated dot products depend only on the
+    RELATIVE position — shifting both positions by s leaves every
+    q·k score unchanged."""
+    from ku.nn import apply_rope
+
+    q = jnp.asarray(rng.normal(size=(1, 2, 5, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2, 5, 8)).astype(np.float32))
+    pos = jnp.arange(5)
+    s0 = jnp.einsum("bhqd,bhkd->bhqk", apply_rope(q, pos),
+                    apply_rope(k, pos))
+    s7 = jnp.einsum("bhqd,bhkd->bhqk", apply_rope(q, pos + 7),
+                    apply_rope(k, pos + 7))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s7), rtol=1e-4,
+                               atol=1e-5)
+    # And it is NOT position-independent: mixing shifts changes scores.
+    s_mix = jnp.einsum("bhqd,bhkd->bhqk", apply_rope(q, pos),
+                       apply_rope(k, pos + 7))
+    assert np.abs(np.asarray(s_mix) - np.asarray(s0)).max() > 1e-3
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"max_decode_len": 23}, {"max_decode_len": 23, "kv_cache_dtype": "int8"},
+    {"window": 6, "global_prefix": 2},
+])
+def test_mha_rope_decode_matches_full(key, rng, kwargs):
+    """RoPE decode: rotate-before-cache reproduces the full rotated
+    forward through prefill + per-token steps — dense, int8, and ring
+    caches."""
+    b, t, dm, pre = 2, 13, 16, 5
+    tol = dict(rtol=5e-2, atol=5e-3) if "kv_cache_dtype" in kwargs \
+        else dict(rtol=1e-4, atol=1e-5)
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True, rope=True,
+                                  num_kv_head=1, **kwargs)
+    variables = layer.init(key, [x, x, x])
+    full = np.asarray(layer.apply(variables, [x, x, x]))
+
+    chunk = x[:, :pre]
+    y, cache = layer.apply(variables, [chunk, chunk, chunk], decode=True,
+                           mutable=["cache"])
+    outs = [np.asarray(y)]
+    for i in range(pre, t):
+        tok = x[:, i:i + 1]
+        y, cache = layer.apply(
+            {"params": variables["params"], **cache},
+            [tok, tok, tok], decode=True, mutable=["cache"])
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), full, **tol)
+
+
+def test_mha_rope_flash_matches_dense(key, rng):
+    """RoPE is pure preprocessing: the flash path (rotated q/k into the
+    unchanged kernel) == the dense rotated path."""
+    b, t, dm = 2, 40, 16
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    dense = ku.MultiHeadAttention(2, dm, 0.0, causal=True, rope=True)
+    flash = ku.MultiHeadAttention(2, dm, 0.0, causal=True, rope=True,
+                                  use_flash=True)
+    variables = dense.init(key, [x, x, x])
+    yd = dense.apply(variables, [x, x, x])
+    yf = flash.apply(variables, [x, x, x])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yd), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_transformer_rope_generate(key, rng):
+    """RoPE threads through Transformer and the generate loop (no
+    external position table needed — positions live in the rotation)."""
+    from ku.nn import generate
+
+    vocab, dm, b, p, steps = 9, 16, 2, 4, 5
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, rope=True,
+                           max_decode_len=p + steps)
+    embed = lambda i, pos=None: table[i]  # noqa: E731
+    readout = lambda y: y @ table.T  # noqa: E731
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, p)), jnp.int32)
+    params = block.init(key, [embed(ids)])["params"]
+
+    got = np.asarray(generate(block, params, ids, steps, embed=embed,
+                              readout=readout))
+    # Manual per-token decode oracle.
+    cache, y = {}, None
+    for i in range(p):
+        y, cache = block.apply({"params": params, **cache},
+                               [embed(ids[:, i:i + 1])], decode=True,
+                               mutable=["cache"])
+    tok = jnp.argmax(readout(y)[:, 0], axis=-1)
+    toks = []
+    for _ in range(steps):
+        toks.append(np.asarray(tok))
+        y, cache = block.apply({"params": params, **cache},
+                               [embed(tok[:, None])], decode=True,
+                               mutable=["cache"])
+        tok = jnp.argmax(readout(y)[:, 0], axis=-1)
+    np.testing.assert_array_equal(got, np.stack(toks, axis=1))
