@@ -112,6 +112,12 @@ class MultiHeadAttention(nn.Module):
     # dequantize multiply fuses into the cache read. Composes with GQA,
     # the ring buffer, and prefill. None = cache in the K/V dtype.
     kv_cache_dtype: Optional[str] = None
+    # Logit soft-capping (Gemma-2-style): scores become
+    # cap·tanh(score/cap) after scaling, before masking/softmax —
+    # bounded logits for training stability. Honored by the dense,
+    # flash (fwd + both Pallas backwards + XLA fallback), and all
+    # decode paths; block-sparse attention does not support it.
+    logit_softcap: Optional[float] = None
     # Rotary position embedding (RoPE, GPT-NeoX rotate-half convention):
     # q/k head vectors are rotated by their ABSOLUTE positions before
     # the dot product, making scores a function of relative position
@@ -121,6 +127,13 @@ class MultiHeadAttention(nn.Module):
     # rotations). Requires the scaled similarity and an even head dim.
     rope: bool = False
     rope_base: float = 10000.0
+
+    def _cap(self, s):
+        """cap·tanh(s/cap) when logit_softcap is set (identity otherwise);
+        applied after scaling, before masking."""
+        if self.logit_softcap is None:
+            return s
+        return self.logit_softcap * jnp.tanh(s / self.logit_softcap)
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -175,6 +188,14 @@ class MultiHeadAttention(nn.Module):
         if self.rope and (self.similarity_type != SIMILARITY_TYPE_SCALED
                           or self.use_mask):
             raise ValueError("rope requires the scaled no-mask path")
+        if self.logit_softcap is not None:
+            if (self.similarity_type != SIMILARITY_TYPE_SCALED
+                    or self.use_mask):
+                raise ValueError("logit_softcap requires the scaled "
+                                 "no-mask path")
+            if block_mask is not None:
+                raise ValueError("the block-sparse kernel has no "
+                                 "logit_softcap")
         if prompt_lengths is not None:
             # Ragged (continuous-batching) prefill: per-sequence true
             # prompt lengths for a right-padded chunk — each sequence's
@@ -352,7 +373,8 @@ class MultiHeadAttention(nn.Module):
 
                     head = flash_attention_pallas(
                         q_h, k_h, v_h, softmax_scale=1.0 / math.sqrt(d_k),
-                        causal=True, window=win)
+                        causal=True, window=win,
+                        logit_softcap=self.logit_softcap)
                 else:
                     q_pos = jnp.arange(L)[:, None]
                     k_pos = jnp.arange(L)[None, :]
@@ -360,6 +382,7 @@ class MultiHeadAttention(nn.Module):
                                                | (k_pos < gp))
                     s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, k_h
                                    ) / math.sqrt(d_k)
+                    s = self._cap(s)
                     s = jnp.where(keep[None, None, None], s, -1e30)
                     p = nn.softmax(s, axis=-1)
                     head = jnp.einsum("bhgqk,bhkd->bhgqd", p, v_h
@@ -411,13 +434,15 @@ class MultiHeadAttention(nn.Module):
                     head = flash_attention_pallas(
                         q_h, _read_k(), _read_v(),
                         softmax_scale=1.0 / math.sqrt(d_k),
-                        causal=True, q_offset=idx)
+                        causal=True, q_offset=idx,
+                        logit_softcap=self.logit_softcap)
                 else:
                     pos = jnp.arange(mx)[None, None, :]
                     keep = pos <= (idx[:, None, None]
                                    + jnp.arange(L)[None, :, None])
                     s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
                                    ) / math.sqrt(d_k)
+                    s = self._cap(s)
                     s = jnp.where(keep[:, None, None], s, -1e30)
                     p = nn.softmax(s, axis=-1)
                     head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
@@ -445,6 +470,7 @@ class MultiHeadAttention(nn.Module):
 
                 s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
                                ) / math.sqrt(d_k)
+                s = self._cap(s)
                 s = jnp.where(keep[:, None, None, None, :], s, -1e30)
                 p = nn.softmax(s, axis=-1)
                 head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
@@ -465,7 +491,8 @@ class MultiHeadAttention(nn.Module):
             head = flash_attention(q_h, k_h, v_h,
                                    softmax_scale=1.0 / math.sqrt(d_k),
                                    causal=self.causal, window=self.window,
-                                   segment_ids=segment_ids)
+                                   segment_ids=segment_ids,
+                                   logit_softcap=self.logit_softcap)
         else:
             if hkv != h:  # GQA on the dense path: materialize the repeat
                 k_h = jnp.repeat(k_h, h // hkv, axis=1)
@@ -474,7 +501,9 @@ class MultiHeadAttention(nn.Module):
                 scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h)
             elif self.similarity_type == SIMILARITY_TYPE_SCALED:
                 # Reference scales by √d_k (full model dim, :129), not √d_k_h.
-                scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h) / math.sqrt(d_k)
+                scores = self._cap(
+                    jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h)
+                    / math.sqrt(d_k))
             elif self.similarity_type == SIMILARITY_TYPE_GENERAL:
                 w_gen = self.param("W_gen_S", init, (d_k_h, d_k_h))
                 scores = jnp.einsum("bhqd,bhkd->bhqk", q_h, k_h @ w_gen)

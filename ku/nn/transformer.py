@@ -58,6 +58,8 @@ class Transformer(nn.Module):
     # Rotary position embedding on q/k (see MultiHeadAttention.rope).
     rope: bool = False
     rope_base: float = 10000.0
+    # Gemma-style logit soft-capping (see MultiHeadAttention).
+    logit_softcap: float | None = None
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -79,6 +81,7 @@ class Transformer(nn.Module):
                 global_prefix=self.global_prefix,
                 kv_cache_dtype=self.kv_cache_dtype,
                 rope=self.rope, rope_base=self.rope_base,
+                logit_softcap=self.logit_softcap,
             )([y, y, y, m], deterministic=deterministic, decode=decode,
               segment_ids=segment_ids, block_mask=block_mask,
               prompt_lengths=prompt_lengths)

@@ -152,7 +152,8 @@ def _first_k_block(q_start, window, block_k):
 
 
 def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
-                window=None, banded=False, segments=False):
+                window=None, banded=False, segments=False,
+                softcap=None):
     """Forward grid step, TRANSPOSED score layout: the slab lives as
     (BLOCK_K, BLOCK_Q) so the softmax max/sum are SUBLANE reductions and
     the per-query running stats are (1, BLOCK_Q) lane vectors whose
@@ -213,6 +214,10 @@ def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
             k_blk, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (BLOCK_K, BLOCK_Q) f32
+        if softcap is not None:
+            # Gemma-style logit soft-capping: bounded scores BEFORE
+            # masking (masks write past the cap on purpose).
+            s = softcap * jnp.tanh(s / softcap)
 
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
@@ -303,7 +308,8 @@ def _norm_segments(segment_ids, b, n, kn):
 
 
 def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
-                q_offset=None, k_offset=None, window=None, segment_ids=None):
+                q_offset=None, k_offset=None, window=None, segment_ids=None,
+                softcap=None):
     b, h, n, d = q.shape
     kn = k.shape[2]
     dv = v.shape[-1]
@@ -408,7 +414,8 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
         functools.partial(_fwd_kernel, scale=softmax_scale, kv_len=kn,
                           causal=causal, pad_mask=nk_pad != kn,
                           offsets=offsets, window=window, banded=banded,
-                          segments=segment_ids is not None),
+                          segments=segment_ids is not None,
+                          softcap=softcap),
         grid=grid,
         in_specs=off_specs + seg_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
@@ -454,7 +461,8 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
                            causal: bool = False,
                            window: int | None = None,
                            segment_ids=None,
-                           q_offset=None, k_offset=None):
+                           q_offset=None, k_offset=None,
+                           logit_softcap=None):
     """Streaming Pallas flash attention. q: (B, H, N, D), k/v: (B, H, KN, D).
     Sequence length is HBM-bounded (K/V blocks stream through the grid).
     ``window``: Mistral-style sliding window — each query attends to the
@@ -472,7 +480,8 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
         interpret = jax.default_backend() != "tpu"
     out, _ = _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal,
                          interpret, window=window, segment_ids=segment_ids,
-                         q_offset=q_offset, k_offset=k_offset)
+                         q_offset=q_offset, k_offset=k_offset,
+                         softcap=logit_softcap)
     return out
 
 
@@ -482,7 +491,8 @@ def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
 
 
 def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
-                   window=None, banded=False, segments=False):
+                   window=None, banded=False, segments=False,
+                   softcap=None):
     """dq grid step, transposed slabs (see _fwd_kernel): s/p/ds live as
     (BLOCK_K, BLOCK_Q) so the per-query lse/delta vectors are (1, BLOCK_Q)
     and broadcast across sublanes; dq accumulates row-major via the
@@ -527,6 +537,12 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
             k_blk, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (BLOCK_K, BLOCK_Q)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+            # d(cap·tanh(s/cap))/ds from the CAPPED value alone:
+            # tanh(s/cap) = s_cap/cap (compute before masking — the
+            # mask's -1e30 would square to inf; masked p is 0 anyway).
+            dcap = 1.0 - (s / softcap) ** 2
         s = _mask_scores(s, q_start, start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
                          block_k=block_k, q_off=q_off, k_off=k_off,
@@ -538,7 +554,10 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
             v_blk, do, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BLOCK_K, BLOCK_Q)
-        ds = (p * (dp - delta)).astype(k_blk.dtype)
+        ds = p * (dp - delta)
+        if softcap is not None:
+            ds = ds * dcap
+        ds = ds.astype(k_blk.dtype)
         dq_scr[:] = dq_scr[:] + scale * jax.lax.dot_general(
             ds, k_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -551,7 +570,7 @@ def _bwd_dq_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
 
 def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
                     q_pad_mask, offsets, window=None, banded=False,
-                    segments=False):
+                    segments=False, softcap=None):
     refs = list(refs)
     if offsets:
         q_off, k_off = refs.pop(0)[0, 0], refs.pop(0)[0, 0]
@@ -600,6 +619,9 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
             k_blk, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (BLOCK_K, BLOCK_Q)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+            dcap = 1.0 - (s / softcap) ** 2  # see _bwd_dq_kernel
         s = _mask_scores(s, q_start, k_start, kv_len=kv_len, causal=causal,
                          pad_mask=pad_mask, block_q=block_q,
                          block_k=block_k, q_off=q_off, k_off=k_off,
@@ -627,7 +649,10 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
             v_blk, do, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (BLOCK_K, BLOCK_Q)
-        ds = (p * (dp - delta)).astype(q.dtype)
+        ds = p * (dp - delta)
+        if softcap is not None:
+            ds = ds * dcap
+        ds = ds.astype(q.dtype)
         dk_scr[:] = dk_scr[:] + scale * jax.lax.dot_general(
             ds, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -640,7 +665,7 @@ def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, causal, pad_mask,
 
 
 def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
-                causal, interpret, q_offset=None, k_offset=None,
+                causal, interpret, softcap=None, q_offset=None, k_offset=None,
                 window=None, segment_ids=None):
     b, h, n, d = q.shape
     kn = k.shape[2]
@@ -764,7 +789,8 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
         functools.partial(_bwd_dq_kernel, scale=softmax_scale, kv_len=kn,
                           causal=causal, pad_mask=nk_pad != kn,
                           offsets=offsets, window=window, banded=banded,
-                          segments=segment_ids is not None),
+                          segments=segment_ids is not None,
+                          softcap=softcap),
         grid=(b * h, nqb, w_blocks),
         in_specs=off_specs + seg_dq_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),
@@ -796,7 +822,8 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
                           q_len=n, causal=causal, pad_mask=nk_pad != kn,
                           q_pad_mask=nq_pad != n, offsets=offsets,
                           window=window, banded=banded,
-                          segments=segment_ids is not None),
+                          segments=segment_ids is not None,
+                          softcap=softcap),
         grid=(b * h, nkb, wq_blocks),
         in_specs=off_specs + seg_dkv_specs + [
             pl.BlockSpec((1, block_q, d),
@@ -860,11 +887,12 @@ def _bwd_pallas(q, k, v, o, lse, do, softmax_scale, block_q, block_k,
 
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "block_size", "causal",
-                              "window")
+                              "window", "logit_softcap")
 )
 def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
                         block_size: int = 512, causal: bool = False,
-                        window: int | None = None, segment_ids=None):
+                        window: int | None = None, segment_ids=None,
+                        logit_softcap: float | None = None):
     """Blockwise online-softmax attention in pure XLA (lax.scan) — the
     portable fallback with the same O(N·block) memory profile. ``window``:
     sliding-window causal attention; ``segment_ids``: packed-sequence
@@ -905,6 +933,8 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
         m, l, acc = carry
         k_i, v_i, valid_i, key_pos_i, seg_k_i = blk
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_i) * softmax_scale
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s / logit_softcap)
         # Masks use finite _NEG_INF, not -inf: a sliding window can fully
         # mask EARLY key blocks while the running max is still -inf, and
         # exp(-inf - -inf) = NaN; with -1e30 the block contributes p = 1
@@ -951,60 +981,66 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _flash_dispatch(q, k, v, seg_q, seg_k, softmax_scale, causal, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_dispatch(q, k, v, seg_q, seg_k, softmax_scale, causal, window,
+                    softcap):
     segs = None if seg_q is None else (seg_q, seg_k)
     if jax.default_backend() == "tpu":
         return flash_attention_pallas(q, k, v, softmax_scale=softmax_scale,
                                       causal=causal, window=window,
-                                      segment_ids=segs)
+                                      segment_ids=segs,
+                                      logit_softcap=softcap)
     return flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
                                causal=causal, window=window,
-                               segment_ids=segs)
+                               segment_ids=segs, logit_softcap=softcap)
 
 
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "causal", "window",
-                              "interpret")
+                              "interpret", "softcap")
 )
-def _fwd_with_lse(q, k, v, segs, softmax_scale, causal, window, interpret):
+def _fwd_with_lse(q, k, v, segs, softmax_scale, causal, window, interpret,
+                  softcap=None):
     return _fwd_pallas(q, k, v, softmax_scale, None, None, causal, interpret,
-                       window=window, segment_ids=segs)
+                       window=window, segment_ids=segs, softcap=softcap)
 
 
 @functools.partial(
     jax.jit, static_argnames=("softmax_scale", "causal", "window",
-                              "interpret")
+                              "interpret", "softcap")
 )
 def _bwd_jit(q, k, v, o, lse, do, segs, softmax_scale, causal, window,
-             interpret):
+             interpret, softcap=None):
     return _bwd_pallas(q, k, v, o, lse, do, softmax_scale, None, None,
-                       causal, interpret, window=window, segment_ids=segs)
+                       causal, interpret, window=window, segment_ids=segs,
+                       softcap=softcap)
 
 
-def _flash_fwd(q, k, v, seg_q, seg_k, softmax_scale, causal, window):
+def _flash_fwd(q, k, v, seg_q, seg_k, softmax_scale, causal, window,
+               softcap):
     segs = None if seg_q is None else (seg_q, seg_k)
     if jax.default_backend() == "tpu":
         o, lse = _fwd_with_lse(q, k, v, segs, softmax_scale, causal, window,
-                               False)
+                               False, softcap)
         return o, (q, k, v, segs, o, lse)
     o = flash_attention_xla(q, k, v, softmax_scale=softmax_scale,
-                            causal=causal, window=window, segment_ids=segs)
+                            causal=causal, window=window, segment_ids=segs,
+                            logit_softcap=softcap)
     return o, (q, k, v, segs, None, None)
 
 
-def _flash_bwd(softmax_scale, causal, window, residuals, g):
+def _flash_bwd(softmax_scale, causal, window, softcap, residuals, g):
     q, k, v, segs, o, lse = residuals
     if o is not None and jax.default_backend() == "tpu":
         # Pallas backward: recompute p per block from the saved LSE — no
         # N² matrix, no full-graph recompute.
         dq, dk, dv = _bwd_jit(q, k, v, o, lse, g, segs, softmax_scale,
-                              causal, window, False)
+                              causal, window, False, softcap)
     else:
         _, vjp = jax.vjp(
             lambda qq, kk, vv: flash_attention_xla(
                 qq, kk, vv, softmax_scale=softmax_scale, causal=causal,
-                window=window, segment_ids=segs
+                window=window, segment_ids=segs, logit_softcap=softcap
             ),
             q, k, v,
         )
@@ -1017,7 +1053,7 @@ _flash_dispatch.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, softmax_scale: float = 1.0,
                     causal: bool = False, window: int | None = None,
-                    segment_ids=None):
+                    segment_ids=None, logit_softcap: float | None = None):
     """Dispatch: streaming Pallas kernels (fwd AND bwd) on TPU, XLA
     blockwise elsewhere. Differentiable. ``window``: sliding-window causal
     attention — each query sees the ``window`` most recent positions
@@ -1028,7 +1064,7 @@ def flash_attention(q, k, v, softmax_scale: float = 1.0,
     segs = _norm_segments(segment_ids, q.shape[0], q.shape[2], k.shape[2])
     seg_q, seg_k = segs if segs is not None else (None, None)
     return _flash_dispatch(q, k, v, seg_q, seg_k, softmax_scale, causal,
-                           window)
+                           window, logit_softcap)
 
 
 # ---------------------------------------------------------------------------

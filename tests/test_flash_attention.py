@@ -781,3 +781,73 @@ def test_flash_pallas_per_batch_q_offset(rng):
     p /= p.sum(-1, keepdims=True)
     ref = np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v))
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_kernels_logit_softcap_parity(rng, causal):
+    """Soft-capped flash kernels (fwd + dq/dkv from saved LSE) == the
+    dense cap·tanh oracle and its autodiff grads — the backward's
+    chain-rule factor is reconstructed from the capped score alone."""
+    import jax
+    import jax.numpy as jnp
+
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    b, h, n, d, cap = 1, 2, 40, 8, 3.0
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+
+    o, lse = _fwd_pallas(q, k, v, 0.5, 16, 16, causal, True, softcap=cap)
+    dq, dk, dv = _bwd_pallas(q, k, v, o, lse, g, 0.5, 16, 16, causal,
+                             True, softcap=cap)
+
+    def dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.5
+        s = cap * jnp.tanh(s / cap)
+        if causal:
+            keep = jnp.arange(n)[None, :] <= jnp.arange(n)[:, None]
+            s = jnp.where(keep[None, None], s, -jnp.inf)
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+    np.testing.assert_allclose(np.asarray(o), np.asarray(dense(q, k, v)),
+                               rtol=2e-4, atol=2e-5)
+    gd = jax.grad(lambda q, k, v: jnp.sum(dense(q, k, v) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_flash_dispatch_softcap_grads(rng):
+    """The differentiable dispatcher threads logit_softcap (XLA fallback
+    on CPU): value + grads == dense capped oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from ku.pallas.flash_attention import flash_attention
+
+    b, h, n, d, cap = 2, 2, 24, 8, 5.0
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, softmax_scale=0.3,
+                                       causal=True, logit_softcap=cap) ** 2)
+
+    def loss_dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * 0.3
+        s = cap * jnp.tanh(s / cap)
+        keep = jnp.arange(n)[None, :] <= jnp.arange(n)[:, None]
+        s = jnp.where(keep[None, None], s, -jnp.inf)
+        return jnp.sum(
+            jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v) ** 2)
+
+    v1, g1 = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    v2, g2 = jax.value_and_grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-4)

@@ -1115,3 +1115,56 @@ def test_transformer_rope_generate(key, rng):
                                mutable=["cache"])
         tok = jnp.argmax(readout(y)[:, 0], axis=-1)
     np.testing.assert_array_equal(got, np.stack(toks, axis=1))
+
+
+def test_mha_logit_softcap_oracle_and_paths(key, rng):
+    """logit_softcap: dense path == numpy tanh-cap oracle; flash path ==
+    dense; decode (prefill + steps, int8 ring too) == full forward."""
+    b, t, dm, cap = 2, 12, 16, 4.0
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+
+    dense = ku.MultiHeadAttention(2, dm, 0.0, causal=False,
+                                  logit_softcap=cap)
+    variables = dense.init(key, [x, x, x])
+    y = np.asarray(dense.apply(variables, [x, x, x]))
+
+    # Numpy oracle through the same projections.
+    p = variables["params"]
+    qh = (np.asarray(x) @ np.asarray(p["W_Q"])).reshape(b, t, 2, 8)
+    kh = (np.asarray(x) @ np.asarray(p["W_K"])).reshape(b, t, 2, 8)
+    vh = (np.asarray(x) @ np.asarray(p["W_V"])).reshape(b, t, 2, 8)
+    s = np.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(dm)
+    s = cap * np.tanh(s / cap)
+    e = np.exp(s - s.max(-1, keepdims=True))
+    pr = e / e.sum(-1, keepdims=True)
+    head = np.einsum("bhqk,bkhd->bqhd", pr, vh).reshape(b, t, dm)
+    expected = head @ np.asarray(p["W_multi_head"])
+    np.testing.assert_allclose(y, expected, rtol=2e-4, atol=2e-5)
+
+    # Flash == dense (causal; XLA-fallback dispatch on CPU).
+    dc = ku.MultiHeadAttention(2, dm, 0.0, causal=True, logit_softcap=cap)
+    fc = ku.MultiHeadAttention(2, dm, 0.0, causal=True, logit_softcap=cap,
+                               use_flash=True)
+    vc = dc.init(key, [x, x, x])
+    np.testing.assert_allclose(np.asarray(fc.apply(vc, [x, x, x])),
+                               np.asarray(dc.apply(vc, [x, x, x])),
+                               rtol=2e-4, atol=2e-5)
+
+    # Decode (prefill + per-token, int8 ring) == full forward.
+    ring = ku.MultiHeadAttention(2, dm, 0.0, causal=True, window=5,
+                                 global_prefix=1, kv_cache_dtype="int8",
+                                 logit_softcap=cap)
+    vr = ring.init(key, [x, x, x])
+    full = np.asarray(ring.apply(vr, [x, x, x]))
+    chunk = x[:, :4]
+    yy, cache = ring.apply(vr, [chunk, chunk, chunk], decode=True,
+                           mutable=["cache"])
+    outs = [np.asarray(yy)]
+    for i in range(4, t):
+        tok = x[:, i:i + 1]
+        yy, cache = ring.apply({"params": vr["params"], **cache},
+                               [tok, tok, tok], decode=True,
+                               mutable=["cache"])
+        outs.append(np.asarray(yy))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), full,
+                               rtol=5e-2, atol=5e-3)
