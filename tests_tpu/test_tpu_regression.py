@@ -644,3 +644,38 @@ def test_serving_decode_stack_on_tpu(rng):
                               embed=lambda i, p=None: table[i],
                               readout=lambda y: y @ table.T))
     assert out.shape == (b, 8) and (out >= 0).all() and (out < vocab).all()
+
+
+def test_flash_softcap_compiled(rng):
+    """Compiled logit-softcap flash kernels (tanh in the score slab +
+    chain-factor backward): fwd + both backwards vs the dense capped
+    oracle."""
+    from ku.pallas.flash_attention import _bwd_pallas, _fwd_pallas
+
+    b, h, n, d, cap = 1, 2, 256, 64, 4.0
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32)) * 0.3
+    g = jnp.asarray(rng.normal(size=(b, h, n, d)).astype(np.float32))
+
+    o, lse = jax.jit(lambda q, k, v: _fwd_pallas(
+        q, k, v, scale, None, None, True, False, softcap=cap))(q, k, v)
+    dq, dk, dv = jax.jit(lambda *a: _bwd_pallas(
+        *a, scale, None, None, True, False, softcap=cap))(
+        q, k, v, o, lse, g)
+
+    def dense(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        s = cap * jnp.tanh(s / cap)
+        keep = jnp.arange(n)[None, :] <= jnp.arange(n)[:, None]
+        s = jnp.where(keep[None, None], s, -jnp.inf)
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+    np.testing.assert_allclose(np.asarray(o), np.asarray(dense(q, k, v)),
+                               rtol=2e-2, atol=2e-3)
+    gd = jax.grad(lambda q, k, v: jnp.sum(dense(q, k, v) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-3, err_msg=name)
