@@ -52,6 +52,12 @@ def apply_rope(x, pos, base: float = 10000.0):
     on relative position only. ``x``: (B, H, L, D) with D even;
     ``pos``: (L,) shared or (B, L) per-row int positions."""
     d = x.shape[-1]
+    if d % 2:
+        raise ValueError(f"rope needs an even head dim, got {d}")
+    pos = jnp.asarray(pos)
+    if pos.ndim not in (1, 2):
+        raise ValueError(f"pos must be (L,) or (B, L), got shape "
+                         f"{pos.shape}")
     half = d // 2
     freq = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
     ang = pos[..., None].astype(jnp.float32) * freq
@@ -189,6 +195,9 @@ class MultiHeadAttention(nn.Module):
                           or self.use_mask):
             raise ValueError("rope requires the scaled no-mask path")
         if self.logit_softcap is not None:
+            if self.logit_softcap <= 0.0:
+                raise ValueError("logit_softcap must be positive, got "
+                                 f"{self.logit_softcap}")
             if (self.similarity_type != SIMILARITY_TYPE_SCALED
                     or self.use_mask):
                 raise ValueError("logit_softcap requires the scaled "

@@ -452,7 +452,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
 @functools.partial(
     jax.jit,
     static_argnames=("softmax_scale", "block_q", "block_k", "interpret",
-                     "causal", "window"),
+                     "causal", "window", "logit_softcap"),
 )
 def flash_attention_pallas(q, k, v, softmax_scale: float = 1.0,
                            block_q: int | None = None,

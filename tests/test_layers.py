@@ -1168,3 +1168,39 @@ def test_mha_logit_softcap_oracle_and_paths(key, rng):
         outs.append(np.asarray(yy))
     np.testing.assert_allclose(np.concatenate(outs, axis=1), full,
                                rtol=5e-2, atol=5e-3)
+
+
+def test_mha_flash_softcap_prefill_regression(key, rng):
+    """use_flash + logit_softcap through the jitted public kernel wrapper
+    (prefill decode path) — regression for the static_argnames omission
+    that made the float cap a tracer captured by the kernel closure."""
+    b, t, dm, pre, cap = 2, 10, 16, 6, 4.0
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, use_flash=True,
+                                  logit_softcap=cap)
+    variables = layer.init(key, [x, x, x])
+    full = np.asarray(layer.apply(variables, [x, x, x]))
+    chunk = x[:, :pre]
+    y, cache = layer.apply(variables, [chunk, chunk, chunk], decode=True,
+                           mutable=["cache"])
+    outs = [np.asarray(y)]
+    for i in range(pre, t):
+        tok = x[:, i:i + 1]
+        y, cache = layer.apply({"params": variables["params"], **cache},
+                               [tok, tok, tok], decode=True,
+                               mutable=["cache"])
+        outs.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), full,
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_softcap_and_rope_validation(key, rng):
+    x = jnp.zeros((1, 4, 8))
+    with pytest.raises(ValueError, match="positive"):
+        ku.MultiHeadAttention(2, 8, logit_softcap=0.0).init(key, [x, x, x])
+    from ku.nn import apply_rope
+    with pytest.raises(ValueError, match="even head dim"):
+        apply_rope(jnp.zeros((1, 2, 4, 7)), jnp.arange(4))
+    with pytest.raises(ValueError, match="pos must be"):
+        apply_rope(jnp.zeros((1, 2, 4, 8)), jnp.int32(3))
