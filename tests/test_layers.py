@@ -1204,3 +1204,49 @@ def test_softcap_and_rope_validation(key, rng):
         apply_rope(jnp.zeros((1, 2, 4, 7)), jnp.arange(4))
     with pytest.raises(ValueError, match="pos must be"):
         apply_rope(jnp.zeros((1, 2, 4, 8)), jnp.int32(3))
+
+
+def test_decode_config_sweep_matches_full(key):
+    """Randomized combination sweep over the serving-config space (GQA ×
+    ring/sinks × int8 × RoPE × softcap × prefill chunking): per-token
+    decode after an optional prefill must reproduce the full forward for
+    EVERY sampled combination — the pairwise interactions no individual
+    test covers."""
+    srng = np.random.default_rng(2026)
+    b, t, dm = 2, 11, 16
+    for trial in range(10):
+        hkv = int(srng.choice([1, 2]))
+        ring = bool(srng.integers(0, 2))
+        kw = dict(window=int(srng.integers(3, 7)),
+                  global_prefix=int(srng.integers(0, 3))) if ring else \
+            dict(max_decode_len=t)
+        qdt = "int8" if srng.integers(0, 2) else None
+        rope = bool(srng.integers(0, 2))
+        cap = float(srng.choice([0.0, 4.0, 30.0])) or None
+        pre = int(srng.integers(1, 7))  # 1 = pure per-token decode
+        x = jnp.asarray(srng.normal(size=(b, t, dm)).astype(np.float32))
+        layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                      num_kv_head=hkv,
+                                      kv_cache_dtype=qdt, rope=rope,
+                                      logit_softcap=cap, **kw)
+        msg = (f"trial {trial}: hkv={hkv} ring={ring} kw={kw} qdt={qdt} "
+               f"rope={rope} cap={cap} pre={pre}")
+        variables = layer.init(key, [x, x, x])
+        full = np.asarray(layer.apply(variables, [x, x, x]))
+        cache, outs, i = {}, [], 0
+        if pre > 1:
+            chunk = x[:, :pre]
+            y, cache = layer.apply(variables, [chunk, chunk, chunk],
+                                   decode=True, mutable=["cache"])
+            outs.append(np.asarray(y))
+            i = pre
+        for j in range(i, t):
+            tok = x[:, j:j + 1]
+            y, cache = layer.apply(
+                {"params": variables["params"], **cache},
+                [tok, tok, tok], decode=True, mutable=["cache"])
+            outs.append(np.asarray(y))
+        tol = dict(rtol=6e-2, atol=6e-3) if qdt else dict(rtol=2e-4,
+                                                          atol=2e-5)
+        np.testing.assert_allclose(np.concatenate(outs, axis=1), full,
+                                   err_msg=msg, **tol)
