@@ -60,7 +60,7 @@ class LMCore(nn.Module):
     kv_cache_dtype: str | None = None
 
     @nn.compact
-    def __call__(self, xs, decode: bool = False):
+    def __call__(self, xs, decode: bool = False, prompt_lengths=None):
         x = xs[0]
         for i in range(self.num_blocks):
             x = Transformer(
@@ -68,7 +68,7 @@ class LMCore(nn.Module):
                 dropout_rate=0.0, causal=True, use_flash=self.use_flash,
                 max_decode_len=self.max_decode_len,
                 kv_cache_dtype=self.kv_cache_dtype, name=f"block_{i}",
-            )([x], decode=decode)
+            )([x], decode=decode, prompt_lengths=prompt_lengths)
         return x
 
 
@@ -205,6 +205,36 @@ def main():
     exact = bool((spec == gen).all())
     print(f"speculative decoding: greedy-exact={exact}, mean accepted "
           f"{float(np.asarray(accepted).mean()):.2f}/gamma+1=4 per round")
+
+    # ---- Continuous batching: a ragged request stream served through a
+    # fixed slot pool (slots recycle as sequences finish) ----
+    from ku.nn import ContinuousBatcher
+
+    chunk = 8
+    cb_core = LMCore(int(arch["d_model"]), int(arch["num_head"]),
+                     int(arch.get("num_blocks", 2)),
+                     max_decode_len=seq_len + chunk,
+                     kv_cache_dtype=arch.get("kv_cache_dtype"))
+    nreq = 64
+    plens = np.random.default_rng(3).integers(period, prompt_len + 1,
+                                              size=nreq)
+    reqs = [test[i, :p].astype(np.int32) for i, p in enumerate(plens)]
+    buds = [int(seq_len - p) for p in plens]
+    cb = ContinuousBatcher(cb_core, params["core"], embed=t_emb,
+                           readout=t_read, num_slots=8,
+                           prompt_len=prompt_len, chunk=chunk,
+                           max_decode_len=seq_len + chunk)
+    t0 = time.time()
+    outs = cb.serve(reqs, buds)
+    dt = time.time() - t0
+    ok = sum((out == test[i, p:p + b]).sum()
+             for i, (out, p, b) in enumerate(zip(outs, plens, buds)))
+    tot = sum(buds)
+    st = cb.last_stats
+    print(f"continuous batching: {nreq} ragged requests / 8 slots, "
+          f"accuracy {ok / tot:.4f}, {tot / dt:.0f} tokens/sec "
+          f"({st['admission_events']} admissions, {st['chunks']} chunks, "
+          f"{st['wasted_slot_steps']} wasted slot-steps)")
     return acc
 
 

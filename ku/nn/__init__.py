@@ -35,3 +35,4 @@ from ku.nn.dense_composite import DenseBatchNormalization
 from ku.nn.gnn import GraphConvolutionNetwork
 from ku.nn.decoding import (generate, greedy, make_sampler, beam_search,
                             speculative_generate, fork_cache, mask_after_eos)
+from ku.nn.serving import ContinuousBatcher

@@ -1,0 +1,129 @@
+"""Continuous batching (ku/nn/serving.py): slot-pool scheduling over the
+KV-cache protocol must be output-equivalent to per-request generate().
+
+Reference analogue: none — the reference has no serving path; these
+tests hold the scheduler to the exactness bar of the rest of the serving
+stack (tests/test_layers.py decode/prefill/ragged suites)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ku
+from ku.nn import generate
+from ku.nn.serving import ContinuousBatcher
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(0)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _lm(key, rng, vocab=11, dm=8, max_decode_len=32, **mha):
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True,
+                           max_decode_len=max_decode_len, **mha)
+    embed = lambda ids, pos=None: table[ids]
+    readout = lambda y: y @ table.T
+    ids0 = jnp.zeros((1, 2), jnp.int32)
+    params = block.init(key, [embed(ids0)])["params"]
+    return block, params, embed, readout, vocab
+
+
+@pytest.mark.parametrize("qdt", [None, "int8"])
+def test_continuous_batcher_matches_generate(key, rng, qdt):
+    """A 2-slot batcher serving 5 ragged requests (chunk 3) emits, per
+    request, exactly the greedy tokens batch-1 generate() emits — slot
+    recycling, dummy-row admission, and dead-row decode never leak
+    across rows."""
+    block, params, embed, readout, vocab = _lm(
+        key, rng, max_decode_len=32, kv_cache_dtype=qdt)
+
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (3, 1, 4, 2, 4)]
+    budgets = [6, 9, 4, 7, 5]
+
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=32,
+                           chunk=3)
+    got = cb.serve(prompts, budgets)
+
+    for pr, budget, out in zip(prompts, budgets, got):
+        want = np.asarray(generate(block, params, jnp.asarray(pr)[None],
+                                   budget, embed=embed, readout=readout))
+        np.testing.assert_array_equal(out, want[0])
+
+    # 5 requests through 2 slots ⇒ slots were actually recycled.
+    assert cb.last_stats["admission_events"] >= 3
+    assert cb.last_stats["decoded_tokens"] == sum(budgets)
+
+
+def test_continuous_batcher_eos(key, rng):
+    """eos_id truncates each sequence at its first EOS (inclusive) and
+    frees the slot — outputs are prefixes of the no-EOS run (greedy
+    decode is schedule-independent)."""
+    block, params, embed, readout, vocab = _lm(key, rng)
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (2, 3, 4)]
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=32,
+                           chunk=2)
+    full = cb.serve(prompts, 8)
+    # Pick an EOS id that actually occurs mid-stream in some output.
+    eos = next(int(t) for out in full for t in out[1:-1])
+
+    cb2 = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                            num_slots=2, prompt_len=4, max_decode_len=32,
+                            chunk=2, eos_id=eos)
+    cut = cb2.serve(prompts, 8)
+    hit = 0
+    for f, c in zip(full, cut):
+        f, c = np.asarray(f), np.asarray(c)
+        if eos in f:
+            stop = int(np.flatnonzero(f == eos)[0])
+            np.testing.assert_array_equal(c, f[:stop + 1])
+            hit += 1
+        else:
+            np.testing.assert_array_equal(c, f)
+    assert hit >= 1
+
+
+def test_continuous_batcher_guards(key, rng):
+    block, params, embed, readout, vocab = _lm(key, rng)
+    mk = lambda **kw: ContinuousBatcher(
+        block, params, embed=embed, readout=readout, num_slots=2,
+        prompt_len=4, max_decode_len=32, **kw)
+    with pytest.raises(ValueError, match="prompt_len"):
+        ContinuousBatcher(block, params, embed=embed, readout=readout,
+                          num_slots=2, prompt_len=1, max_decode_len=32)
+    cb = mk()
+    with pytest.raises(ValueError, match="outside"):
+        cb.serve([np.zeros(5, np.int32)], 4)  # prompt > prompt_len
+    with pytest.raises(ValueError, match="overruns"):
+        cb.serve([np.zeros(2, np.int32)], 40)  # budget past the page
+    with pytest.raises(ValueError, match="match"):
+        cb.serve([np.zeros(2, np.int32)], [1, 2])
+
+
+def test_continuous_batcher_stochastic_in_vocab(key, rng):
+    """Temperature sampling serves end-to-end; tokens stay in-vocab and
+    per-request budgets are honored."""
+    from ku.nn import make_sampler
+
+    block, params, embed, readout, vocab = _lm(key, rng)
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=3, prompt_len=3, max_decode_len=32,
+                           chunk=4, sampler=make_sampler(1.0, top_k=5),
+                           rng=jax.random.key(11))
+    prompts = [rng.integers(0, vocab, size=(2,)).astype(np.int32)
+               for _ in range(4)]
+    outs = cb.serve(prompts, [5, 3, 6, 4])
+    for out, b in zip(outs, [5, 3, 6, 4]):
+        assert out.shape == (b,)
+        assert out.min() >= 0 and out.max() < vocab
