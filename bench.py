@@ -172,6 +172,19 @@ def sparse_throughput():
         q, k, v, s_hi=16)
 
 
+def decode_throughput():
+    """Serving gate: KV-cache decode tokens/sec on the standard
+    benchmarks/decode_bench.py conf (2 blocks, d_model 512, GQA 8/2,
+    batch 8, T=512, whole loop one lax.scan dispatch, best-of-4)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    try:
+        import decode_bench
+    finally:
+        sys.path.pop(0)
+    return decode_bench.run(512, "dense")["decode_tokens_per_sec"]
+
+
 def _await_tpu(attempts: int = 3, wait_s: int = 60) -> bool:
     """Probe TPU init in a SUBPROCESS (an in-process failed backend init
     is cached by jax) with retries — the axon tunnel flaps; a transient
@@ -301,6 +314,11 @@ def main():
             record["sparse_64k_sink_fwd_ms"] = round(sparse_throughput(), 2)
         except Exception as e:
             record["sparse_error"] = repr(e)[:200]
+        # Serving gate (round-3): KV-cache decode loop, one-scan dispatch.
+        try:
+            record["decode_tokens_per_sec"] = round(decode_throughput(), 1)
+        except Exception as e:
+            record["decode_error"] = repr(e)[:200]
     if not on_tpu:
         record["backend"] = "cpu_fallback_tpu_unavailable"
     print(json.dumps(record))

@@ -65,8 +65,14 @@ def main():
     # t_tokens (unbounded decode at constant memory), vs the dense
     # cache's t_tokens slots.
     mode = sys.argv[2] if len(sys.argv) > 2 else "dense"
-    ring = mode == "ring"
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(json.dumps(run(t_tokens, mode)))
+
+
+def run(t_tokens: int, mode: str = "dense") -> dict:
+    """Measure one decode/prefill configuration; returns the record dict
+    (importable — bench.py's serving gate reuses this)."""
+    ring = mode == "ring"
     rng = np.random.default_rng(0)
     model = build(t_tokens, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
@@ -101,13 +107,12 @@ def main():
             _ = np.asarray(prefill_chain(params, cache0, xp,
                                          jnp.float32(1e-6 * (i + 1))))
             best = min(best, time.perf_counter() - t0)
-        print(json.dumps({
+        return {
             "prefill_tokens_per_sec": round(BATCH * t_tokens * S / best, 1),
             "ms_per_prompt": round(best * 1e3 / S, 4), "mode": mode,
             "batch": BATCH, "t": t_tokens, "d_model": D_MODEL,
             "heads": HEADS, "kv_heads": KV_HEADS, "blocks": BLOCKS,
-        }))
-        return
+        }
 
     @jax.jit
     def decode_chain(params, cache0, x0, salt):
@@ -140,7 +145,7 @@ def main():
         out["cache_slots_per_layer"] = 512 + 32
     if mode != "dense":
         out["mode"] = mode
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
