@@ -58,6 +58,8 @@ class LMCore(nn.Module):
     max_decode_len: int = 32
     use_flash: bool = False
     kv_cache_dtype: str | None = None
+    kv_page_size: int | None = None
+    kv_num_pages: int | None = None
 
     @nn.compact
     def __call__(self, xs, decode: bool = False, prompt_lengths=None):
@@ -67,7 +69,9 @@ class LMCore(nn.Module):
                 num_head=self.num_head, d_output=self.d_model,
                 dropout_rate=0.0, causal=True, use_flash=self.use_flash,
                 max_decode_len=self.max_decode_len,
-                kv_cache_dtype=self.kv_cache_dtype, name=f"block_{i}",
+                kv_cache_dtype=self.kv_cache_dtype,
+                kv_page_size=self.kv_page_size,
+                kv_num_pages=self.kv_num_pages, name=f"block_{i}",
             )([x], decode=decode, prompt_lengths=prompt_lengths)
         return x
 
@@ -235,6 +239,30 @@ def main():
           f"accuracy {ok / tot:.4f}, {tot / dt:.0f} tokens/sec "
           f"({st['admission_events']} admissions, {st['chunks']} chunks, "
           f"{st['wasted_slot_steps']} wasted slot-steps)")
+
+    # ---- Paged KV cache: same workload, KV memory as a page POOL at
+    # ~60% of the dense-equivalent footprint (vLLM-style block tables;
+    # admission defers when the pool is exhausted, pages recycle) ----
+    mdl = seq_len + chunk
+    pg = 8
+    mp = -(-mdl // pg)
+    pool = 1 + int(0.6 * 8 * mp)
+    paged_core = LMCore(int(arch["d_model"]), int(arch["num_head"]),
+                        int(arch.get("num_blocks", 2)),
+                        max_decode_len=mdl, kv_page_size=pg,
+                        kv_num_pages=pool)
+    cbp = ContinuousBatcher(paged_core, params["core"], embed=t_emb,
+                            readout=t_read, num_slots=8,
+                            prompt_len=prompt_len, chunk=chunk,
+                            max_decode_len=mdl)
+    outs_p = cbp.serve(reqs, buds)
+    ok_p = sum((out == test[i, p:p + b]).sum()
+               for i, (out, p, b) in enumerate(zip(outs_p, plens, buds)))
+    stp = cbp.last_stats
+    print(f"paged continuous batching: pool {pool - 1}/{8 * mp} pages "
+          f"(page {pg}), accuracy {ok_p / tot:.4f}, peak in use "
+          f"{stp['peak_pages_in_use']}, {stp['admission_events']} "
+          f"admissions")
     return acc
 
 

@@ -196,8 +196,18 @@ def shard_decode_state(params, cache, mesh, model_axis: str = "model",
         if name in ("key_scale", "value_scale") and nd == 3 \
                 and leaf.shape[1] % tp == 0:
             return P(da, model_axis, None)
+        # Paged pools: axis 0 is PAGES (shared across rows), never the
+        # batch — shard the head axis over TP, replicate across data
+        # (each data shard keeps the whole pool; the per-row tables are
+        # what shard by batch).
+        if name in ("pages_k", "pages_v") and nd == 4:
+            return (P(None, model_axis, None, None)
+                    if leaf.shape[1] % tp == 0 else P())
+        if name in ("key_scale_pages", "value_scale_pages") and nd == 3:
+            return (P(None, model_axis, None)
+                    if leaf.shape[1] % tp == 0 else P())
         if da is not None and nd >= 1:
-            return P(da)  # cache_index (B,), cache_pos (B, mx)
+            return P(da)  # cache_index (B,), page_table/cache_pos (B, m)
         return P()
 
     params = jax.tree_util.tree_map_with_path(

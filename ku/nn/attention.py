@@ -118,6 +118,24 @@ class MultiHeadAttention(nn.Module):
     # dequantize multiply fuses into the cache read. Composes with GQA,
     # the ring buffer, and prefill. None = cache in the K/V dtype.
     kv_cache_dtype: Optional[str] = None
+    # PAGED KV cache (vLLM-style block tables, TPU-native): with
+    # kv_page_size=P the decode cache becomes a POOL of fixed-size pages
+    # (kv_num_pages, H_kv, P, head_dim) shared by every sequence, and
+    # each sequence reads/writes its slots THROUGH a per-row page table
+    # ((B, ceil(max_decode_len/P)) int32 page ids in the 'cache'
+    # collection). Defaults reproduce dense semantics exactly: the table
+    # initializes to the identity layout (row b owns pages b·mp..b·mp+mp-1)
+    # and kv_num_pages defaults to B·mp. A serving scheduler
+    # (ku.nn.ContinuousBatcher) can instead size the pool by EXPECTED
+    # length (kv_num_pages < B·mp), overwrite the table values between
+    # dispatches, and recycle pages as requests finish — page 0 is
+    # conventionally reserved as a scratch target for rows whose writes
+    # must be discarded. Composes with GQA, int8 quantization, RoPE,
+    # ragged prefill, and the flash prefill path; not with ring caches
+    # (window), and paged caches are NOT batch-replicable
+    # (fork_cache/beam_search reject them: pool leaves aren't batch-first).
+    kv_page_size: Optional[int] = None
+    kv_num_pages: Optional[int] = None
     # Logit soft-capping (Gemma-2-style): scores become
     # cap·tanh(score/cap) after scaling, before masking/softmax —
     # bounded logits for training stability. Honored by the dense,
@@ -191,6 +209,16 @@ class MultiHeadAttention(nn.Module):
         if self.kv_cache_dtype not in (None, "int8"):
             raise ValueError("kv_cache_dtype must be None or 'int8', got "
                              f"{self.kv_cache_dtype!r}")
+        if self.kv_page_size is not None:
+            if self.kv_page_size < 1:
+                raise ValueError("kv_page_size must be >= 1")
+            if self.window is not None:
+                raise ValueError("paged caches do not compose with ring "
+                                 "caches (window) — pick one layout")
+            if self.max_decode_len is None:
+                raise ValueError("kv_page_size requires max_decode_len")
+        elif self.kv_num_pages is not None:
+            raise ValueError("kv_num_pages requires kv_page_size")
         if self.rope and (self.similarity_type != SIMILARITY_TYPE_SCALED
                           or self.use_mask):
             raise ValueError("rope requires the scaled no-mask path")
@@ -280,7 +308,18 @@ class MultiHeadAttention(nn.Module):
             bsz, L = q.shape[0], q.shape[1]
             gp, win = self.global_prefix, self.window
             ring = win is not None
-            mx = gp + win if ring else self.max_decode_len
+            paged = self.kv_page_size is not None
+            if paged:
+                # Pool layout: mp pages of pg slots per sequence; the
+                # attended view is mp·pg >= max_decode_len slots (the
+                # shifted-causal masks below hide the round-up tail).
+                pg = self.kv_page_size
+                mp = -(-self.max_decode_len // pg)
+                n_pages = (self.kv_num_pages if self.kv_num_pages
+                           is not None else bsz * mp)
+                mx = mp * pg
+            else:
+                mx = gp + win if ring else self.max_decode_len
             qdt = self.kv_cache_dtype
             has_cache = self.has_variable("cache", "cached_key")
             if prompt_lengths is not None:
@@ -294,12 +333,29 @@ class MultiHeadAttention(nn.Module):
                     raise ValueError(
                         f"prompt_lengths must have shape ({bsz},), got "
                         f"{prompt_lengths.shape}")
-            ck = self.variable("cache", "cached_key", jnp.zeros,
-                               (bsz, hkv, mx, d_k_h),
-                               jnp.int8 if qdt else k_h.dtype)
-            cv = self.variable("cache", "cached_value", jnp.zeros,
-                               (bsz, hkv, mx, d_v_h),
-                               jnp.int8 if qdt else v_h.dtype)
+            if paged:
+                # Page pool + per-row table. The identity default makes
+                # an untouched table behave exactly like the dense cache;
+                # a scheduler overwrites the values between dispatches.
+                ck = self.variable("cache", "pages_k", jnp.zeros,
+                                   (n_pages, hkv, pg, d_k_h),
+                                   jnp.int8 if qdt else k_h.dtype)
+                cv = self.variable("cache", "pages_v", jnp.zeros,
+                                   (n_pages, hkv, pg, d_v_h),
+                                   jnp.int8 if qdt else v_h.dtype)
+                tbl = self.variable(
+                    "cache", "page_table",
+                    lambda: jnp.minimum(
+                        jnp.arange(bsz)[:, None] * mp
+                        + jnp.arange(mp)[None], n_pages - 1
+                    ).astype(jnp.int32))
+            else:
+                ck = self.variable("cache", "cached_key", jnp.zeros,
+                                   (bsz, hkv, mx, d_k_h),
+                                   jnp.int8 if qdt else k_h.dtype)
+                cv = self.variable("cache", "cached_value", jnp.zeros,
+                                   (bsz, hkv, mx, d_v_h),
+                                   jnp.int8 if qdt else v_h.dtype)
             # Per-sequence fill index: ragged prompts (prompt_lengths)
             # and continuous batching leave each sequence at its own
             # position; the uniform case is just the equal-values
@@ -313,11 +369,32 @@ class MultiHeadAttention(nn.Module):
                 gpos = idx[:, None] + jnp.arange(L)[None]
                 q_h = apply_rope(q_h, gpos, self.rope_base)
                 k_h = apply_rope(k_h, gpos, self.rope_base)
+            if paged:
+                # Gathered page view (B, hkv, mx, d): every downstream
+                # attention path (masked einsum, flash q_offset prefill,
+                # per-token step) then runs unchanged on it.
+                def _gather(pool):
+                    g = pool[tbl.value]  # (B, mp, hkv, pg, d)
+                    return jnp.transpose(g, (0, 2, 1, 3, 4)).reshape(
+                        bsz, hkv, mx, g.shape[-1])
+
+                def _gather_s(scales):
+                    g = scales[tbl.value]  # (B, mp, hkv, pg)
+                    return jnp.transpose(g, (0, 2, 1, 3)).reshape(
+                        bsz, hkv, mx)
+
             if qdt:
-                ksc = self.variable("cache", "key_scale", jnp.zeros,
-                                    (bsz, hkv, mx), jnp.float32)
-                vsc = self.variable("cache", "value_scale", jnp.zeros,
-                                    (bsz, hkv, mx), jnp.float32)
+                ksc = self.variable(
+                    "cache", "key_scale_pages" if paged else "key_scale",
+                    jnp.zeros,
+                    (n_pages, hkv, pg) if paged else (bsz, hkv, mx),
+                    jnp.float32)
+                vsc = self.variable(
+                    "cache",
+                    "value_scale_pages" if paged else "value_scale",
+                    jnp.zeros,
+                    (n_pages, hkv, pg) if paged else (bsz, hkv, mx),
+                    jnp.float32)
 
                 def _quant(x):
                     # Symmetric per-token per-head int8: scale so the
@@ -337,19 +414,35 @@ class MultiHeadAttention(nn.Module):
                 k_h = k_st * k_s[..., None]
                 v_h = v_st * v_s[..., None]
 
-                def _read_k():
-                    return ck.value * ksc.value[..., None]
+                if paged:
+                    def _read_k():
+                        return (_gather(ck.value)
+                                * _gather_s(ksc.value)[..., None])
 
-                def _read_v():
-                    return cv.value * vsc.value[..., None]
+                    def _read_v():
+                        return (_gather(cv.value)
+                                * _gather_s(vsc.value)[..., None])
+                else:
+                    def _read_k():
+                        return ck.value * ksc.value[..., None]
+
+                    def _read_v():
+                        return cv.value * vsc.value[..., None]
             else:
                 k_st, v_st = k_h, v_h
 
-                def _read_k():
-                    return ck.value
+                if paged:
+                    def _read_k():
+                        return _gather(ck.value)
 
-                def _read_v():
-                    return cv.value
+                    def _read_v():
+                        return _gather(cv.value)
+                else:
+                    def _read_k():
+                        return ck.value
+
+                    def _read_v():
+                        return cv.value
             group = h // hkv
             qg = q_h.reshape(bsz, hkv, group, L, d_k_h)
             # Per-sequence cache writes: vmap a dynamic_update_slice over
@@ -359,6 +452,24 @@ class MultiHeadAttention(nn.Module):
                     c, u, (0, i, 0)))
             upd3 = jax.vmap(
                 lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, i)))
+            if paged:
+                # Paged writes: scatter each (row, position) through the
+                # page table — pool[table[b, pos//pg], :, pos%pg] = upd.
+                # posn is (B, L) GLOBAL positions; right-padded ragged
+                # chunks write garbage past each row's true length into
+                # the row's OWN pages (invisible below cache_index, then
+                # overwritten), exactly like the dense layout.
+                def _store(pool, upd, posn):  # upd (B, hkv, L, d)
+                    pid = jnp.take_along_axis(tbl.value, posn // pg,
+                                              axis=1)
+                    return pool.at[pid, :, posn % pg].set(
+                        jnp.transpose(upd, (0, 2, 1, 3)))
+
+                def _store_s(scales, upd, posn):  # upd (B, hkv, L)
+                    pid = jnp.take_along_axis(tbl.value, posn // pg,
+                                              axis=1)
+                    return scales.at[pid, :, posn % pg].set(
+                        jnp.transpose(upd, (0, 2, 1)))
             if ring:
                 cpos = self.variable(
                     "cache", "cache_pos",
@@ -424,11 +535,19 @@ class MultiHeadAttention(nn.Module):
                 # advances by the true length, so subsequent tokens
                 # overwrite the padding slots; outputs at padding query
                 # positions are garbage the caller ignores.
-                ck.value = upd4(ck.value, k_st, idx)
-                cv.value = upd4(cv.value, v_st, idx)
-                if qdt:
-                    ksc.value = upd3(ksc.value, k_s, idx)
-                    vsc.value = upd3(vsc.value, v_s, idx)
+                if paged:
+                    posn = idx[:, None] + jnp.arange(L)[None]
+                    ck.value = _store(ck.value, k_st, posn)
+                    cv.value = _store(cv.value, v_st, posn)
+                    if qdt:
+                        ksc.value = _store_s(ksc.value, k_s, posn)
+                        vsc.value = _store_s(vsc.value, v_s, posn)
+                else:
+                    ck.value = upd4(ck.value, k_st, idx)
+                    cv.value = upd4(cv.value, v_st, idx)
+                    if qdt:
+                        ksc.value = upd3(ksc.value, k_s, idx)
+                        vsc.value = upd3(vsc.value, v_s, idx)
                 ci.value = idx + (prompt_lengths
                                   if prompt_lengths is not None else L)
                 if self.use_flash:
@@ -470,11 +589,18 @@ class MultiHeadAttention(nn.Module):
                     slot = idx
                     pos = jnp.arange(mx)[None, :]
                     keep = pos <= idx[:, None]
-                ck.value = upd4(ck.value, k_st, slot)
-                cv.value = upd4(cv.value, v_st, slot)
-                if qdt:
-                    ksc.value = upd3(ksc.value, k_s, slot)
-                    vsc.value = upd3(vsc.value, v_s, slot)
+                if paged:
+                    ck.value = _store(ck.value, k_st, idx[:, None])
+                    cv.value = _store(cv.value, v_st, idx[:, None])
+                    if qdt:
+                        ksc.value = _store_s(ksc.value, k_s, idx[:, None])
+                        vsc.value = _store_s(vsc.value, v_s, idx[:, None])
+                else:
+                    ck.value = upd4(ck.value, k_st, slot)
+                    cv.value = upd4(cv.value, v_st, slot)
+                    if qdt:
+                        ksc.value = upd3(ksc.value, k_s, slot)
+                        vsc.value = upd3(vsc.value, v_s, slot)
                 ci.value = idx + 1
 
                 s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()

@@ -149,13 +149,28 @@ def mask_after_eos(ids, eos_id: int, pad_id: int = 0):
     return jnp.where(seen > 0, pad_id, ids), lengths
 
 
+def _reject_paged(cache, what: str):
+    """Batch-axis cache surgery assumes every leaf is batch-first; a
+    paged cache's pool leaves (pages_k/pages_v) are page-major and its
+    tables alias pool pages, so replicating/gathering rows would make
+    forked rows WRITE into shared pages. Serve paged caches through
+    generate()/ContinuousBatcher instead."""
+    names = {str(getattr(p[-1], "key", p[-1]))
+             for p, _ in jax.tree_util.tree_leaves_with_path(cache)}
+    if "pages_k" in names:
+        raise ValueError(f"{what} does not support paged KV caches "
+                         "(pool leaves are not batch-first)")
+
+
 def fork_cache(cache, n: int):
     """Prefix caching: replicate a prefilled cache ``n``× along the
     batch axis (every leaf is batch-first, including the per-sequence
     cache_index), so a shared prefix — a system prompt — prefills ONCE
     at batch B and then serves B·n divergent continuations. Combine with
     ``generate``'s per-token path or another (chunked) prefill for the
-    per-request suffixes."""
+    per-request suffixes. Dense/ring caches only (paged pools are not
+    batch-first; sharing prefix PAGES is the paged analogue)."""
+    _reject_paged(cache, "fork_cache")
     return jax.tree.map(lambda c: jnp.repeat(c, n, axis=0), cache)
 
 

@@ -55,6 +55,10 @@ class Transformer(nn.Module):
     global_prefix: int = 0
     # 'int8' = quantized KV cache in decode (see MultiHeadAttention).
     kv_cache_dtype: str | None = None
+    # Paged KV cache (vLLM-style page pool + per-row tables in decode;
+    # see MultiHeadAttention.kv_page_size).
+    kv_page_size: int | None = None
+    kv_num_pages: int | None = None
     # Rotary position embedding on q/k (see MultiHeadAttention.rope).
     rope: bool = False
     rope_base: float = 10000.0
@@ -80,6 +84,8 @@ class Transformer(nn.Module):
                 max_decode_len=self.max_decode_len,
                 global_prefix=self.global_prefix,
                 kv_cache_dtype=self.kv_cache_dtype,
+                kv_page_size=self.kv_page_size,
+                kv_num_pages=self.kv_num_pages,
                 rope=self.rope, rope_base=self.rope_base,
                 logit_softcap=self.logit_softcap,
             )([y, y, y, m], deterministic=deterministic, decode=decode,

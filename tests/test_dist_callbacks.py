@@ -493,3 +493,63 @@ def test_dp_tp_decode_on_2d_mesh(rng):
             outs.append(np.asarray(y))
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_tensor_parallel_paged_decode_matches_single(rng):
+    """Paged TP serving: the page POOL shards its head axis over the
+    model mesh axis (pages replicated, never batch-sharded) while the
+    per-row tables stay replicated; mesh decode == unsharded decode."""
+    import ku
+    from ku.dist import shard_decode_state
+
+    mesh = make_mesh({"model": 4})
+    b, t, pre, dm, h, hkv = 2, 8, 4, 32, 8, 4
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    block = ku.Transformer(h, dm, 0.0, causal=True, num_kv_head=hkv,
+                           max_decode_len=t, kv_page_size=4)
+    params = block.init(jax.random.key(7), [x])["params"]
+
+    y, cache = block.apply({"params": params}, [x[:, :pre]], decode=True,
+                           mutable=["cache"])
+    outs = [np.asarray(y)]
+    for i in range(pre, t):
+        y, cache = block.apply(
+            {"params": params, **cache}, [x[:, i:i + 1]], decode=True,
+            mutable=["cache"])
+        outs.append(np.asarray(y))
+    ref = np.concatenate(outs, axis=1)
+
+    @jax.jit
+    def step(params, cache, tok):
+        return block.apply({"params": params, "cache": cache}, [tok],
+                           decode=True, mutable=["cache"])
+
+    @jax.jit
+    def prefill(params, tok):
+        return block.apply({"params": params}, [tok], decode=True,
+                           mutable=["cache"])
+
+    with mesh:
+        sp, _ = shard_decode_state(params, {}, mesh, num_head=h,
+                                   num_kv_head=hkv)
+        y, mut = prefill(sp, x[:, :pre])
+        sp, scache = shard_decode_state(sp, mut["cache"], mesh,
+                                        num_head=h, num_kv_head=hkv)
+        outs = [np.asarray(y)]
+        for i in range(pre, t):
+            y, mut = step(sp, scache, x[:, i:i + 1])
+            scache = mut["cache"]
+            outs.append(np.asarray(y))
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+    checked = 0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(scache):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name in ("pages_k", "pages_v"):
+            spec = leaf.sharding.spec
+            assert "model" in str(spec), (name, leaf.sharding)
+            # Axis 0 (pages) must NOT be sharded.
+            assert len(spec) == 0 or spec[0] is None, (name, spec)
+            checked += 1
+    assert checked >= 4  # 2 pools x 2 attention sublayers

@@ -111,6 +111,60 @@ def test_continuous_batcher_guards(key, rng):
         cb.serve([np.zeros(2, np.int32)], [1, 2])
 
 
+@pytest.mark.parametrize("qdt", [None, "int8"])
+def test_continuous_batcher_paged_pool_matches_generate(key, rng, qdt):
+    """Paged mode: a SHARED page pool smaller than B x pages-per-seq
+    (kv_num_pages=11 vs the dense-equivalent 16) serves a recycled
+    workload with outputs exactly equal to per-request generate() on a
+    DENSE-cache model — page allocation, scratch routing, page-granular
+    merge, and table scratching of dead rows are all invisible."""
+    dense_block, params, embed, readout, vocab = _lm(
+        key, rng, max_decode_len=32, kv_cache_dtype=qdt)
+    paged_block = ku.Transformer(2, 8, 0.0, causal=True,
+                                 max_decode_len=32, kv_cache_dtype=qdt,
+                                 kv_page_size=4, kv_num_pages=11)
+
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (3, 1, 4, 2, 4)]
+    budgets = [6, 9, 4, 7, 5]
+    cb = ContinuousBatcher(paged_block, params, embed=embed,
+                           readout=readout, num_slots=2, prompt_len=4,
+                           max_decode_len=32, chunk=3)
+    got = cb.serve(prompts, budgets)
+    for pr, budget, out in zip(prompts, budgets, got):
+        want = np.asarray(generate(dense_block, params,
+                                   jnp.asarray(pr)[None], budget,
+                                   embed=embed, readout=readout))
+        np.testing.assert_array_equal(out, want[0])
+    st = cb.last_stats
+    assert st["admission_events"] >= 3  # slots recycled
+    assert 0 < st["peak_pages_in_use"] <= 10  # pool actually bounded
+
+
+def test_continuous_batcher_paged_deferral_and_exhaustion(key, rng):
+    """A pool that fits only one request at a time serializes admissions
+    (requests DEFER, FIFO) but still completes correctly; a request that
+    can never fit raises."""
+    block, params, embed, readout, vocab = _lm(key, rng)
+    paged = ku.Transformer(2, 8, 0.0, causal=True, max_decode_len=32,
+                           kv_page_size=4, kv_num_pages=4)  # 3 usable
+    prompts = [rng.integers(0, vocab, size=(3,)).astype(np.int32)
+               for _ in range(3)]
+    cb = ContinuousBatcher(paged, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=32,
+                           chunk=3)
+    got = cb.serve(prompts, 6)  # needs 3 pages/request -> serial
+    for pr, out in zip(prompts, got):
+        want = np.asarray(generate(block, params, jnp.asarray(pr)[None],
+                                   6, embed=embed, readout=readout))
+        np.testing.assert_array_equal(out, want[0])
+    assert cb.last_stats["admission_events"] == 3  # one per request
+    assert cb.last_stats["peak_pages_in_use"] <= 3
+
+    with pytest.raises(ValueError, match="grow kv_num_pages"):
+        cb.serve([prompts[0]], 20)  # 8 pages needed, 3 allocatable
+
+
 def test_continuous_batcher_stochastic_in_vocab(key, rng):
     """Temperature sampling serves end-to-end; tokens stay in-vocab and
     per-request budgets are honored."""
