@@ -6,9 +6,12 @@ WHOLE decode loop runs as ONE dispatch (lax.scan with the functional
 cache dict as carry), so the ~25-30 ms axon-tunnel round trip amortizes
 across T steps (BASELINE.md methodology); scalar-readback fencing.
 
-Usage: python benchmarks/decode_bench.py [T] [ring|prefill]
+Usage: python benchmarks/decode_bench.py [T] [ring|prefill|paged|...]
 
 ``ring``    — StreamingLLM serving: window 512 + 32 sinks ring cache.
+``paged``   — page-pool KV cache (page 256, identity tables): A/B of
+              the flash-decoding-style page-scan read vs the dense
+              contiguous read at the same T.
 ``prefill`` — one-dispatch prompt prefill of T tokens (chunked cache
               fill) instead of T per-token steps; reports prompt
               tokens/sec (S=16 chained prompt passes per dispatch).
@@ -39,7 +42,7 @@ D_MODEL, HEADS, KV_HEADS, BLOCKS, BATCH = 512, 8, 2, 2, 8
 
 
 def build(max_len, window=None, global_prefix=0, kv_cache_dtype=None,
-          use_flash=False):
+          use_flash=False, kv_page_size=None):
     import flax.linen as nn
 
     class LM(nn.Module):
@@ -52,6 +55,7 @@ def build(max_len, window=None, global_prefix=0, kv_cache_dtype=None,
                                 window=window, global_prefix=global_prefix,
                                 kv_cache_dtype=kv_cache_dtype,
                                 use_flash=use_flash,
+                                kv_page_size=kv_page_size,
                                 name=f"block{i}")([x], decode=decode)
             return x
 
@@ -74,10 +78,14 @@ def run(t_tokens: int, mode: str = "dense") -> dict:
     (importable — bench.py's serving gate reuses this)."""
     ring = mode == "ring"
     rng = np.random.default_rng(0)
+    # "paged": dense-layout A/B for the page-pool cache (page 256,
+    # identity tables) — measures the flash-decoding-style page-scan
+    # read against the contiguous dense read at the same T.
     model = build(t_tokens, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
                   kv_cache_dtype="int8" if mode == "int8" else None,
-                  use_flash=mode == "prefill_flash")
+                  use_flash=mode == "prefill_flash",
+                  kv_page_size=256 if mode == "paged" else None)
     x0 = jnp.asarray(rng.normal(size=(BATCH, 1, D_MODEL)), jnp.float32)
     variables = model.init(jax.random.key(0), x0, decode=True)
     params = variables["params"]

@@ -28,6 +28,10 @@ echo "== decode int8 T=8192 =="
 timeout 2400 python benchmarks/decode_bench.py 8192 int8
 echo "== decode ring T=8192 (constant 544-slot cache) =="
 timeout 2400 python benchmarks/decode_bench.py 8192 ring
+echo "== decode paged T=8192 (page-scan read A/B vs dense) =="
+timeout 2400 python benchmarks/decode_bench.py 8192 paged
+echo "== decode paged T=512 =="
+timeout 1800 python benchmarks/decode_bench.py 512 paged
 
 echo "== bench.py (driver gate) =="
 timeout 3600 python bench.py

@@ -603,13 +603,58 @@ class MultiHeadAttention(nn.Module):
                         vsc.value = upd3(vsc.value, v_s, slot)
                 ci.value = idx + 1
 
-                s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
-                               ) / math.sqrt(d_k)
-                s = self._cap(s)
-                s = jnp.where(keep[:, None, None, None, :], s, -1e30)
-                p = nn.softmax(s, axis=-1)
-                head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
-                                  ).reshape(bsz, h, 1, d_v_h)
+                if paged:
+                    # Flash-decoding-style read: one lax.scan over the
+                    # table entries with an online-softmax carry reads
+                    # each page ONCE in place — the materialized gather
+                    # view would cost ~3 passes over the cache (pool
+                    # read + gathered write + attention read), and the
+                    # long-context decode step is cache-read-bound.
+                    # f32 accumulators; fully-dead pages contribute 0
+                    # (page 0 always holds position 0, so the running
+                    # max is real from the first scan step on).
+                    scale = 1.0 / math.sqrt(d_k)
+
+                    def page_step(carry, j):
+                        m, l, acc = carry
+                        pid = tbl.value[:, j]  # (B,)
+                        kp = ck.value[pid].astype(jnp.float32)
+                        vp = cv.value[pid].astype(jnp.float32)
+                        if qdt:
+                            kp = kp * ksc.value[pid][..., None]
+                            vp = vp * vsc.value[pid][..., None]
+                        s = jnp.einsum("bhgqd,bhkd->bhgqk", qg,
+                                       kp) * scale
+                        s = self._cap(s)
+                        kpos = j * pg + jnp.arange(pg)
+                        live = kpos[None] <= idx[:, None]  # (B, pg)
+                        s = jnp.where(live[:, None, None, None], s,
+                                      -1e30)
+                        m2 = jnp.maximum(m, s.max(-1, keepdims=True))
+                        p = jnp.exp(s - m2)
+                        r = jnp.exp(m - m2)
+                        l2 = l * r + p.sum(-1, keepdims=True)
+                        acc2 = acc * r + jnp.einsum(
+                            "bhgqk,bhkd->bhgqd", p, vp)
+                        return (m2, l2, acc2), None
+
+                    shp = (bsz, hkv, group, 1)
+                    (m, l, acc), _ = jax.lax.scan(
+                        page_step,
+                        (jnp.full(shp + (1,), -1e30, jnp.float32),
+                         jnp.zeros(shp + (1,), jnp.float32),
+                         jnp.zeros(shp + (d_v_h,), jnp.float32)),
+                        jnp.arange(mx // pg))
+                    head = (acc / l).astype(q_h.dtype).reshape(
+                        bsz, h, 1, d_v_h)
+                else:
+                    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
+                                   ) / math.sqrt(d_k)
+                    s = self._cap(s)
+                    s = jnp.where(keep[:, None, None, None, :], s, -1e30)
+                    p = nn.softmax(s, axis=-1)
+                    head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
+                                      ).reshape(bsz, h, 1, d_v_h)
         elif block_mask is not None:
             from ku.pallas.sparse_attention import sparse_attention
 

@@ -126,7 +126,8 @@ def test_paged_custom_pool_and_tables(key, rng):
 
     want, _ = _decode_all(dense, params, {}, x)
     got, pcache = _decode_all(paged, params, {"cache": tmpl}, x)
-    np.testing.assert_array_equal(got, want)
+    # Online-softmax page scan: fp-reorder noise only.
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
     # Scratch page 0 untouched.
     np.testing.assert_array_equal(
         np.asarray(pcache["cache"]["pages_k"][0]), 0.0)
