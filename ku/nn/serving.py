@@ -121,10 +121,13 @@ class ContinuousBatcher:
         self._template = None  # zeroed cache pytree, built lazily
         apply_step = _stepper(model, params, model_kwargs or {})
 
-        def _prefill(cache_in, prompts, lengths, key):
-            cache, y = apply_step(cache_in,
-                                  embed(prompts, jnp.arange(prompt_len)),
-                                  prompt_lengths=lengths)
+        def _prefill(cache_in, prompts, lengths, key, pos0):
+            # pos0: global position of the chunk's first token (0, or
+            # the shared-prefix length when prompts continue a prefix).
+            cache, y = apply_step(
+                cache_in,
+                embed(prompts, pos0 + jnp.arange(prompts.shape[1])),
+                prompt_lengths=lengths)
             y_last = jnp.take_along_axis(y, (lengths - 1)[:, None, None],
                                          axis=1)
             tok = sampler(readout(y_last)[:, 0], key)
@@ -160,6 +163,33 @@ class ContinuousBatcher:
 
             return jax.tree_util.tree_map_with_path(fix, cache)
 
+        def _set_ci(cache, value):
+            # Start every row's cache_index at `value` (the shared-prefix
+            # length) so an admission prefill writes/attends at the right
+            # global positions; continuing rows' entries are later
+            # discarded by the row merge.
+            def fix(path, leaf):
+                if _leaf_name(path) == "cache_index":
+                    return jnp.full(leaf.shape, value, leaf.dtype)
+                return leaf
+
+            return jax.tree_util.tree_map_with_path(fix, cache)
+
+        def _seed_pages(cache, src, dst):
+            # Copy pool page `src` into per-row pages `dst` ((B,) ids;
+            # non-admitted rows point at scratch page 0, which is
+            # garbage by definition): gives each request a private copy
+            # of a shared prefix's PARTIAL last page, which its own
+            # writes will extend.
+            def fix(path, leaf):
+                if _leaf_name(path) in _POOL_LEAVES:
+                    return leaf.at[dst].set(
+                        jnp.broadcast_to(leaf[src][None],
+                                         (dst.shape[0],) + leaf.shape[1:]))
+                return leaf
+
+            return jax.tree_util.tree_map_with_path(fix, cache)
+
         def _chunk_fn(cache, pending, lengths, keys):
             def step(carry, key):
                 cache, tok, lens = carry
@@ -176,6 +206,8 @@ class ContinuousBatcher:
         self._merge = jax.jit(_merge)
         self._merge_paged = jax.jit(_merge_paged)
         self._set_tables = jax.jit(_set_tables)
+        self._set_ci = jax.jit(_set_ci)
+        self._seed_pages = jax.jit(_seed_pages)
         self._chunk = jax.jit(_chunk_fn)
 
     # -- paged-pool introspection -------------------------------------
@@ -186,7 +218,7 @@ class ContinuousBatcher:
         B, P = self.num_slots, self.prompt_len
         cache, _ = self._prefill(
             {}, jnp.zeros((B, P), jnp.int32), jnp.ones((B,), jnp.int32),
-            jax.random.key(0))
+            jax.random.key(0), 0)
         self._template = jax.tree.map(jnp.zeros_like, cache)
         geom = set()
         for path, leaf in jax.tree_util.tree_leaves_with_path(cache):
@@ -205,7 +237,8 @@ class ContinuousBatcher:
             (self._n_pages, self._page), = pools
             self._mp = mps.pop()
 
-    def serve(self, prompts: Sequence[Any], max_new_tokens) -> list:
+    def serve(self, prompts: Sequence[Any], max_new_tokens,
+              shared_prefix=None) -> list:
         """Serve a workload of prompts through the slot pool.
 
         Args:
@@ -213,13 +246,21 @@ class ContinuousBatcher:
             [1, prompt_len]).
           max_new_tokens: per-request generation budget — an int shared
             by all requests or a sequence matching ``prompts``.
+          shared_prefix: optional 1-D int token array (length ≥ 2) every
+            request's sequence starts with — a system prompt. PAGED mode
+            only: the prefix prefills ONCE into shared pages that every
+            request's table aliases read-only (the paged answer to
+            :func:`ku.nn.fork_cache`); a non-page-aligned tail is copied
+            into each request's first own page at admission. Each
+            request's output is the continuation of prefix + prompt.
 
         Returns:
           List of 1-D ``np.int32`` arrays in submission order: each
           request's generated tokens (EOS included when emitted; length
           ≤ its budget). ``self.last_stats`` holds scheduler counters
           for the run (admission_events, chunks, wasted_slot_steps,
-          decoded_tokens; paged mode adds peak_pages_in_use).
+          decoded_tokens; paged mode adds peak_pages_in_use and, with a
+          prefix, shared_prefix_pages).
         """
         n = len(prompts)
         budgets = ([int(max_new_tokens)] * n
@@ -231,19 +272,29 @@ class ContinuousBatcher:
         if any(b < 1 for b in budgets):
             raise ValueError("max_new_tokens must be >= 1 per request")
         B, P, chunk = self.num_slots, self.prompt_len, self.chunk
+        plen_pre = 0 if shared_prefix is None else len(shared_prefix)
         for i, pr in enumerate(prompts):
             if not 1 <= len(pr) <= P:
                 raise ValueError(f"prompt {i} length {len(pr)} outside "
                                  f"[1, {P}]")
-            if len(pr) + budgets[i] + chunk > self.max_decode_len:
+            if plen_pre + len(pr) + budgets[i] + chunk \
+                    > self.max_decode_len:
                 raise ValueError(
-                    f"request {i}: prompt {len(pr)} + budget "
-                    f"{budgets[i]} + chunk {chunk} overruns "
+                    f"request {i}: prefix {plen_pre} + prompt {len(pr)} "
+                    f"+ budget {budgets[i]} + chunk {chunk} overruns "
                     f"max_decode_len {self.max_decode_len}")
 
         if self._template is None:
             self._build_template()
         paged = self._paged
+        if shared_prefix is not None:
+            if not paged:
+                raise ValueError(
+                    "shared_prefix needs a paged cache (kv_page_size) — "
+                    "dense callers can prepend the prefix to each prompt "
+                    "or use fork_cache")
+            if plen_pre < 2:
+                raise ValueError("shared_prefix must have length >= 2")
         queue = deque(enumerate(prompts))
         results: list = [None] * n
         active = np.zeros(B, bool)
@@ -253,16 +304,42 @@ class ContinuousBatcher:
         cache = pending = None
         stats = {"admission_events": 0, "chunks": 0,
                  "wasted_slot_steps": 0, "decoded_tokens": 0}
+        n_shared_full, prefix_tail_page = 0, None
         if paged:
             # Page 0 is the scratch target; 1..NP-1 are allocatable.
             free_pages = deque(range(1, self._n_pages))
             slot_pages: list = [[] for _ in range(B)]
             tables = np.zeros((B, self._mp), np.int32)
             stats["peak_pages_in_use"] = 0
+            if shared_prefix is not None:
+                # Prefill the prefix ONCE into shared pages through row
+                # 0's table; the tail page (if the prefix isn't
+                # page-aligned) is copied per request at admission.
+                n_shared_full = plen_pre // self._page
+                tail = plen_pre % self._page
+                n_pre = n_shared_full + (1 if tail else 0)
+                if n_pre + 1 > self._n_pages:
+                    raise ValueError(
+                        f"shared prefix needs {n_pre} pages but the pool "
+                        f"has {self._n_pages - 1} allocatable")
+                shared_ids = [free_pages.popleft() for _ in range(n_pre)]
+                if tail:
+                    prefix_tail_page = shared_ids[n_shared_full]
+                pr0 = np.zeros((B, plen_pre), np.int32)
+                pr0[0] = np.asarray(shared_prefix, np.int32)
+                ln0 = np.ones(B, np.int32)
+                ln0[0] = plen_pre
+                tables[0, :n_pre] = shared_ids
+                self._key, kp = jax.random.split(self._key)
+                cache, pending = self._prefill(
+                    self._set_tables(self._template, jnp.asarray(tables)),
+                    jnp.asarray(pr0), jnp.asarray(ln0), kp, 0)
+                tables[0] = 0  # row 0 is not a request
+                stats["shared_prefix_pages"] = n_pre
 
         def pages_needed(plen, budget):
-            written = plen + -(-budget // chunk) * chunk
-            return -(-written // self._page)
+            written = plen_pre + plen + -(-budget // chunk) * chunk
+            return -(-written // self._page) - n_shared_full
 
         while queue or active.any():
             free = np.flatnonzero(~active)
@@ -271,6 +348,7 @@ class ContinuousBatcher:
                 ln = np.ones(B, np.int32)
                 admit = np.zeros(B, bool)
                 event_pages: list = []
+                seed_dst = np.zeros(B, np.int32)
                 for s in free:
                     if not queue:
                         break
@@ -284,7 +362,13 @@ class ContinuousBatcher:
                         slot_pages[s] = alloc
                         event_pages.extend(alloc)
                         tables[s] = 0
-                        tables[s, :need] = alloc
+                        if n_shared_full:
+                            tables[s, :n_shared_full] = \
+                                shared_ids[:n_shared_full]
+                        tables[s, n_shared_full:n_shared_full + need] = \
+                            alloc
+                        if prefix_tail_page is not None:
+                            seed_dst[s] = alloc[0]
                     queue.popleft()
                     pr[s, :len(prompt)] = np.asarray(prompt, np.int32)
                     ln[s] = len(prompt)
@@ -301,15 +385,30 @@ class ContinuousBatcher:
                         "allocatable — grow kv_num_pages")
                 if admit.any():
                     self._key, kp = jax.random.split(self._key)
-                    cache_in = self._template
+                    # With a shared prefix the admission prefill runs on
+                    # the LIVE cache (attention must see the prefix
+                    # pages) starting at cache_index = prefix length;
+                    # the merge still discards everything outside the
+                    # admitted rows / this event's pages, so dummy-row
+                    # writes (routed through the host tables) never
+                    # survive.
+                    cache_in = (cache if plen_pre else self._template)
                     if paged:
                         cache_in = self._set_tables(cache_in,
                                                     jnp.asarray(tables))
-                        in_use = sum(len(p) for p in slot_pages)
+                        if plen_pre:
+                            cache_in = self._set_ci(cache_in, plen_pre)
+                        if prefix_tail_page is not None:
+                            cache_in = self._seed_pages(
+                                cache_in, prefix_tail_page,
+                                jnp.asarray(seed_dst))
+                        in_use = (sum(len(p) for p in slot_pages)
+                                  + (stats.get("shared_prefix_pages", 0)))
                         stats["peak_pages_in_use"] = max(
                             stats["peak_pages_in_use"], in_use)
                     fresh_cache, fresh_pending = self._prefill(
-                        cache_in, jnp.asarray(pr), jnp.asarray(ln), kp)
+                        cache_in, jnp.asarray(pr), jnp.asarray(ln), kp,
+                        plen_pre)
                     if cache is None:
                         cache, pending = fresh_cache, fresh_pending
                     elif paged:
@@ -324,7 +423,7 @@ class ContinuousBatcher:
                             (cache, pending),
                             (fresh_cache, fresh_pending),
                             jnp.asarray(admit))
-                    lengths[admit] = ln[admit]
+                    lengths[admit] = plen_pre + ln[admit]
                     stats["admission_events"] += 1
 
             self._key, kc = jax.random.split(self._key)

@@ -165,6 +165,48 @@ def test_continuous_batcher_paged_deferral_and_exhaustion(key, rng):
         cb.serve([prompts[0]], 20)  # 8 pages needed, 3 allocatable
 
 
+@pytest.mark.parametrize("plen_pre,qdt", [
+    (5, None),    # non-aligned prefix: tail-page copy path
+    (8, None),    # page-aligned prefix: pure aliasing
+    (5, "int8"),  # seeded scale pages
+])
+def test_continuous_batcher_shared_prefix(key, rng, plen_pre, qdt):
+    """Paged prefix caching: the system prompt prefills ONCE into shared
+    pages aliased by every request's table; outputs equal dense
+    generate() on prefix+prompt for every request."""
+    dense_block, params, embed, readout, vocab = _lm(
+        key, rng, max_decode_len=32, kv_cache_dtype=qdt)
+    paged_block = ku.Transformer(2, 8, 0.0, causal=True,
+                                 max_decode_len=32, kv_cache_dtype=qdt,
+                                 kv_page_size=4, kv_num_pages=14)
+    prefix = rng.integers(0, vocab, size=(plen_pre,)).astype(np.int32)
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (3, 1, 4, 2)]
+    budgets = [6, 4, 5, 6]
+
+    cb = ContinuousBatcher(paged_block, params, embed=embed,
+                           readout=readout, num_slots=2, prompt_len=4,
+                           max_decode_len=32, chunk=3)
+    got = cb.serve(prompts, budgets, shared_prefix=prefix)
+    for pr, budget, out in zip(prompts, budgets, got):
+        full = jnp.concatenate([jnp.asarray(prefix), jnp.asarray(pr)])
+        want = np.asarray(generate(dense_block, params, full[None],
+                                   budget, embed=embed, readout=readout))
+        np.testing.assert_array_equal(out, want[0])
+    st = cb.last_stats
+    assert st["shared_prefix_pages"] == -(-plen_pre // 4)
+    assert st["admission_events"] >= 2  # recycled slots reuse the pages
+
+
+def test_continuous_batcher_shared_prefix_dense_rejected(key, rng):
+    block, params, embed, readout, vocab = _lm(key, rng)
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=32)
+    with pytest.raises(ValueError, match="paged"):
+        cb.serve([np.zeros(2, np.int32)], 4,
+                 shared_prefix=np.zeros(4, np.int32))
+
+
 def test_continuous_batcher_stochastic_in_vocab(key, rng):
     """Temperature sampling serves end-to-end; tokens stay in-vocab and
     per-request budgets are honored."""
