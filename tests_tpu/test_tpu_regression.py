@@ -679,3 +679,53 @@ def test_flash_softcap_compiled(rng):
     for got, want, name in zip((dq, dk, dv), gd, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-3, err_msg=name)
+
+
+def test_paged_serving_on_tpu(rng):
+    """Paged-cache serving on hardware: the per-token page-scan decode
+    (online-softmax lax.scan over table entries) and the pool-bounded
+    ContinuousBatcher run COMPILED on the TPU; paged decode matches the
+    dense layout within bf16-matmul tolerance."""
+    import ku
+    from ku.nn.serving import ContinuousBatcher
+
+    b, t, dm = 2, 12, 16
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    dense = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, num_kv_head=1)
+    paged = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, num_kv_head=1,
+                                  kv_page_size=4)
+    variables = dense.init(jax.random.key(0), [x, x, x])
+
+    def run(layer):
+        cache, steps = {}, []
+        step = jax.jit(lambda v, tok: layer.apply(
+            v, [tok, tok, tok], decode=True, mutable=["cache"]))
+        for i in range(t):
+            y, cache = step({"params": variables["params"], **cache},
+                            x[:, i:i + 1])
+            steps.append(np.asarray(y))
+        return np.concatenate(steps, axis=1)
+
+    np.testing.assert_allclose(run(paged), run(dense), rtol=6e-2,
+                               atol=6e-3)
+
+    vocab = 11
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=32,
+                           kv_page_size=4, kv_num_pages=11)
+    ids0 = jnp.zeros((1, 2), jnp.int32)
+    params = block.init(jax.random.key(1), [table[ids0]])["params"]
+    cb = ContinuousBatcher(block, params,
+                           embed=lambda i, p=None: table[i],
+                           readout=lambda y: y @ table.T, num_slots=2,
+                           prompt_len=4, max_decode_len=32, chunk=3)
+    prompts = [np.asarray(rng.integers(0, vocab, size=(p,)), np.int32)
+               for p in (3, 1, 4)]
+    outs = cb.serve(prompts, 6,
+                    shared_prefix=np.asarray(
+                        rng.integers(0, vocab, size=(5,)), np.int32))
+    assert all(o.shape == (6,) for o in outs)
+    assert cb.last_stats["shared_prefix_pages"] == 2
+    assert 0 < cb.last_stats["peak_pages_in_use"] <= 10
