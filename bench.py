@@ -100,12 +100,16 @@ def stylegan_throughput(s_steps: int = 32, n_best: int = 4):
     Engine/batches/timing come from benchmarks/stylegan_lane_packing.py
     — ONE shared constructor for every script that measures this conf.
     Returns (imgs_per_sec, ms_per_step)."""
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    # Remove by VALUE: the imported bench module inserts the repo
+    # root at sys.path[0] during import, so pop(0) would evict
+    # that instead and leave benchmarks/ importable forever.
+    _bdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    sys.path.insert(0, _bdir)
     try:
         import stylegan_lane_packing as slp
     finally:
-        sys.path.pop(0)
+        sys.path.remove(_bdir)
 
     engine = slp.build_engine(lane_packing=True, r1_interval=1)
     batches = slp.batches_stacked(np.random.default_rng(0), s=s_steps, b=12)
@@ -121,12 +125,16 @@ def flash_throughput():
     Returns (per_call_ms, tflops)."""
     import jax.numpy as jnp
 
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    # Remove by VALUE: the imported bench module inserts the repo
+    # root at sys.path[0] during import, so pop(0) would evict
+    # that instead and leave benchmarks/ importable forever.
+    _bdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    sys.path.insert(0, _bdir)
     try:
         import flash_amortized as fam
     finally:
-        sys.path.pop(0)
+        sys.path.remove(_bdir)
     from ku.pallas.flash_attention import _fwd_pallas
 
     rng = np.random.default_rng(0)
@@ -149,12 +157,16 @@ def sparse_throughput():
     forward per-call ms (see benchmarks/sparse_bench.py)."""
     import jax.numpy as jnp
 
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    # Remove by VALUE: the imported bench module inserts the repo
+    # root at sys.path[0] during import, so pop(0) would evict
+    # that instead and leave benchmarks/ importable forever.
+    _bdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    sys.path.insert(0, _bdir)
     try:
         import flash_amortized as fam
     finally:
-        sys.path.pop(0)
+        sys.path.remove(_bdir)
     from ku.pallas.sparse_attention import _sparse_fwd, make_block_mask
 
     rng = np.random.default_rng(0)
@@ -176,12 +188,16 @@ def decode_throughput():
     """Serving gate: KV-cache decode tokens/sec on the standard
     benchmarks/decode_bench.py conf (2 blocks, d_model 512, GQA 8/2,
     batch 8, T=512, whole loop one lax.scan dispatch, best-of-4)."""
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    # Remove by VALUE: the imported bench module inserts the repo
+    # root at sys.path[0] during import, so pop(0) would evict
+    # that instead and leave benchmarks/ importable forever.
+    _bdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    sys.path.insert(0, _bdir)
     try:
         import decode_bench
     finally:
-        sys.path.pop(0)
+        sys.path.remove(_bdir)
     return decode_bench.run(512, "dense")["decode_tokens_per_sec"]
 
 

@@ -156,15 +156,20 @@ def shard_decode_state(params, cache, mesh, model_axis: str = "model",
         def rep_param(leaf):
             return jax.device_put(leaf, NamedSharding(mesh, P()))
 
-        def rep_cache(leaf):
+        def rep_cache(path, leaf):
             # Keep the orthogonal batch-DP placement the caller asked
-            # for even when head-TP is impossible.
+            # for even when head-TP is impossible — but NEVER batch-shard
+            # paged pool leaves: their axis 0 is pages, not batch.
+            name = str(getattr(path[-1], "key", path[-1])) if path else ""
+            if name in ("pages_k", "pages_v", "key_scale_pages",
+                        "value_scale_pages"):
+                return jax.device_put(leaf, NamedSharding(mesh, P()))
             spec = (P(data_axis) if data_axis is not None
                     and getattr(leaf, "ndim", 0) >= 1 else P())
             return jax.device_put(leaf, NamedSharding(mesh, spec))
 
         return (jax.tree.map(rep_param, params),
-                jax.tree.map(rep_cache, cache))
+                jax.tree_util.tree_map_with_path(rep_cache, cache))
 
     def put(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))

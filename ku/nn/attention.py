@@ -212,6 +212,8 @@ class MultiHeadAttention(nn.Module):
         if self.kv_page_size is not None:
             if self.kv_page_size < 1:
                 raise ValueError("kv_page_size must be >= 1")
+            if self.kv_num_pages is not None and self.kv_num_pages < 1:
+                raise ValueError("kv_num_pages must be >= 1")
             if self.window is not None:
                 raise ValueError("paged caches do not compose with ring "
                                  "caches (window) — pick one layout")
@@ -337,6 +339,17 @@ class MultiHeadAttention(nn.Module):
                 # Page pool + per-row table. The identity default makes
                 # an untouched table behave exactly like the dense cache;
                 # a scheduler overwrites the values between dispatches.
+                if (n_pages < bsz * mp
+                        and not self.has_variable("cache", "page_table")):
+                    import warnings
+
+                    warnings.warn(
+                        f"paged cache: kv_num_pages={n_pages} < "
+                        f"B*pages-per-seq={bsz * mp}, so the default "
+                        "identity page_table ALIASES pool pages (clamped)"
+                        " — wrong attention unless a scheduler (e.g. "
+                        "ku.nn.ContinuousBatcher) overwrites the table "
+                        "values before real use", stacklevel=2)
                 ck = self.variable("cache", "pages_k", jnp.zeros,
                                    (n_pages, hkv, pg, d_k_h),
                                    jnp.int8 if qdt else k_h.dtype)
@@ -585,11 +598,14 @@ class MultiHeadAttention(nn.Module):
                     # Occupied slots only; sinks escape the window.
                     keep = (pos >= 0) & ((pos < gp)
                                          | (idx[:, None] - pos < win))
-                else:
+                elif not paged:
                     slot = idx
                     pos = jnp.arange(mx)[None, :]
                     keep = pos <= idx[:, None]
                 if paged:
+                    # NB the paged read builds its own per-page liveness
+                    # mask (kpos <= idx) inside page_step below — there
+                    # is deliberately no slot/pos/keep in this branch.
                     ck.value = _store(ck.value, k_st, idx[:, None])
                     cv.value = _store(cv.value, v_st, idx[:, None])
                     if qdt:

@@ -90,7 +90,8 @@ def generate(model, params, prompt_ids, steps: int, *,
         or :func:`make_sampler` for temperature / top-k.
       rng: PRNG key for stochastic samplers (defaults to key 0).
       prompt_lengths: optional (B,) true lengths of right-padded prompts
-        (ragged/continuous batching, dense caches only): each sequence's
+        (ragged/continuous batching, dense or paged caches — not ring):
+        each sequence's
         first sampled token reads position ``len_b - 1`` and its cache
         resumes at ``len_b``; generated positions are then per-sequence,
         so ``embed`` receives (B, 1) positions in the scan.
@@ -215,8 +216,8 @@ def speculative_generate(model, params, draft_model, draft_params,
     exactly the target model's temperature-T sampling distribution
     (Leviathan et al.; distribution-tested).
 
-    Uniform prompt lengths; dense caches only (ring caches can't rewind
-    — overwritten slots are gone). Allocate ``max_decode_len >=
+    Uniform prompt lengths; dense or paged caches (ring caches can't
+    rewind — overwritten slots are gone). Allocate ``max_decode_len >=
     prompt + steps + gamma + 1`` on BOTH models (a round can overshoot
     by up to gamma before truncation). ``readout`` must accept (B, L, D)
     for chunk verification, and ``embed`` receives (B, L) position

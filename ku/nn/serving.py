@@ -215,17 +215,33 @@ class ContinuousBatcher:
     def _build_template(self):
         """One throwaway prefill discovers the cache pytree; zero it
         (the call wrote a garbage token) and read the paged geometry."""
+        import warnings
+
         B, P = self.num_slots, self.prompt_len
-        cache, _ = self._prefill(
-            {}, jnp.zeros((B, P), jnp.int32), jnp.ones((B,), jnp.int32),
-            jax.random.key(0), 0)
+        with warnings.catch_warnings():
+            # The small-pool identity-table aliasing warning does not
+            # apply here: the scheduler overwrites every table value
+            # before real use.
+            warnings.filterwarnings("ignore", message=".*ALIASES.*")
+            cache, _ = self._prefill(
+                {}, jnp.zeros((B, P), jnp.int32),
+                jnp.ones((B,), jnp.int32), jax.random.key(0), 0)
         self._template = jax.tree.map(jnp.zeros_like, cache)
         geom = set()
+        dense_mx = None
         for path, leaf in jax.tree_util.tree_leaves_with_path(cache):
-            if _leaf_name(path) == "pages_k":
+            name = _leaf_name(path)
+            if name == "pages_k":
                 geom.add((leaf.shape[0], leaf.shape[2]))
-            elif _leaf_name(path) == "page_table":
+            elif name == "page_table":
                 geom.add(("mp", leaf.shape[1]))
+            elif name == "cached_key":
+                dense_mx = leaf.shape[2]
+            elif name == "cache_pos":
+                raise ValueError(
+                    "ContinuousBatcher does not support ring (window) "
+                    "caches — their slot contents depend on global "
+                    "position history and cannot be row-merged")
         self._paged = bool(geom)
         if self._paged:
             pools = {g for g in geom if g[0] != "mp"}
@@ -236,6 +252,17 @@ class ContinuousBatcher:
                     "the scheduler drives one shared page assignment")
             (self._n_pages, self._page), = pools
             self._mp = mps.pop()
+        # Cross-check the declared max_decode_len against the model's
+        # ACTUAL cache geometry: a larger declaration would let the
+        # overrun guard pass for requests whose writes silently clamp
+        # (dense) or drop (paged) past the real page, decoding against a
+        # truncated cache with no error.
+        real = self._mp * self._page if self._paged else dense_mx
+        if real is not None and self.max_decode_len > real:
+            raise ValueError(
+                f"max_decode_len={self.max_decode_len} exceeds the "
+                f"model's actual cache length {real} — size the model's "
+                "max_decode_len to cover prompt+budget+chunk")
 
     def serve(self, prompts: Sequence[Any], max_new_tokens,
               shared_prefix=None) -> list:
@@ -318,10 +345,13 @@ class ContinuousBatcher:
                 n_shared_full = plen_pre // self._page
                 tail = plen_pre % self._page
                 n_pre = n_shared_full + (1 if tail else 0)
-                if n_pre + 1 > self._n_pages:
+                # The prefix pages never free during this call, so at
+                # least one page must REMAIN allocatable for requests.
+                if n_pre + 1 > self._n_pages - 1:
                     raise ValueError(
-                        f"shared prefix needs {n_pre} pages but the pool "
-                        f"has {self._n_pages - 1} allocatable")
+                        f"shared prefix needs {n_pre} pages and at least "
+                        "one request page, but the pool has "
+                        f"{self._n_pages - 1} allocatable")
                 shared_ids = [free_pages.popleft() for _ in range(n_pre)]
                 if tail:
                     prefix_tail_page = shared_ids[n_shared_full]
@@ -378,11 +408,14 @@ class ContinuousBatcher:
                     active[s] = True
                 if paged and not admit.any() and not active.any():
                     i, prompt = queue[0]
+                    allocatable = (self._n_pages - 1
+                                   - stats.get("shared_prefix_pages", 0))
                     raise ValueError(
                         f"request {i} needs "
                         f"{pages_needed(len(prompt), budgets[i])} pages "
-                        f"but the pool only has {self._n_pages - 1} "
-                        "allocatable — grow kv_num_pages")
+                        f"but the pool only has {allocatable} "
+                        "allocatable (after the shared prefix) — grow "
+                        "kv_num_pages")
                 if admit.any():
                     self._key, kp = jax.random.split(self._key)
                     # With a shared prefix the admission prefill runs on

@@ -445,6 +445,35 @@ def test_shard_decode_state_indivisible_heads_replicates(rng):
         assert "model" not in str(leaf.sharding.spec), leaf.sharding
 
 
+def test_shard_decode_state_indivisible_heads_paged_pool(rng):
+    """The head-indivisible REPLICATE fallback must not batch-shard a
+    paged pool's page axis (regression: P(data) on pages_k axis 0 with
+    an odd pool size crashed device_put)."""
+    import warnings
+
+    import ku
+    from ku.dist import shard_decode_state
+
+    mesh = make_mesh({"data": 2, "model": 3})
+    x = jnp.asarray(rng.normal(size=(2, 2, 12)).astype(np.float32))
+    block = ku.Transformer(2, 12, 0.0, causal=True, num_kv_head=2,
+                           max_decode_len=8, kv_page_size=4,
+                           kv_num_pages=5)  # odd pool, hkv % 3 != 0
+    variables = block.init(jax.random.key(0), [x])
+    _, cache = block.apply(variables, [x], decode=True,
+                           mutable=["cache"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _, sc = shard_decode_state(variables["params"], cache["cache"],
+                                   mesh, num_head=2, num_kv_head=2,
+                                   data_axis="data")
+    for path, leaf in jax.tree_util.tree_leaves_with_path(sc):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name in ("pages_k", "pages_v"):
+            spec = leaf.sharding.spec
+            assert len(spec) == 0 or spec[0] is None, (name, spec)
+
+
 def test_dp_tp_decode_on_2d_mesh(rng):
     """Serving on a data×model mesh: batch sharded over 'data', heads +
     cache over 'model' — jitted prefill + decode match the unsharded

@@ -207,6 +207,48 @@ def test_continuous_batcher_shared_prefix_dense_rejected(key, rng):
                  shared_prefix=np.zeros(4, np.int32))
 
 
+def test_continuous_batcher_geometry_guards(key, rng):
+    """Declared max_decode_len larger than the model's real cache raises
+    (writes would silently clamp/drop); ring caches are rejected; a
+    prefix that leaves no allocatable pages raises."""
+    block, params, embed, readout, vocab = _lm(key, rng,
+                                               max_decode_len=16)
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=64,
+                           chunk=2)
+    with pytest.raises(ValueError, match="actual cache length"):
+        cb.serve([np.zeros(2, np.int32)], 4)
+
+    ring = ku.Transformer(2, 8, 0.0, causal=True, window=4,
+                          global_prefix=1)
+    rparams = ring.init(key, [jnp.zeros((1, 2, 8), jnp.float32)])["params"]
+    cbr = ContinuousBatcher(ring, rparams, embed=embed, readout=readout,
+                            num_slots=2, prompt_len=4, max_decode_len=32,
+                            chunk=2)
+    with pytest.raises(ValueError, match="ring"):
+        cbr.serve([np.zeros(2, np.int32)], 4)
+
+    paged = ku.Transformer(2, 8, 0.0, causal=True, max_decode_len=32,
+                           kv_page_size=4, kv_num_pages=4)
+    cbp = ContinuousBatcher(paged, params, embed=embed, readout=readout,
+                            num_slots=2, prompt_len=4, max_decode_len=32,
+                            chunk=2)
+    with pytest.raises(ValueError, match="at least one request page"):
+        cbp.serve([np.zeros(2, np.int32)], 4,
+                  shared_prefix=np.zeros(12, np.int32))  # 3 of 3 pages
+
+
+def test_paged_default_table_alias_warns(key, rng):
+    """kv_num_pages below B*pages-per-seq with the DEFAULT identity
+    table warns (the clamp aliases pages — scheduler required)."""
+    x = jnp.asarray(rng.normal(size=(2, 1, 8)).astype(np.float32))
+    layer = ku.MultiHeadAttention(2, 8, 0.0, causal=True,
+                                  max_decode_len=8, kv_page_size=4,
+                                  kv_num_pages=3)
+    with pytest.warns(UserWarning, match="ALIASES"):
+        layer.init(key, [x, x, x], decode=True)
+
+
 def test_continuous_batcher_stochastic_in_vocab(key, rng):
     """Temperature sampling serves end-to-end; tokens stay in-vocab and
     per-request budgets are honored."""
