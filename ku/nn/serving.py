@@ -264,9 +264,264 @@ class ContinuousBatcher:
                 f"model's actual cache length {real} — size the model's "
                 "max_decode_len to cover prompt+budget+chunk")
 
+    # -- online scheduler (submit / step) -----------------------------
+
+    def reset(self, shared_prefix=None) -> None:
+        """(Re)initialize the scheduler: empty queue and slots, fresh
+        stats, and — with ``shared_prefix`` (paged mode only, length ≥ 2)
+        — one prefix prefill into shared pages that every subsequent
+        request's table aliases read-only."""
+        if self._template is None:
+            self._build_template()
+        B = self.num_slots
+        self._queue: deque = deque()
+        self._next_id = 0
+        self._budgets: dict = {}
+        self._active = np.zeros(B, bool)
+        self._slot_req = [None] * B
+        self._slot_toks: list = [[] for _ in range(B)]
+        self._lengths = np.zeros(B, np.int64)  # pending token position
+        self._cache = self._pending = None
+        self._stats = {"admission_events": 0, "chunks": 0,
+                       "wasted_slot_steps": 0, "decoded_tokens": 0}
+        self.last_stats = self._stats
+        self._n_shared_full, self._prefix_tail_page = 0, None
+        self._shared_ids: list = []
+        self._plen_pre = 0
+        if self._paged:
+            # Page 0 is the scratch target; 1..NP-1 are allocatable.
+            self._free_pages = deque(range(1, self._n_pages))
+            self._slot_pages: list = [[] for _ in range(B)]
+            self._tables = np.zeros((B, self._mp), np.int32)
+            self._stats["peak_pages_in_use"] = 0
+        if shared_prefix is not None:
+            if not self._paged:
+                raise ValueError(
+                    "shared_prefix needs a paged cache (kv_page_size) — "
+                    "dense callers can prepend the prefix to each prompt "
+                    "or use fork_cache")
+            plen_pre = len(shared_prefix)
+            if plen_pre < 2:
+                raise ValueError("shared_prefix must have length >= 2")
+            # Prefill the prefix ONCE into shared pages through row 0's
+            # table; the tail page (if the prefix isn't page-aligned) is
+            # copied per request at admission.
+            self._plen_pre = plen_pre
+            self._n_shared_full = plen_pre // self._page
+            tail = plen_pre % self._page
+            n_pre = self._n_shared_full + (1 if tail else 0)
+            # The prefix pages never free, so at least one page must
+            # REMAIN allocatable for requests.
+            if n_pre + 1 > self._n_pages - 1:
+                raise ValueError(
+                    f"shared prefix needs {n_pre} pages and at least "
+                    "one request page, but the pool has "
+                    f"{self._n_pages - 1} allocatable")
+            self._shared_ids = [self._free_pages.popleft()
+                                for _ in range(n_pre)]
+            if tail:
+                self._prefix_tail_page = self._shared_ids[
+                    self._n_shared_full]
+            pr0 = np.zeros((B, plen_pre), np.int32)
+            pr0[0] = np.asarray(shared_prefix, np.int32)
+            ln0 = np.ones(B, np.int32)
+            ln0[0] = plen_pre
+            self._tables[0, :n_pre] = self._shared_ids
+            self._key, kp = jax.random.split(self._key)
+            self._cache, self._pending = self._prefill(
+                self._set_tables(self._template,
+                                 jnp.asarray(self._tables)),
+                jnp.asarray(pr0), jnp.asarray(ln0), kp, 0)
+            self._tables[0] = 0  # row 0 is not a request
+            self._stats["shared_prefix_pages"] = n_pre
+
+    @property
+    def idle(self) -> bool:
+        """True when no request is queued or decoding."""
+        return (self._template is None
+                or (not self._queue and not self._active.any()))
+
+    def submit(self, prompt, max_new_tokens: int, request_id=None):
+        """Enqueue one request (admitted at the next :meth:`step`);
+        returns its id (auto-assigned ints unless given). Requests may
+        be submitted at ANY time — including while earlier ones are
+        mid-decode."""
+        if self._template is None:
+            self.reset()
+        budget = int(max_new_tokens)
+        if budget < 1:
+            raise ValueError("max_new_tokens must be >= 1")
+        if not 1 <= len(prompt) <= self.prompt_len:
+            raise ValueError(f"prompt length {len(prompt)} outside "
+                             f"[1, {self.prompt_len}]")
+        if self._plen_pre + len(prompt) + budget + self.chunk \
+                > self.max_decode_len:
+            raise ValueError(
+                f"prefix {self._plen_pre} + prompt {len(prompt)} + "
+                f"budget {budget} + chunk {self.chunk} overruns "
+                f"max_decode_len {self.max_decode_len}")
+        if request_id is None:
+            request_id = self._next_id
+            self._next_id += 1
+        self._budgets[request_id] = budget
+        self._queue.append((request_id, np.asarray(prompt, np.int32)))
+        return request_id
+
+    def _pages_needed(self, plen, budget):
+        written = (self._plen_pre + plen
+                   + -(-budget // self.chunk) * self.chunk)
+        return -(-written // self._page) - self._n_shared_full
+
+    def _admit(self):
+        """Fill free slots from the queue: one admission prefill at the
+        pool width + a merge that leaves continuing rows untouched."""
+        B, P = self.num_slots, self.prompt_len
+        paged, plen_pre = self._paged, self._plen_pre
+        free = np.flatnonzero(~self._active)
+        if not (self._queue and free.size):
+            return False
+        pr = np.zeros((B, P), np.int32)
+        ln = np.ones(B, np.int32)
+        admit = np.zeros(B, bool)
+        event_pages: list = []
+        seed_dst = np.zeros(B, np.int32)
+        for s in free:
+            if not self._queue:
+                break
+            rid, prompt = self._queue[0]
+            if paged:
+                need = self._pages_needed(len(prompt),
+                                          self._budgets[rid])
+                if need > len(self._free_pages):
+                    break  # defer; FIFO order preserved
+                alloc = [self._free_pages.popleft() for _ in range(need)]
+                self._slot_pages[s] = alloc
+                event_pages.extend(alloc)
+                self._tables[s] = 0
+                if self._n_shared_full:
+                    self._tables[s, :self._n_shared_full] = \
+                        self._shared_ids[:self._n_shared_full]
+                self._tables[s, self._n_shared_full:
+                             self._n_shared_full + need] = alloc
+                if self._prefix_tail_page is not None:
+                    seed_dst[s] = alloc[0]
+            self._queue.popleft()
+            pr[s, :len(prompt)] = prompt
+            ln[s] = len(prompt)
+            admit[s] = True
+            self._slot_req[s] = rid
+            self._slot_toks[s] = []
+            self._active[s] = True
+        if paged and not admit.any() and not self._active.any():
+            rid, prompt = self._queue[0]
+            allocatable = (self._n_pages - 1
+                           - self._stats.get("shared_prefix_pages", 0))
+            raise ValueError(
+                f"request {rid} needs "
+                f"{self._pages_needed(len(prompt), self._budgets[rid])} "
+                f"pages but the pool only has {allocatable} allocatable "
+                "(after the shared prefix) — grow kv_num_pages")
+        if not admit.any():
+            return False
+        self._key, kp = jax.random.split(self._key)
+        # With a shared prefix the admission prefill runs on the LIVE
+        # cache (attention must see the prefix pages) starting at
+        # cache_index = prefix length; the merge still discards
+        # everything outside the admitted rows / this event's pages, so
+        # dummy-row writes (routed through the host tables) never
+        # survive.
+        cache_in = (self._cache if plen_pre else self._template)
+        if paged:
+            cache_in = self._set_tables(cache_in,
+                                        jnp.asarray(self._tables))
+            if plen_pre:
+                cache_in = self._set_ci(cache_in, plen_pre)
+            if self._prefix_tail_page is not None:
+                cache_in = self._seed_pages(
+                    cache_in, self._prefix_tail_page,
+                    jnp.asarray(seed_dst))
+            in_use = (sum(len(p) for p in self._slot_pages)
+                      + self._stats.get("shared_prefix_pages", 0))
+            self._stats["peak_pages_in_use"] = max(
+                self._stats["peak_pages_in_use"], in_use)
+        fresh_cache, fresh_pending = self._prefill(
+            cache_in, jnp.asarray(pr), jnp.asarray(ln), kp, plen_pre)
+        if self._cache is None:
+            self._cache, self._pending = fresh_cache, fresh_pending
+        elif paged:
+            pmask = np.zeros(self._n_pages, bool)
+            pmask[event_pages] = True
+            self._cache, self._pending = self._merge_paged(
+                (self._cache, self._pending),
+                (fresh_cache, fresh_pending),
+                jnp.asarray(admit), jnp.asarray(pmask))
+        else:
+            self._cache, self._pending = self._merge(
+                (self._cache, self._pending),
+                (fresh_cache, fresh_pending), jnp.asarray(admit))
+        self._lengths[admit] = plen_pre + ln[admit]
+        self._stats["admission_events"] += 1
+        return True
+
+    def step(self) -> dict:
+        """One scheduling round: admit what fits, decode ONE chunk
+        (a single ``lax.scan`` dispatch), harvest finished slots.
+
+        Returns {request_id: (tokens,) np.int32} for requests that
+        FINISHED this round (empty dict if none, or if the engine is
+        idle). Drive a server loop with ``submit()`` + ``step()``;
+        ``self.idle`` says when everything drained."""
+        if self._template is None or self.idle:
+            return {}
+        self._admit()
+        B, chunk, paged = self.num_slots, self.chunk, self._paged
+        self._key, kc = jax.random.split(self._key)
+        self._cache, self._pending, toks = self._chunk(
+            self._cache, self._pending,
+            jnp.asarray(self._lengths, jnp.int32),
+            jax.random.split(kc, chunk))
+        toks = np.asarray(toks)
+        self._lengths += chunk
+        self._stats["chunks"] += 1
+        finished = {}
+        for s in range(B):
+            if not self._active[s]:
+                self._stats["wasted_slot_steps"] += chunk
+                continue
+            rid = self._slot_req[s]
+            for j in range(chunk):
+                t = int(toks[s, j])
+                self._slot_toks[s].append(t)
+                self._stats["decoded_tokens"] += 1
+                if ((self.eos_id is not None and t == self.eos_id)
+                        or len(self._slot_toks[s])
+                        >= self._budgets[rid]):
+                    finished[rid] = np.asarray(self._slot_toks[s],
+                                               np.int32)
+                    self._active[s] = False
+                    self._stats["wasted_slot_steps"] += chunk - 1 - j
+                    if paged:
+                        # Recycle; the device-side table still points
+                        # here until the next admission scratches it,
+                        # but hand-out also only happens there — no
+                        # window where stale writes can land in a
+                        # reallocated page.
+                        self._free_pages.extend(self._slot_pages[s])
+                        self._slot_pages[s] = []
+                        self._tables[s] = 0
+                    break
+        # Dead rows keep decoding until recycled; clamp their positions
+        # so absolute-PE embed hooks never see indices past the cache
+        # page (JAX clamps gathers, but don't rely on it).
+        self._lengths = np.where(
+            self._active, self._lengths,
+            np.minimum(self._lengths, self.max_decode_len - 1))
+        return finished
+
     def serve(self, prompts: Sequence[Any], max_new_tokens,
               shared_prefix=None) -> list:
-        """Serve a workload of prompts through the slot pool.
+        """Serve a whole workload through the slot pool (a
+        :meth:`reset` + :meth:`submit` loop + :meth:`step` drain).
 
         Args:
           prompts: sequence of 1-D int token arrays (ragged lengths in
@@ -296,206 +551,12 @@ class ContinuousBatcher:
         if len(budgets) != n:
             raise ValueError("max_new_tokens must be scalar or match "
                              "len(prompts)")
-        if any(b < 1 for b in budgets):
-            raise ValueError("max_new_tokens must be >= 1 per request")
-        B, P, chunk = self.num_slots, self.prompt_len, self.chunk
-        plen_pre = 0 if shared_prefix is None else len(shared_prefix)
-        for i, pr in enumerate(prompts):
-            if not 1 <= len(pr) <= P:
-                raise ValueError(f"prompt {i} length {len(pr)} outside "
-                                 f"[1, {P}]")
-            if plen_pre + len(pr) + budgets[i] + chunk \
-                    > self.max_decode_len:
-                raise ValueError(
-                    f"request {i}: prefix {plen_pre} + prompt {len(pr)} "
-                    f"+ budget {budgets[i]} + chunk {chunk} overruns "
-                    f"max_decode_len {self.max_decode_len}")
-
-        if self._template is None:
-            self._build_template()
-        paged = self._paged
-        if shared_prefix is not None:
-            if not paged:
-                raise ValueError(
-                    "shared_prefix needs a paged cache (kv_page_size) — "
-                    "dense callers can prepend the prefix to each prompt "
-                    "or use fork_cache")
-            if plen_pre < 2:
-                raise ValueError("shared_prefix must have length >= 2")
-        queue = deque(enumerate(prompts))
+        self.reset(shared_prefix=shared_prefix)
         results: list = [None] * n
-        active = np.zeros(B, bool)
-        slot_req = np.full(B, -1)
-        slot_toks: list = [[] for _ in range(B)]
-        lengths = np.zeros(B, np.int64)  # global index of pending token
-        cache = pending = None
-        stats = {"admission_events": 0, "chunks": 0,
-                 "wasted_slot_steps": 0, "decoded_tokens": 0}
-        n_shared_full, prefix_tail_page = 0, None
-        if paged:
-            # Page 0 is the scratch target; 1..NP-1 are allocatable.
-            free_pages = deque(range(1, self._n_pages))
-            slot_pages: list = [[] for _ in range(B)]
-            tables = np.zeros((B, self._mp), np.int32)
-            stats["peak_pages_in_use"] = 0
-            if shared_prefix is not None:
-                # Prefill the prefix ONCE into shared pages through row
-                # 0's table; the tail page (if the prefix isn't
-                # page-aligned) is copied per request at admission.
-                n_shared_full = plen_pre // self._page
-                tail = plen_pre % self._page
-                n_pre = n_shared_full + (1 if tail else 0)
-                # The prefix pages never free during this call, so at
-                # least one page must REMAIN allocatable for requests.
-                if n_pre + 1 > self._n_pages - 1:
-                    raise ValueError(
-                        f"shared prefix needs {n_pre} pages and at least "
-                        "one request page, but the pool has "
-                        f"{self._n_pages - 1} allocatable")
-                shared_ids = [free_pages.popleft() for _ in range(n_pre)]
-                if tail:
-                    prefix_tail_page = shared_ids[n_shared_full]
-                pr0 = np.zeros((B, plen_pre), np.int32)
-                pr0[0] = np.asarray(shared_prefix, np.int32)
-                ln0 = np.ones(B, np.int32)
-                ln0[0] = plen_pre
-                tables[0, :n_pre] = shared_ids
-                self._key, kp = jax.random.split(self._key)
-                cache, pending = self._prefill(
-                    self._set_tables(self._template, jnp.asarray(tables)),
-                    jnp.asarray(pr0), jnp.asarray(ln0), kp, 0)
-                tables[0] = 0  # row 0 is not a request
-                stats["shared_prefix_pages"] = n_pre
-
-        def pages_needed(plen, budget):
-            written = plen_pre + plen + -(-budget // chunk) * chunk
-            return -(-written // self._page) - n_shared_full
-
-        while queue or active.any():
-            free = np.flatnonzero(~active)
-            if queue and free.size:
-                pr = np.zeros((B, P), np.int32)
-                ln = np.ones(B, np.int32)
-                admit = np.zeros(B, bool)
-                event_pages: list = []
-                seed_dst = np.zeros(B, np.int32)
-                for s in free:
-                    if not queue:
-                        break
-                    i, prompt = queue[0]
-                    if paged:
-                        need = pages_needed(len(prompt), budgets[i])
-                        if need > len(free_pages):
-                            break  # defer; FIFO order preserved
-                        alloc = [free_pages.popleft() for _ in
-                                 range(need)]
-                        slot_pages[s] = alloc
-                        event_pages.extend(alloc)
-                        tables[s] = 0
-                        if n_shared_full:
-                            tables[s, :n_shared_full] = \
-                                shared_ids[:n_shared_full]
-                        tables[s, n_shared_full:n_shared_full + need] = \
-                            alloc
-                        if prefix_tail_page is not None:
-                            seed_dst[s] = alloc[0]
-                    queue.popleft()
-                    pr[s, :len(prompt)] = np.asarray(prompt, np.int32)
-                    ln[s] = len(prompt)
-                    admit[s] = True
-                    slot_req[s] = i
-                    slot_toks[s] = []
-                    active[s] = True
-                if paged and not admit.any() and not active.any():
-                    i, prompt = queue[0]
-                    allocatable = (self._n_pages - 1
-                                   - stats.get("shared_prefix_pages", 0))
-                    raise ValueError(
-                        f"request {i} needs "
-                        f"{pages_needed(len(prompt), budgets[i])} pages "
-                        f"but the pool only has {allocatable} "
-                        "allocatable (after the shared prefix) — grow "
-                        "kv_num_pages")
-                if admit.any():
-                    self._key, kp = jax.random.split(self._key)
-                    # With a shared prefix the admission prefill runs on
-                    # the LIVE cache (attention must see the prefix
-                    # pages) starting at cache_index = prefix length;
-                    # the merge still discards everything outside the
-                    # admitted rows / this event's pages, so dummy-row
-                    # writes (routed through the host tables) never
-                    # survive.
-                    cache_in = (cache if plen_pre else self._template)
-                    if paged:
-                        cache_in = self._set_tables(cache_in,
-                                                    jnp.asarray(tables))
-                        if plen_pre:
-                            cache_in = self._set_ci(cache_in, plen_pre)
-                        if prefix_tail_page is not None:
-                            cache_in = self._seed_pages(
-                                cache_in, prefix_tail_page,
-                                jnp.asarray(seed_dst))
-                        in_use = (sum(len(p) for p in slot_pages)
-                                  + (stats.get("shared_prefix_pages", 0)))
-                        stats["peak_pages_in_use"] = max(
-                            stats["peak_pages_in_use"], in_use)
-                    fresh_cache, fresh_pending = self._prefill(
-                        cache_in, jnp.asarray(pr), jnp.asarray(ln), kp,
-                        plen_pre)
-                    if cache is None:
-                        cache, pending = fresh_cache, fresh_pending
-                    elif paged:
-                        pmask = np.zeros(self._n_pages, bool)
-                        pmask[event_pages] = True
-                        cache, pending = self._merge_paged(
-                            (cache, pending),
-                            (fresh_cache, fresh_pending),
-                            jnp.asarray(admit), jnp.asarray(pmask))
-                    else:
-                        cache, pending = self._merge(
-                            (cache, pending),
-                            (fresh_cache, fresh_pending),
-                            jnp.asarray(admit))
-                    lengths[admit] = plen_pre + ln[admit]
-                    stats["admission_events"] += 1
-
-            self._key, kc = jax.random.split(self._key)
-            cache, pending, toks = self._chunk(
-                cache, pending, jnp.asarray(lengths, jnp.int32),
-                jax.random.split(kc, chunk))
-            toks = np.asarray(toks)
-            lengths += chunk
-            stats["chunks"] += 1
-            for s in range(B):
-                if not active[s]:
-                    stats["wasted_slot_steps"] += chunk
-                    continue
-                for j in range(chunk):
-                    t = int(toks[s, j])
-                    slot_toks[s].append(t)
-                    stats["decoded_tokens"] += 1
-                    i = slot_req[s]
-                    if ((self.eos_id is not None and t == self.eos_id)
-                            or len(slot_toks[s]) >= budgets[i]):
-                        results[i] = np.asarray(slot_toks[s], np.int32)
-                        active[s] = False
-                        stats["wasted_slot_steps"] += chunk - 1 - j
-                        if paged:
-                            # Recycle; the device-side table still points
-                            # here until the next admission scratches it,
-                            # but hand-out also only happens there — no
-                            # window where stale writes can land in a
-                            # reallocated page.
-                            free_pages.extend(slot_pages[s])
-                            slot_pages[s] = []
-                            tables[s] = 0
-                        break
-            # Dead rows keep decoding until recycled; clamp their
-            # positions so absolute-PE embed hooks never see indices
-            # past the cache page (JAX clamps gathers, but don't rely
-            # on it).
-            lengths = np.where(active, lengths,
-                               np.minimum(lengths, self.max_decode_len - 1))
-
-        self.last_stats = stats
+        for i, (pr, b) in enumerate(zip(prompts, budgets)):
+            self.submit(pr, b, request_id=i)
+        while not self.idle:
+            results_step = self.step()
+            for rid, toks in results_step.items():
+                results[rid] = toks
         return results

@@ -207,6 +207,35 @@ def test_continuous_batcher_shared_prefix_dense_rejected(key, rng):
                  shared_prefix=np.zeros(4, np.int32))
 
 
+def test_continuous_batcher_online_submit_step(key, rng):
+    """The online API: requests submitted MID-DECODE (after earlier ones
+    already started) are admitted into freed slots and still emit
+    exactly the per-request generate() tokens; step() returns each
+    request once, and idle flips when drained."""
+    block, params, embed, readout, vocab = _lm(key, rng)
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=32,
+                           chunk=3)
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (3, 2, 4, 1)]
+    cb.reset()
+    ids = [cb.submit(prompts[0], 6), cb.submit(prompts[1], 5)]
+    done = {}
+    done.update(cb.step())  # both decoding
+    ids.append(cb.submit(prompts[2], 4))   # late arrival mid-decode
+    while len(done) < 3:
+        done.update(cb.step())
+    ids.append(cb.submit(prompts[3], 7))   # arrives when others finished
+    while not cb.idle:
+        done.update(cb.step())
+    assert cb.step() == {}  # idle engine no-ops
+    assert set(done) == set(ids)
+    for rid, pr, b in zip(ids, prompts, (6, 5, 4, 7)):
+        want = np.asarray(generate(block, params, jnp.asarray(pr)[None],
+                                   b, embed=embed, readout=readout))
+        np.testing.assert_array_equal(done[rid], want[0])
+
+
 def test_continuous_batcher_geometry_guards(key, rng):
     """Declared max_decode_len larger than the model's real cache raises
     (writes would silently clamp/drop); ring caches are rejected; a
