@@ -98,6 +98,13 @@ class ContinuousBatcher:
         its sequence emits it (the EOS itself is returned).
       rng: PRNG key for stochastic samplers.
       model_kwargs: extra kwargs for ``model.apply``.
+      mesh: optional ``jax.sharding.Mesh`` — the serving replica IS the
+        mesh: params and every cache are placed by
+        :func:`ku.dist.shard_decode_state` (attention heads + KV over
+        ``model_axis``; with ``data_axis`` the slot/batch axis shards
+        too — 2-D request-DP × head-TP). Pass ``num_head`` (and
+        ``num_kv_head`` for GQA) so head divisibility is checked.
+      model_axis / data_axis / num_head / num_kv_head: see ``mesh``.
     """
 
     def __init__(self, model, params, *, embed: Callable,
@@ -105,12 +112,24 @@ class ContinuousBatcher:
                  max_decode_len: int, chunk: int = 8,
                  sampler: Callable = greedy, eos_id: Optional[int] = None,
                  rng: Optional[jax.Array] = None,
-                 model_kwargs: Optional[dict] = None):
+                 model_kwargs: Optional[dict] = None,
+                 mesh=None, model_axis: str = "model",
+                 data_axis: Optional[str] = None,
+                 num_head: Optional[int] = None,
+                 num_kv_head: Optional[int] = None):
         if prompt_len < 2:
             # prompt_lengths needs a >1-wide chunk (attention.py guard).
             raise ValueError("prompt_len must be >= 2")
         if chunk < 1:
             raise ValueError("chunk must be >= 1")
+        self._mesh = mesh
+        self._shard_kw = dict(model_axis=model_axis, data_axis=data_axis,
+                              num_head=num_head, num_kv_head=num_kv_head)
+        if mesh is not None:
+            from ku.dist.mesh import shard_decode_state
+
+            params, _ = shard_decode_state(params, {}, mesh,
+                                           **self._shard_kw)
         self.num_slots = num_slots
         self.prompt_len = prompt_len
         self.max_decode_len = max_decode_len
@@ -227,6 +246,13 @@ class ContinuousBatcher:
                 {}, jnp.zeros((B, P), jnp.int32),
                 jnp.ones((B,), jnp.int32), jax.random.key(0), 0)
         self._template = jax.tree.map(jnp.zeros_like, cache)
+        if self._mesh is not None:
+            # Place the template on the mesh once; every fresh cache and
+            # merge output inherits the placement through GSPMD.
+            from ku.dist.mesh import shard_decode_state
+
+            _, self._template = shard_decode_state(
+                {}, self._template, self._mesh, **self._shard_kw)
         geom = set()
         dense_mx = None
         for path, leaf in jax.tree_util.tree_leaves_with_path(cache):

@@ -582,3 +582,38 @@ def test_tensor_parallel_paged_decode_matches_single(rng):
             assert len(spec) == 0 or spec[0] is None, (name, spec)
             checked += 1
     assert checked >= 4  # 2 pools x 2 attention sublayers
+
+
+def test_continuous_batcher_on_mesh(rng):
+    """Mesh-aware serving: ContinuousBatcher(mesh=...) places params +
+    every cache via shard_decode_state (request-DP x head-TP) and emits
+    exactly the unsharded batcher's tokens; cache leaves stay sharded
+    across admission merges and decode chunks."""
+    import ku
+    from ku.nn.serving import ContinuousBatcher
+
+    mesh = make_mesh({"data": 2, "model": 2})
+    vocab, dm, h, hkv = 11, 16, 4, 2
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(h, dm, 0.0, causal=True, num_kv_head=hkv,
+                           max_decode_len=32)
+    params = block.init(jax.random.key(0),
+                        [table[jnp.zeros((1, 2), jnp.int32)]])["params"]
+    prompts = [np.asarray(rng.integers(0, vocab, size=(p,)), np.int32)
+               for p in (3, 1, 4)]
+    mk = lambda **kw: ContinuousBatcher(
+        block, params, embed=lambda i, p=None: table[i],
+        readout=lambda y: y @ table.T, num_slots=2, prompt_len=4,
+        max_decode_len=32, chunk=3, **kw)
+    want = mk().serve(prompts, 6)
+    cb = mk(mesh=mesh, data_axis="data", num_head=h, num_kv_head=hkv)
+    got = cb.serve(prompts, 6)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g, w)
+    # The live cache must still be head/data-sharded after serving.
+    specs = [str(leaf.sharding.spec)
+             for path, leaf in jax.tree_util.tree_leaves_with_path(
+                 cb._cache)
+             if str(getattr(path[-1], "key", path[-1]))
+             in ("cached_key", "cached_value")]
+    assert specs and all("model" in s for s in specs), specs
