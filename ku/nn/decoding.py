@@ -62,6 +62,7 @@ def generate(model, params, prompt_ids, steps: int, *,
              sampler: Callable = greedy,
              rng: Optional[jax.Array] = None,
              prompt_lengths=None,
+             return_logprobs: bool = False,
              model_kwargs: Optional[dict] = None) -> Any:
     """Generate ``steps`` tokens after a prompt, all in TWO dispatches.
 
@@ -99,12 +100,21 @@ def generate(model, params, prompt_ids, steps: int, *,
         Transformer stacks; deterministic=True is implied by serving).
 
     Returns:
-      (B, steps) int32 generated ids (prompt not included).
+      (B, steps) int32 generated ids (prompt not included); with
+      ``return_logprobs=True``, a tuple of that and the (B, steps) f32
+      per-token log-probabilities of the EMITTED tokens under the
+      model's raw distribution (log-softmax of the logits — independent
+      of the sampler's temperature/top-k reshaping, the convention
+      serving APIs report).
     """
     kw = model_kwargs or {}
     if rng is None:
         rng = jax.random.key(0)
     apply_step = _stepper(model, params, kw)
+
+    def chosen_lp(logits, tok):
+        return jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                                   tok[:, None], axis=1)[:, 0]
 
     # Prefill (one dispatch).
     p = prompt_ids.shape[1]
@@ -118,22 +128,31 @@ def generate(model, params, prompt_ids, steps: int, *,
         cache, y = apply_step({}, embed(prompt_ids, jnp.arange(p)))
         y_last = y[:, -1:]
     key0, key_scan = jax.random.split(rng)
-    tok = sampler(readout(y_last)[:, 0], key0)
+    logits0 = readout(y_last)[:, 0]
+    tok = sampler(logits0, key0)
+    lp = chosen_lp(logits0, tok) if return_logprobs else None
 
     def step(carry, xs):
-        cache, tok = carry
+        cache, tok, lp = carry
         key, i = xs
         pos = (lens + i)[:, None] if ragged else (p + i)[None]
         cache, y = apply_step(cache, embed(tok[:, None], pos))
-        nxt = sampler(readout(y)[:, 0], key)
-        return (cache, nxt), tok
+        logits = readout(y)[:, 0]
+        nxt = sampler(logits, key)
+        nlp = chosen_lp(logits, nxt) if return_logprobs else None
+        return (cache, nxt, nlp), (tok, lp)
 
-    (_, last), toks = jax.lax.scan(
-        step, (cache, tok),
+    (_, last, last_lp), (toks, lps) = jax.lax.scan(
+        step, (cache, tok, lp),
         (jax.random.split(key_scan, steps - 1),
          jnp.arange(steps - 1)))
     out = jnp.moveaxis(toks, 0, 1)  # (B, steps-1)
-    return jnp.concatenate([out, last[:, None]], axis=1)
+    ids = jnp.concatenate([out, last[:, None]], axis=1)
+    if not return_logprobs:
+        return ids
+    lps = jnp.concatenate([jnp.moveaxis(lps, 0, 1), last_lp[:, None]],
+                          axis=1)
+    return ids, lps
 
 
 def mask_after_eos(ids, eos_id: int, pad_id: int = 0):

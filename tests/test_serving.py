@@ -294,3 +294,33 @@ def test_continuous_batcher_stochastic_in_vocab(key, rng):
     for out, b in zip(outs, [5, 3, 6, 4]):
         assert out.shape == (b,)
         assert out.min() >= 0 and out.max() < vocab
+
+
+def test_generate_logprobs(key, rng):
+    """generate(return_logprobs=True): ids unchanged; each emitted
+    token's logprob equals the full-forward log-softmax at its
+    position (teacher-forcing oracle), and greedy logprobs are the
+    per-position max."""
+    block, params, embed, readout, vocab = _lm(key, rng)
+    p, steps = 3, 6
+    ids = jnp.asarray(rng.integers(0, vocab, size=(2, p)), jnp.int32)
+    plain = np.asarray(generate(block, params, ids, steps, embed=embed,
+                                readout=readout))
+    out, lps = generate(block, params, ids, steps, embed=embed,
+                        readout=readout, return_logprobs=True)
+    out, lps = np.asarray(out), np.asarray(lps)
+    np.testing.assert_array_equal(out, plain)
+    assert lps.shape == (2, steps) and (lps <= 0).all()
+
+    # Oracle: full causal forward over prompt+generated, teacher-forced.
+    full = jnp.concatenate([ids, jnp.asarray(out)], axis=1)
+    y = block.apply({"params": params}, [embed(full)])
+    logp = np.asarray(jax.nn.log_softmax(np.asarray(readout(y)), -1))
+    for b in range(2):
+        for t in range(steps):
+            want = logp[b, p - 1 + t, out[b, t]]
+            np.testing.assert_allclose(lps[b, t], want, rtol=1e-4,
+                                       atol=1e-5)
+    # Greedy = argmax => its logprob is the row max.
+    np.testing.assert_allclose(lps, logp[:, p - 1:p - 1 + steps].max(-1),
+                               rtol=1e-4, atol=1e-5)
