@@ -87,9 +87,10 @@ class ContinuousBatcher:
         ``prompt_lengths``.
       readout: (B, 1, D) → (B, 1, V) logits.
       num_slots: B, the fixed decode batch width (the compiled shape).
-      prompt_len: P, the fixed right-padded prompt width (≥ 2; prompts
-        longer than P are rejected — chunked prefill composes on dense
-        caches, but admission keeps one compiled shape).
+      prompt_len: P, the fixed right-padded prefill width (≥ 2). Longer
+        prompts are admitted in ceil(len/P) chunked prefill ROUNDS at
+        the same compiled shape — pick P near the workload's typical
+        prompt length.
       max_decode_len: the model's cache page length (for budget checks).
       chunk: decode quantum — tokens generated per dispatch between
         scheduling points.
@@ -153,8 +154,8 @@ class ContinuousBatcher:
             return cache, tok
 
         def _merge(live, fresh, admit):
-            # live/fresh: (cache, pending) pytrees; every leaf is
-            # batch-first (incl. the (B,) cache_index and pending).
+            # Cache merge: every leaf is batch-first (incl. the (B,)
+            # cache_index).
             def sel(o, n):
                 m = admit.reshape((-1,) + (1,) * (o.ndim - 1))
                 return jnp.where(m, n, o)
@@ -164,7 +165,7 @@ class ContinuousBatcher:
         def _merge_paged(live, fresh, admit, admit_pages):
             # Pool leaves merge per PAGE; page_table rows are replaced
             # wholesale (fresh == host truth: dead rows -> scratch);
-            # everything else (cache_index, pending) merges per row.
+            # everything else (cache_index) merges per row.
             def sel(path, o, n):
                 name = _leaf_name(path)
                 if name == "page_table":
@@ -367,19 +368,29 @@ class ContinuousBatcher:
         return (self._template is None
                 or (not self._queue and not self._active.any()))
 
+    def progress(self) -> dict:
+        """Tokens emitted SO FAR by every in-flight request
+        ({request_id: np.int32 array}) — poll between :meth:`step` calls
+        to stream partial generations to clients."""
+        if self._template is None:
+            return {}
+        return {self._slot_req[s]: np.asarray(self._slot_toks[s],
+                                              np.int32)
+                for s in range(self.num_slots) if self._active[s]}
+
     def submit(self, prompt, max_new_tokens: int, request_id=None):
         """Enqueue one request (admitted at the next :meth:`step`);
         returns its id (auto-assigned ints unless given). Requests may
         be submitted at ANY time — including while earlier ones are
-        mid-decode."""
+        mid-decode. Prompts longer than ``prompt_len`` are prefilled in
+        chunked admission rounds at the fixed shape."""
         if self._template is None:
             self.reset()
         budget = int(max_new_tokens)
         if budget < 1:
             raise ValueError("max_new_tokens must be >= 1")
-        if not 1 <= len(prompt) <= self.prompt_len:
-            raise ValueError(f"prompt length {len(prompt)} outside "
-                             f"[1, {self.prompt_len}]")
+        if len(prompt) < 1:
+            raise ValueError("prompt must be non-empty")
         if self._plen_pre + len(prompt) + budget + self.chunk \
                 > self.max_decode_len:
             raise ValueError(
@@ -399,15 +410,19 @@ class ContinuousBatcher:
         return -(-written // self._page) - self._n_shared_full
 
     def _admit(self):
-        """Fill free slots from the queue: one admission prefill at the
-        pool width + a merge that leaves continuing rows untouched."""
+        """Fill free slots from the queue. Prompts may exceed
+        ``prompt_len``: admission prefills in ceil(len/P) ROUNDS at the
+        fixed (B, P) shape — dense-cache chunked prefill composes, and
+        each round's merge takes only the rows that wrote (rows whose
+        prompt ended in an earlier round keep their state; a done row's
+        dummy writes land at positions above its cache_index, invisible
+        until decode overwrites them — the ragged-padding argument)."""
         B, P = self.num_slots, self.prompt_len
         paged, plen_pre = self._paged, self._plen_pre
         free = np.flatnonzero(~self._active)
         if not (self._queue and free.size):
             return False
-        pr = np.zeros((B, P), np.int32)
-        ln = np.ones(B, np.int32)
+        admitted: list = []  # (slot, prompt) pairs
         admit = np.zeros(B, bool)
         event_pages: list = []
         seed_dst = np.zeros(B, np.int32)
@@ -432,12 +447,12 @@ class ContinuousBatcher:
                 if self._prefix_tail_page is not None:
                     seed_dst[s] = alloc[0]
             self._queue.popleft()
-            pr[s, :len(prompt)] = prompt
-            ln[s] = len(prompt)
+            admitted.append((s, prompt))
             admit[s] = True
             self._slot_req[s] = rid
             self._slot_toks[s] = []
             self._active[s] = True
+            self._lengths[s] = plen_pre + len(prompt)
         if paged and not admit.any() and not self._active.any():
             rid, prompt = self._queue[0]
             allocatable = (self._n_pages - 1
@@ -447,46 +462,70 @@ class ContinuousBatcher:
                 f"{self._pages_needed(len(prompt), self._budgets[rid])} "
                 f"pages but the pool only has {allocatable} allocatable "
                 "(after the shared prefix) — grow kv_num_pages")
-        if not admit.any():
+        if not admitted:
             return False
-        self._key, kp = jax.random.split(self._key)
-        # With a shared prefix the admission prefill runs on the LIVE
-        # cache (attention must see the prefix pages) starting at
-        # cache_index = prefix length; the merge still discards
-        # everything outside the admitted rows / this event's pages, so
-        # dummy-row writes (routed through the host tables) never
-        # survive.
-        cache_in = (self._cache if plen_pre else self._template)
+        if self._cache is None:
+            # Uniform starting point so every round can merge: zeroed
+            # template + zero pending (idle rows are garbage anyway).
+            self._cache = self._template
+            self._pending = jnp.zeros((B,), jnp.int32)
         if paged:
-            cache_in = self._set_tables(cache_in,
-                                        jnp.asarray(self._tables))
-            if plen_pre:
-                cache_in = self._set_ci(cache_in, plen_pre)
-            if self._prefix_tail_page is not None:
-                cache_in = self._seed_pages(
-                    cache_in, self._prefix_tail_page,
-                    jnp.asarray(seed_dst))
+            pmask = np.zeros(self._n_pages, bool)
+            pmask[event_pages] = True
+            pmask_j = jnp.asarray(pmask)
             in_use = (sum(len(p) for p in self._slot_pages)
                       + self._stats.get("shared_prefix_pages", 0))
             self._stats["peak_pages_in_use"] = max(
                 self._stats["peak_pages_in_use"], in_use)
-        fresh_cache, fresh_pending = self._prefill(
-            cache_in, jnp.asarray(pr), jnp.asarray(ln), kp, plen_pre)
-        if self._cache is None:
-            self._cache, self._pending = fresh_cache, fresh_pending
-        elif paged:
-            pmask = np.zeros(self._n_pages, bool)
-            pmask[event_pages] = True
-            self._cache, self._pending = self._merge_paged(
-                (self._cache, self._pending),
-                (fresh_cache, fresh_pending),
-                jnp.asarray(admit), jnp.asarray(pmask))
-        else:
-            self._cache, self._pending = self._merge(
-                (self._cache, self._pending),
-                (fresh_cache, fresh_pending), jnp.asarray(admit))
-        self._lengths[admit] = plen_pre + ln[admit]
+
+        rounds = max(-(-len(pr) // P) for _, pr in admitted)
+        for c in range(rounds):
+            sub = np.zeros((B, P), np.int32)
+            sub_ln = np.ones(B, np.int32)
+            write = np.zeros(B, bool)
+            done = np.zeros(B, bool)
+            for s, prompt in admitted:
+                piece = prompt[c * P:(c + 1) * P]
+                if len(piece):
+                    sub[s, :len(piece)] = piece
+                    sub_ln[s] = len(piece)
+                    write[s] = True
+                    done[s] = (c + 1) * P >= len(prompt)
+            # Round 0 runs on the live cache only when a prefix must be
+            # attended; later rounds ALWAYS continue from the merged
+            # live cache (earlier chunks live there). The merge discards
+            # every dummy-row write, so running on the live cache is
+            # safe in all modes.
+            pos0 = plen_pre + c * P
+            cache_in = (self._cache if (plen_pre or c)
+                        else self._template)
+            if paged:
+                cache_in = self._set_tables(cache_in,
+                                            jnp.asarray(self._tables))
+                if pos0:
+                    cache_in = self._set_ci(cache_in, pos0)
+                if c == 0 and self._prefix_tail_page is not None:
+                    cache_in = self._seed_pages(
+                        cache_in, self._prefix_tail_page,
+                        jnp.asarray(seed_dst))
+            self._key, kp = jax.random.split(self._key)
+            fresh_cache, fresh_pending = self._prefill(
+                cache_in, jnp.asarray(sub), jnp.asarray(sub_ln), kp,
+                pos0)
+            if paged:
+                self._cache = self._merge_paged(
+                    self._cache, fresh_cache, jnp.asarray(write),
+                    pmask_j)
+            else:
+                self._cache = self._merge(self._cache, fresh_cache,
+                                          jnp.asarray(write))
+            # The first generated token comes from each row's FINAL
+            # prompt chunk.
+            self._pending = jnp.where(jnp.asarray(done), fresh_pending,
+                                      self._pending)
         self._stats["admission_events"] += 1
+        self._stats["prefill_rounds"] = (
+            self._stats.get("prefill_rounds", 0) + rounds)
         return True
 
     def step(self) -> dict:
@@ -550,8 +589,9 @@ class ContinuousBatcher:
         :meth:`reset` + :meth:`submit` loop + :meth:`step` drain).
 
         Args:
-          prompts: sequence of 1-D int token arrays (ragged lengths in
-            [1, prompt_len]).
+          prompts: sequence of 1-D int token arrays (ragged lengths;
+            prompts longer than ``prompt_len`` prefill in chunked
+            rounds).
           max_new_tokens: per-request generation budget — an int shared
             by all requests or a sequence matching ``prompts``.
           shared_prefix: optional 1-D int token array (length ≥ 2) every

@@ -103,8 +103,8 @@ def test_continuous_batcher_guards(key, rng):
         ContinuousBatcher(block, params, embed=embed, readout=readout,
                           num_slots=2, prompt_len=1, max_decode_len=32)
     cb = mk()
-    with pytest.raises(ValueError, match="outside"):
-        cb.serve([np.zeros(5, np.int32)], 4)  # prompt > prompt_len
+    with pytest.raises(ValueError, match="non-empty"):
+        cb.serve([np.zeros(0, np.int32)], 4)
     with pytest.raises(ValueError, match="overruns"):
         cb.serve([np.zeros(2, np.int32)], 40)  # budget past the page
     with pytest.raises(ValueError, match="match"):
@@ -163,6 +163,39 @@ def test_continuous_batcher_paged_deferral_and_exhaustion(key, rng):
 
     with pytest.raises(ValueError, match="grow kv_num_pages"):
         cb.serve([prompts[0]], 20)  # 8 pages needed, 3 allocatable
+
+
+@pytest.mark.parametrize("paged,prefix", [
+    (False, None), (True, None), (True, 5),
+])
+def test_continuous_batcher_long_prompts(key, rng, paged, prefix):
+    """Prompts LONGER than prompt_len are admitted in chunked prefill
+    rounds at the fixed (B, P) shape and emit exactly the per-request
+    generate() tokens — on dense and paged caches, with and without a
+    shared prefix, mixed with short prompts in the same event."""
+    dense_block, params, embed, readout, vocab = _lm(
+        key, rng, max_decode_len=64)
+    block = (ku.Transformer(2, 8, 0.0, causal=True, max_decode_len=64,
+                            kv_page_size=4, kv_num_pages=40)
+             if paged else dense_block)
+    # P=4; prompts span <P, ==P, 2 rounds, 3 ragged rounds.
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (2, 4, 7, 11)]
+    budgets = [5, 4, 6, 5]
+    pre = (rng.integers(0, vocab, size=(prefix,)).astype(np.int32)
+           if prefix else None)
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=64,
+                           chunk=3)
+    got = cb.serve(prompts, budgets, shared_prefix=pre)
+    for pr, b, out in zip(prompts, budgets, got):
+        full = (jnp.concatenate([jnp.asarray(pre), jnp.asarray(pr)])
+                if prefix else jnp.asarray(pr))
+        want = np.asarray(generate(dense_block, params, full[None], b,
+                                   embed=embed, readout=readout))
+        np.testing.assert_array_equal(out, want[0])
+    assert cb.last_stats["prefill_rounds"] > \
+        cb.last_stats["admission_events"]  # multi-round admission ran
 
 
 @pytest.mark.parametrize("plen_pre,qdt", [
