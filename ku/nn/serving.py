@@ -95,6 +95,10 @@ class ContinuousBatcher:
       chunk: decode quantum — tokens generated per dispatch between
         scheduling points.
       sampler: (logits (B, V), key) → (B,) ids; greedy by default.
+      return_logprobs: also track each emitted token's raw-model
+        log-softmax probability; finished requests then map to
+        ``(tokens, logprobs)`` tuples (and :meth:`progress` streams
+        both).
       eos_id: optional end-of-sequence token id; a slot frees as soon as
         its sequence emits it (the EOS itself is returned).
       rng: PRNG key for stochastic samplers.
@@ -111,7 +115,9 @@ class ContinuousBatcher:
     def __init__(self, model, params, *, embed: Callable,
                  readout: Callable, num_slots: int, prompt_len: int,
                  max_decode_len: int, chunk: int = 8,
-                 sampler: Callable = greedy, eos_id: Optional[int] = None,
+                 sampler: Callable = greedy,
+                 return_logprobs: bool = False,
+                 eos_id: Optional[int] = None,
                  rng: Optional[jax.Array] = None,
                  model_kwargs: Optional[dict] = None,
                  mesh=None, model_axis: str = "model",
@@ -136,10 +142,17 @@ class ContinuousBatcher:
         self.max_decode_len = max_decode_len
         self.chunk = chunk
         self.eos_id = eos_id
+        self.return_logprobs = return_logprobs
         self._key = rng if rng is not None else jax.random.key(0)
         self._embed = embed
         self._template = None  # zeroed cache pytree, built lazily
         apply_step = _stepper(model, params, model_kwargs or {})
+
+        def chosen_lp(logits, tok):
+            if not return_logprobs:
+                return jnp.zeros(tok.shape, jnp.float32)
+            return jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                                       tok[:, None], axis=1)[:, 0]
 
         def _prefill(cache_in, prompts, lengths, key, pos0):
             # pos0: global position of the chunk's first token (0, or
@@ -150,8 +163,9 @@ class ContinuousBatcher:
                 prompt_lengths=lengths)
             y_last = jnp.take_along_axis(y, (lengths - 1)[:, None, None],
                                          axis=1)
-            tok = sampler(readout(y_last)[:, 0], key)
-            return cache, tok
+            logits = readout(y_last)[:, 0]
+            tok = sampler(logits, key)
+            return cache, tok, chosen_lp(logits, tok)
 
         def _merge(live, fresh, admit):
             # Cache merge: every leaf is batch-first (incl. the (B,)
@@ -210,17 +224,20 @@ class ContinuousBatcher:
 
             return jax.tree_util.tree_map_with_path(fix, cache)
 
-        def _chunk_fn(cache, pending, lengths, keys):
+        def _chunk_fn(cache, pending, pending_lp, lengths, keys):
             def step(carry, key):
-                cache, tok, lens = carry
+                cache, tok, lp, lens = carry
                 cache, y = apply_step(cache, embed(tok[:, None],
                                                    lens[:, None]))
-                nxt = sampler(readout(y)[:, 0], key)
-                return (cache, nxt, lens + 1), tok
+                logits = readout(y)[:, 0]
+                nxt = sampler(logits, key)
+                return ((cache, nxt, chosen_lp(logits, nxt), lens + 1),
+                        (tok, lp))
 
-            (cache, pending, _), toks = jax.lax.scan(
-                step, (cache, pending, lengths), keys)
-            return cache, pending, jnp.moveaxis(toks, 0, 1)
+            (cache, pending, pending_lp, _), (toks, lps) = jax.lax.scan(
+                step, (cache, pending, pending_lp, lengths), keys)
+            return (cache, pending, pending_lp,
+                    jnp.moveaxis(toks, 0, 1), jnp.moveaxis(lps, 0, 1))
 
         self._prefill = jax.jit(_prefill)
         self._merge = jax.jit(_merge)
@@ -243,7 +260,7 @@ class ContinuousBatcher:
             # apply here: the scheduler overwrites every table value
             # before real use.
             warnings.filterwarnings("ignore", message=".*ALIASES.*")
-            cache, _ = self._prefill(
+            cache, _, _ = self._prefill(
                 {}, jnp.zeros((B, P), jnp.int32),
                 jnp.ones((B,), jnp.int32), jax.random.key(0), 0)
         self._template = jax.tree.map(jnp.zeros_like, cache)
@@ -307,8 +324,9 @@ class ContinuousBatcher:
         self._active = np.zeros(B, bool)
         self._slot_req = [None] * B
         self._slot_toks: list = [[] for _ in range(B)]
+        self._slot_lps: list = [[] for _ in range(B)]
         self._lengths = np.zeros(B, np.int64)  # pending token position
-        self._cache = self._pending = None
+        self._cache = self._pending = self._pending_lp = None
         self._stats = {"admission_events": 0, "chunks": 0,
                        "wasted_slot_steps": 0, "decoded_tokens": 0}
         self.last_stats = self._stats
@@ -355,10 +373,11 @@ class ContinuousBatcher:
             ln0[0] = plen_pre
             self._tables[0, :n_pre] = self._shared_ids
             self._key, kp = jax.random.split(self._key)
-            self._cache, self._pending = self._prefill(
-                self._set_tables(self._template,
-                                 jnp.asarray(self._tables)),
-                jnp.asarray(pr0), jnp.asarray(ln0), kp, 0)
+            self._cache, self._pending, self._pending_lp = \
+                self._prefill(
+                    self._set_tables(self._template,
+                                     jnp.asarray(self._tables)),
+                    jnp.asarray(pr0), jnp.asarray(ln0), kp, 0)
             self._tables[0] = 0  # row 0 is not a request
             self._stats["shared_prefix_pages"] = n_pre
 
@@ -368,14 +387,20 @@ class ContinuousBatcher:
         return (self._template is None
                 or (not self._queue and not self._active.any()))
 
+    def _result(self, s):
+        toks = np.asarray(self._slot_toks[s], np.int32)
+        if not self.return_logprobs:
+            return toks
+        return toks, np.asarray(self._slot_lps[s], np.float32)
+
     def progress(self) -> dict:
         """Tokens emitted SO FAR by every in-flight request
-        ({request_id: np.int32 array}) — poll between :meth:`step` calls
-        to stream partial generations to clients."""
+        ({request_id: np.int32 array}, or (tokens, logprobs) tuples with
+        ``return_logprobs``) — poll between :meth:`step` calls to stream
+        partial generations to clients."""
         if self._template is None:
             return {}
-        return {self._slot_req[s]: np.asarray(self._slot_toks[s],
-                                              np.int32)
+        return {self._slot_req[s]: self._result(s)
                 for s in range(self.num_slots) if self._active[s]}
 
     def submit(self, prompt, max_new_tokens: int, request_id=None):
@@ -451,6 +476,7 @@ class ContinuousBatcher:
             admit[s] = True
             self._slot_req[s] = rid
             self._slot_toks[s] = []
+            self._slot_lps[s] = []
             self._active[s] = True
             self._lengths[s] = plen_pre + len(prompt)
         if paged and not admit.any() and not self._active.any():
@@ -469,6 +495,7 @@ class ContinuousBatcher:
             # template + zero pending (idle rows are garbage anyway).
             self._cache = self._template
             self._pending = jnp.zeros((B,), jnp.int32)
+            self._pending_lp = jnp.zeros((B,), jnp.float32)
         if paged:
             pmask = np.zeros(self._n_pages, bool)
             pmask[event_pages] = True
@@ -509,7 +536,7 @@ class ContinuousBatcher:
                         cache_in, self._prefix_tail_page,
                         jnp.asarray(seed_dst))
             self._key, kp = jax.random.split(self._key)
-            fresh_cache, fresh_pending = self._prefill(
+            fresh_cache, fresh_pending, fresh_lp = self._prefill(
                 cache_in, jnp.asarray(sub), jnp.asarray(sub_ln), kp,
                 pos0)
             if paged:
@@ -521,8 +548,11 @@ class ContinuousBatcher:
                                           jnp.asarray(write))
             # The first generated token comes from each row's FINAL
             # prompt chunk.
-            self._pending = jnp.where(jnp.asarray(done), fresh_pending,
+            done_j = jnp.asarray(done)
+            self._pending = jnp.where(done_j, fresh_pending,
                                       self._pending)
+            self._pending_lp = jnp.where(done_j, fresh_lp,
+                                         self._pending_lp)
         self._stats["admission_events"] += 1
         self._stats["prefill_rounds"] = (
             self._stats.get("prefill_rounds", 0) + rounds)
@@ -541,11 +571,13 @@ class ContinuousBatcher:
         self._admit()
         B, chunk, paged = self.num_slots, self.chunk, self._paged
         self._key, kc = jax.random.split(self._key)
-        self._cache, self._pending, toks = self._chunk(
-            self._cache, self._pending,
+        (self._cache, self._pending, self._pending_lp, toks,
+         lps) = self._chunk(
+            self._cache, self._pending, self._pending_lp,
             jnp.asarray(self._lengths, jnp.int32),
             jax.random.split(kc, chunk))
         toks = np.asarray(toks)
+        lps = np.asarray(lps)
         self._lengths += chunk
         self._stats["chunks"] += 1
         finished = {}
@@ -557,12 +589,12 @@ class ContinuousBatcher:
             for j in range(chunk):
                 t = int(toks[s, j])
                 self._slot_toks[s].append(t)
+                self._slot_lps[s].append(float(lps[s, j]))
                 self._stats["decoded_tokens"] += 1
                 if ((self.eos_id is not None and t == self.eos_id)
                         or len(self._slot_toks[s])
                         >= self._budgets[rid]):
-                    finished[rid] = np.asarray(self._slot_toks[s],
-                                               np.int32)
+                    finished[rid] = self._result(s)
                     self._active[s] = False
                     self._stats["wasted_slot_steps"] += chunk - 1 - j
                     if paged:

@@ -357,3 +357,24 @@ def test_generate_logprobs(key, rng):
     # Greedy = argmax => its logprob is the row max.
     np.testing.assert_allclose(lps, logp[:, p - 1:p - 1 + steps].max(-1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_continuous_batcher_logprobs(key, rng):
+    """return_logprobs=True: each finished request maps to (tokens,
+    logprobs) matching generate(return_logprobs=True) exactly; progress
+    streams both."""
+    block, params, embed, readout, vocab = _lm(key, rng)
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=32,
+                           chunk=3, return_logprobs=True)
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (3, 1, 4)]
+    outs = cb.serve(prompts, 6)
+    for pr, (toks, lps) in zip(prompts, outs):
+        want_ids, want_lps = generate(block, params,
+                                      jnp.asarray(pr)[None], 6,
+                                      embed=embed, readout=readout,
+                                      return_logprobs=True)
+        np.testing.assert_array_equal(toks, np.asarray(want_ids)[0])
+        np.testing.assert_allclose(lps, np.asarray(want_lps)[0],
+                                   rtol=1e-5, atol=1e-6)
