@@ -36,6 +36,14 @@ def _stepper(model, params, kw):
     return apply_step
 
 
+def chosen_logprob(logits, tok):
+    """Raw-model log-softmax probability of each chosen token
+    ((B, V) logits, (B,) ids -> (B,) f32) — the sampler-independent
+    convention generate() and ContinuousBatcher both report."""
+    return jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                               tok[:, None], axis=1)[:, 0]
+
+
 def greedy(logits, key):
     """argmax sampler (key unused; kept for a uniform signature)."""
     del key
@@ -112,10 +120,6 @@ def generate(model, params, prompt_ids, steps: int, *,
         rng = jax.random.key(0)
     apply_step = _stepper(model, params, kw)
 
-    def chosen_lp(logits, tok):
-        return jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                   tok[:, None], axis=1)[:, 0]
-
     # Prefill (one dispatch).
     p = prompt_ids.shape[1]
     ragged = prompt_lengths is not None
@@ -130,7 +134,8 @@ def generate(model, params, prompt_ids, steps: int, *,
     key0, key_scan = jax.random.split(rng)
     logits0 = readout(y_last)[:, 0]
     tok = sampler(logits0, key0)
-    lp = chosen_lp(logits0, tok) if return_logprobs else None
+    lp = (chosen_logprob(logits0, tok)
+          if return_logprobs else None)
 
     def step(carry, xs):
         cache, tok, lp = carry
@@ -139,7 +144,8 @@ def generate(model, params, prompt_ids, steps: int, *,
         cache, y = apply_step(cache, embed(tok[:, None], pos))
         logits = readout(y)[:, 0]
         nxt = sampler(logits, key)
-        nlp = chosen_lp(logits, nxt) if return_logprobs else None
+        nlp = (chosen_logprob(logits, nxt)
+               if return_logprobs else None)
         return (cache, nxt, nlp), (tok, lp)
 
     (_, last, last_lp), (toks, lps) = jax.lax.scan(

@@ -13,17 +13,20 @@ dispatch).
 
 Design (everything device-side runs at exactly TWO compiled shapes):
 
-- **Admission** (``_prefill`` + merge): new prompts prefill from a
-  ZEROED cache at the full slot-pool width (freed slots carry the new
-  right-padded prompts via ``prompt_lengths``; occupied slots carry a
-  dummy row whose work is discarded), then a per-row ``where`` selects,
-  leaf-by-leaf over the cache pytree, the fresh rows for admitted slots
-  and the live rows for continuing ones. Prefilling into the live cache
-  in place would be unsafe: the dense-cache chunk write lands at each
-  row's own ``cache_index`` and ``dynamic_update_slice`` CLAMPS at the
-  page boundary, so a continuing row near the end of its page would have
-  live slots overwritten. The zeroed-cache + merge route never touches a
-  continuing row.
+- **Admission** (``_prefill`` + merge): new prompts prefill at the
+  full slot-pool width (freed slots carry the new right-padded prompts
+  via ``prompt_lengths``; occupied slots carry a dummy row), then a
+  per-row ``where`` selects, leaf-by-leaf over the cache pytree, the
+  fresh rows that WROTE this round and the live rows for everyone else.
+  The merge is the safety mechanism: the prefill may run on a zeroed
+  template (first chunk, no prefix) or on the LIVE cache (shared-prefix
+  attends prefix pages; chunked long-prompt rounds >= 1 continue from
+  earlier chunks), and in either case every dummy-row write is discarded
+  by the mask — nothing a continuing row holds can change. Writes
+  themselves must stay in-bounds: ``dynamic_update_slice`` CLAMPS at the
+  page boundary (and the paged table gather clips), which is why
+  ``_validate`` bounds the PADDED final-round window, not just the
+  decode end.
 - **Decode** (``_chunk``): ``chunk`` single-token steps as one
   ``lax.scan`` dispatch over all slots, each slot at its own global
   position (per-sequence ``cache_index`` keeps rows independent). The
@@ -60,7 +63,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ku.nn.decoding import _stepper, greedy
+from ku.nn.decoding import _stepper, chosen_logprob, greedy
 
 _POOL_LEAVES = ("pages_k", "pages_v", "key_scale_pages",
                 "value_scale_pages")
@@ -151,8 +154,7 @@ class ContinuousBatcher:
         def chosen_lp(logits, tok):
             if not return_logprobs:
                 return jnp.zeros(tok.shape, jnp.float32)
-            return jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                       tok[:, None], axis=1)[:, 0]
+            return chosen_logprob(logits, tok)
 
         def _prefill(cache_in, prompts, lengths, key, pos0):
             # pos0: global position of the chunk's first token (0, or
@@ -310,11 +312,16 @@ class ContinuousBatcher:
 
     # -- online scheduler (submit / step) -----------------------------
 
-    def reset(self, shared_prefix=None) -> None:
+    def reset(self, shared_prefix=None, force: bool = False) -> None:
         """(Re)initialize the scheduler: empty queue and slots, fresh
         stats, and — with ``shared_prefix`` (paged mode only, length ≥ 2)
         — one prefix prefill into shared pages that every subsequent
-        request's table aliases read-only."""
+        request's table aliases read-only. Refuses to discard queued or
+        in-flight requests unless ``force=True``."""
+        if self._template is not None and not self.idle and not force:
+            raise RuntimeError(
+                "reset() would discard queued/in-flight requests — "
+                "drain with step() first or pass force=True")
         if self._template is None:
             self._build_template()
         B = self.num_slots
@@ -403,6 +410,31 @@ class ContinuousBatcher:
         return {self._slot_req[s]: self._result(s)
                 for s in range(self.num_slots) if self._active[s]}
 
+    def _validate(self, prompt, budget, plen_pre, label=""):
+        P = self.prompt_len
+        if budget < 1:
+            raise ValueError(f"max_new_tokens{label} must be >= 1")
+        if len(prompt) < 1:
+            raise ValueError(f"prompt{label} must be non-empty")
+        if plen_pre + len(prompt) + budget + self.chunk \
+                > self.max_decode_len:
+            raise ValueError(
+                f"request{label}: prefix {plen_pre} + prompt "
+                f"{len(prompt)} + budget {budget} + chunk {self.chunk} "
+                f"overruns max_decode_len {self.max_decode_len}")
+        # Long prompts prefill in fixed-P rounds whose FINAL write is a
+        # full P-wide chunk at the last round's start: without room for
+        # that padded window, the dense dynamic_update_slice CLAMPS (and
+        # the paged table gather clips) the write backwards over real
+        # prompt K/V below cache_index — silent corruption.
+        window = plen_pre + -(-len(prompt) // P) * P
+        if window > self.max_decode_len:
+            raise ValueError(
+                f"request{label}: the padded prefill window (prefix "
+                f"{plen_pre} + ceil(len/{P})*{P} = {window}) overruns "
+                f"max_decode_len {self.max_decode_len} — grow the "
+                "model's cache or lower prompt_len")
+
     def submit(self, prompt, max_new_tokens: int, request_id=None):
         """Enqueue one request (admitted at the next :meth:`step`);
         returns its id (auto-assigned ints unless given). Requests may
@@ -412,26 +444,22 @@ class ContinuousBatcher:
         if self._template is None:
             self.reset()
         budget = int(max_new_tokens)
-        if budget < 1:
-            raise ValueError("max_new_tokens must be >= 1")
-        if len(prompt) < 1:
-            raise ValueError("prompt must be non-empty")
-        if self._plen_pre + len(prompt) + budget + self.chunk \
-                > self.max_decode_len:
-            raise ValueError(
-                f"prefix {self._plen_pre} + prompt {len(prompt)} + "
-                f"budget {budget} + chunk {self.chunk} overruns "
-                f"max_decode_len {self.max_decode_len}")
+        self._validate(prompt, budget, self._plen_pre)
         if request_id is None:
             request_id = self._next_id
             self._next_id += 1
+        elif request_id in self._budgets:
+            raise ValueError(f"request_id {request_id!r} is already "
+                             "queued or in flight")
         self._budgets[request_id] = budget
         self._queue.append((request_id, np.asarray(prompt, np.int32)))
         return request_id
 
     def _pages_needed(self, plen, budget):
-        written = (self._plen_pre + plen
-                   + -(-budget // self.chunk) * self.chunk)
+        P = self.prompt_len
+        written = max(
+            self._plen_pre + plen + -(-budget // self.chunk) * self.chunk,
+            self._plen_pre + -(-plen // P) * P)  # padded prefill window
         return -(-written // self._page) - self._n_shared_full
 
     def _admit(self):
@@ -595,6 +623,7 @@ class ContinuousBatcher:
                         or len(self._slot_toks[s])
                         >= self._budgets[rid]):
                     finished[rid] = self._result(s)
+                    del self._budgets[rid]  # bounded run-forever loops
                     self._active[s] = False
                     self._stats["wasted_slot_steps"] += chunk - 1 - j
                     if paged:
@@ -637,7 +666,8 @@ class ContinuousBatcher:
         Returns:
           List of 1-D ``np.int32`` arrays in submission order: each
           request's generated tokens (EOS included when emitted; length
-          ≤ its budget). ``self.last_stats`` holds scheduler counters
+          ≤ its budget) — or, with ``return_logprobs=True``,
+          (tokens, logprobs) tuples. ``self.last_stats`` holds scheduler counters
           for the run (admission_events, chunks, wasted_slot_steps,
           decoded_tokens; paged mode adds peak_pages_in_use and, with a
           prefix, shared_prefix_pages).
@@ -649,6 +679,9 @@ class ContinuousBatcher:
         if len(budgets) != n:
             raise ValueError("max_new_tokens must be scalar or match "
                              "len(prompts)")
+        plen_pre = 0 if shared_prefix is None else len(shared_prefix)
+        for i, (pr, b) in enumerate(zip(prompts, budgets)):
+            self._validate(pr, b, plen_pre, label=f" {i}")
         self.reset(shared_prefix=shared_prefix)
         results: list = [None] * n
         for i, (pr, b) in enumerate(zip(prompts, budgets)):

@@ -378,3 +378,51 @@ def test_continuous_batcher_logprobs(key, rng):
         np.testing.assert_array_equal(toks, np.asarray(want_ids)[0])
         np.testing.assert_allclose(lps, np.asarray(want_lps)[0],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_padded_prefill_window_guard(key, rng):
+    """Regression (review repro): a long prompt whose FINAL fixed-P
+    round would clamp past the real cache end is rejected up front —
+    the clamped write would silently corrupt prompt K/V below
+    cache_index. A request whose window fits serves exactly."""
+    block, params, embed, readout, vocab = _lm(key, rng,
+                                               max_decode_len=30)
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=8, max_decode_len=30,
+                           chunk=1)
+    long_pr = rng.integers(0, vocab, size=(26,)).astype(np.int32)
+    with pytest.raises(ValueError, match="padded prefill window"):
+        cb.serve([long_pr], 3)  # 26+3+1=30 fits, but ceil(26/8)*8=32 > 30
+
+    block2, params2, *_ = _lm(key, rng, max_decode_len=32)
+    cb2 = ContinuousBatcher(block2, params2, embed=embed,
+                            readout=readout, num_slots=2, prompt_len=8,
+                            max_decode_len=32, chunk=1)
+    out = cb2.serve([long_pr], 3)
+    want = np.asarray(generate(block2, params2,
+                               jnp.asarray(long_pr)[None], 3,
+                               embed=embed, readout=readout))
+    np.testing.assert_array_equal(out[0], want[0])
+
+
+def test_online_api_guards(key, rng):
+    """reset() refuses to discard in-flight work without force=True;
+    duplicate request_ids are rejected; finished budgets are dropped
+    (run-forever loops stay bounded)."""
+    block, params, embed, readout, vocab = _lm(key, rng)
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=32,
+                           chunk=3)
+    cb.reset()
+    cb.submit(np.asarray([1, 2], np.int32), 4, request_id="x")
+    with pytest.raises(ValueError, match="already"):
+        cb.submit(np.asarray([3], np.int32), 2, request_id="x")
+    with pytest.raises(RuntimeError, match="force=True"):
+        cb.reset()
+    while not cb.idle:
+        cb.step()
+    assert cb._budgets == {}
+    cb.reset()  # idle: allowed without force
+    cb.submit(np.asarray([1], np.int32), 2, request_id="x")  # id reusable
+    cb.reset(force=True)  # explicit discard
+    assert cb.idle
