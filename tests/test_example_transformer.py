@@ -105,3 +105,24 @@ def test_generate_example_pipeline():
         readout=lambda yy: yy @ table.T))
     acc = float((gen == test[:, seq_len // 2:]).mean())
     assert acc > 0.6, acc  # chance is 1/8
+
+
+def test_server_simulation_completes():
+    """The online-serving demo (open-loop arrivals through the paged
+    slot pool) completes a small workload with sane scheduling stats."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "transformer"))
+    try:
+        from transformer_server import simulate
+    finally:
+        sys.path.pop(0)
+
+    r = simulate(num_requests=6, num_slots=2, vocab=13, d_model=16,
+                 num_head=2, prompt_len=4, max_decode_len=48, chunk=3,
+                 page=8, verbose=False)
+    assert r["requests"] == 6
+    assert r["generated_tokens"] > 0
+    assert r["prefill_rounds"] >= r["admissions"]
+    assert 0 < r["peak_pages_in_use"] <= r["pool_pages"]
+    assert 0 < r["slot_utilization"] <= 1
