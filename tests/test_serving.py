@@ -426,3 +426,64 @@ def test_online_api_guards(key, rng):
     cb.submit(np.asarray([1], np.int32), 2, request_id="x")  # id reusable
     cb.reset(force=True)  # explicit discard
     assert cb.idle
+
+
+def test_continuous_batcher_fuzz_configs(key, rng):
+    """Randomized scheduler sweep: random slot counts, chunk sizes,
+    prefill widths, cache layouts, pools, prefixes, and ragged
+    workloads must ALL be bit-identical to per-request generate() —
+    the scheduler is pure bookkeeping."""
+    for trial in range(5):
+        trng = np.random.default_rng(100 + trial)
+        nslots = int(trng.integers(1, 4))
+        chunk = int(trng.integers(1, 5))
+        P = int(trng.integers(2, 6))
+        paged = bool(trng.integers(0, 2))
+        prefix_len = int(trng.choice([0, 0, 3, 7]))
+        mdl = 64
+        vocab = 11
+        table = jnp.asarray(
+            trng.normal(size=(vocab, 8)).astype(np.float32))
+        embed = lambda i, p=None: table[i]
+        readout = lambda y: y @ table.T
+        kw = {}
+        if paged:
+            pg = int(trng.choice([2, 4, 8]))
+            mp = -(-mdl // pg)
+            kw = dict(kv_page_size=pg,
+                      kv_num_pages=1 + max(nslots * mp // 2, mp + 1))
+        dense = ku.Transformer(2, 8, 0.0, causal=True,
+                               max_decode_len=mdl)
+        block = (ku.Transformer(2, 8, 0.0, causal=True,
+                                max_decode_len=mdl, **kw)
+                 if paged else dense)
+        params = dense.init(jax.random.key(trial),
+                            [embed(jnp.zeros((1, 2), jnp.int32))])[
+            "params"]
+        n = int(trng.integers(2, 7))
+        prompts = [trng.integers(0, vocab, size=(int(trng.integers(
+            1, 2 * P + 1)),)).astype(np.int32) for _ in range(n)]
+        budgets = [int(trng.integers(1, 9)) for _ in range(n)]
+        prefix = (trng.integers(0, vocab, size=(prefix_len,)).astype(
+            np.int32) if prefix_len and paged else None)
+        cb = ContinuousBatcher(block, params, embed=embed,
+                               readout=readout, num_slots=nslots,
+                               prompt_len=P, max_decode_len=mdl,
+                               chunk=chunk)
+        try:
+            outs = cb.serve(prompts, budgets, shared_prefix=prefix)
+        except ValueError as e:
+            # Legal refusals only (tiny random pools can be too small).
+            assert "kv_num_pages" in str(e) or "pages" in str(e), e
+            continue
+        for pr, b, out in zip(prompts, budgets, outs):
+            full = (jnp.concatenate([jnp.asarray(prefix),
+                                     jnp.asarray(pr)])
+                    if prefix is not None else jnp.asarray(pr))
+            want = np.asarray(generate(dense, params, full[None], b,
+                                       embed=embed, readout=readout))
+            np.testing.assert_array_equal(
+                out, want[0],
+                err_msg=f"trial {trial}: slots={nslots} chunk={chunk} "
+                        f"P={P} paged={paged} kw={kw} "
+                        f"prefix={prefix_len}")
