@@ -184,10 +184,11 @@ def sparse_throughput():
         q, k, v, s_hi=16)
 
 
-def decode_throughput():
+def decode_throughput(mode: str = "dense"):
     """Serving gate: KV-cache decode tokens/sec on the standard
     benchmarks/decode_bench.py conf (2 blocks, d_model 512, GQA 8/2,
-    batch 8, T=512, whole loop one lax.scan dispatch, best-of-4)."""
+    batch 8, T=512, whole loop one lax.scan dispatch, best-of-4).
+    ``mode``: dense / int8 / ring / paged (the serving cache family)."""
     # Remove by VALUE: the imported bench module inserts the repo
     # root at sys.path[0] during import, so pop(0) would evict
     # that instead and leave benchmarks/ importable forever.
@@ -198,7 +199,7 @@ def decode_throughput():
         import decode_bench
     finally:
         sys.path.remove(_bdir)
-    return decode_bench.run(512, "dense")["decode_tokens_per_sec"]
+    return decode_bench.run(512, mode)["decode_tokens_per_sec"]
 
 
 def _await_tpu(attempts: int = 3, wait_s: int = 60) -> bool:
@@ -330,11 +331,17 @@ def main():
             record["sparse_64k_sink_fwd_ms"] = round(sparse_throughput(), 2)
         except Exception as e:
             record["sparse_error"] = repr(e)[:200]
-        # Serving gate (round-3): KV-cache decode loop, one-scan dispatch.
-        try:
-            record["decode_tokens_per_sec"] = round(decode_throughput(), 1)
-        except Exception as e:
-            record["decode_error"] = repr(e)[:200]
+        # Serving gates (round-3): the KV-cache decode family, each a
+        # one-scan dispatch at T=512 (dense baseline + int8-quantized +
+        # StreamingLLM ring + paged page-scan caches).
+        for mode, key_name in (("dense", "decode_tokens_per_sec"),
+                               ("int8", "decode_int8_tokens_per_sec"),
+                               ("ring", "decode_ring_tokens_per_sec"),
+                               ("paged", "decode_paged_tokens_per_sec")):
+            try:
+                record[key_name] = round(decode_throughput(mode), 1)
+            except Exception as e:
+                record[f"decode_{mode}_error"] = repr(e)[:200]
     if not on_tpu:
         record["backend"] = "cpu_fallback_tpu_unavailable"
     print(json.dumps(record))
