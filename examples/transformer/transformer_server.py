@@ -70,7 +70,8 @@ def simulate(num_requests: int = 48, num_slots: int = 8,
     submitted = 0
     submit_round: dict = {}
     latency: dict = {}
-    t0 = time.time()
+    t0 = time.perf_counter()
+    t_warm = tok_warm = None
     rounds = 0
     while submitted < num_requests or not cb.idle:
         while (submitted < num_requests
@@ -81,7 +82,16 @@ def simulate(num_requests: int = 48, num_slots: int = 8,
         for rid in cb.step():
             latency[rid] = rounds + 1 - submit_round[rid]
         rounds += 1
-    wall = time.time() - t0
+        if t_warm is None:
+            # Round 0 pays the JIT compiles (repo timing methodology:
+            # never report compile-inclusive throughput); the steady
+            # rate excludes it.
+            t_warm = time.perf_counter()
+            tok_warm = cb.last_stats["decoded_tokens"]
+    wall = time.perf_counter() - t0
+    steady = ((cb.last_stats["decoded_tokens"] - tok_warm)
+              / max(time.perf_counter() - t_warm, 1e-9)
+              if rounds > 1 else None)
 
     st = cb.last_stats
     lat = np.asarray(sorted(latency.values()))
@@ -90,7 +100,10 @@ def simulate(num_requests: int = 48, num_slots: int = 8,
         "requests": num_requests,
         "generated_tokens": st["decoded_tokens"],
         "rounds": rounds,
-        "tokens_per_sec": round(st["decoded_tokens"] / wall, 1),
+        "tokens_per_sec_incl_compile": round(
+            st["decoded_tokens"] / wall, 1),
+        "tokens_per_sec": (round(steady, 1) if steady is not None
+                           else None),
         "latency_rounds_mean": round(float(lat.mean()), 2),
         "latency_rounds_p50": int(np.percentile(lat, 50)),
         "latency_rounds_p95": int(np.percentile(lat, 95)),
@@ -104,7 +117,7 @@ def simulate(num_requests: int = 48, num_slots: int = 8,
     }
     if verbose:
         print(f"served {num_requests} requests / {num_slots} slots in "
-              f"{rounds} rounds ({wall:.1f}s, "
+              f"{rounds} rounds ({wall:.1f}s incl. compile; steady "
               f"{report['tokens_per_sec']} tokens/sec)")
         print(f"latency (rounds, queue+decode): mean "
               f"{report['latency_rounds_mean']}, p50 "

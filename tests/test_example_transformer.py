@@ -8,9 +8,10 @@ import jax
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(
+_XDIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "examples", "transformer"))
+    "examples", "transformer")
+sys.path.insert(0, _XDIR)
 try:
     from transformer_classify import (
         TransformerClassifier,
@@ -18,7 +19,10 @@ try:
         softmax_xent,
     )
 finally:
-    sys.path.pop(0)
+    # Remove by VALUE: the example module itself inserts dirs at [0]
+    # during import, so pop(0) would evict the wrong entry and leak
+    # the examples dir onto sys.path for the whole session.
+    sys.path.remove(_XDIR)
 
 
 def test_dataset_labels_correct():
@@ -69,14 +73,12 @@ def test_generate_example_pipeline():
     from ku.engine_ext import Trainer
     from ku.nn import generate
 
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "examples", "transformer"))
+    sys.path.insert(0, _XDIR)
     try:
         from transformer_generate import LM, LMCore
         from transformer_generate import make_dataset as mk
     finally:
-        sys.path.pop(0)
+        sys.path.remove(_XDIR)
 
     vocab, seq_len, period = 8, 12, 4
     seqs = mk(2048, seq_len + 1, period, vocab, seed=0)
@@ -110,13 +112,11 @@ def test_generate_example_pipeline():
 def test_server_simulation_completes():
     """The online-serving demo (open-loop arrivals through the paged
     slot pool) completes a small workload with sane scheduling stats."""
-    sys.path.insert(0, os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "examples", "transformer"))
+    sys.path.insert(0, _XDIR)
     try:
         from transformer_server import simulate
     finally:
-        sys.path.pop(0)
+        sys.path.remove(_XDIR)
 
     r = simulate(num_requests=6, num_slots=2, vocab=13, d_model=16,
                  num_head=2, prompt_len=4, max_decode_len=48, chunk=3,

@@ -428,44 +428,39 @@ def test_online_api_guards(key, rng):
     assert cb.idle
 
 
-def test_continuous_batcher_fuzz_configs(key, rng):
+def test_continuous_batcher_fuzz_configs():
     """Randomized scheduler sweep: random slot counts, chunk sizes,
     prefill widths, cache layouts, pools, prefixes, and ragged
     workloads must ALL be bit-identical to per-request generate() —
-    the scheduler is pure bookkeeping."""
-    for trial in range(5):
+    the scheduler is pure bookkeeping. Trial structure guarantees the
+    paged and paged+prefix dimensions are actually exercised."""
+    compared = 0
+    for trial in range(6):
         trng = np.random.default_rng(100 + trial)
         nslots = int(trng.integers(1, 4))
         chunk = int(trng.integers(1, 5))
         P = int(trng.integers(2, 6))
-        paged = bool(trng.integers(0, 2))
-        prefix_len = int(trng.choice([0, 0, 3, 7]))
+        paged = trial % 2 == 0          # 3 paged trials guaranteed
+        prefix_len = [0, 3, 7][trial % 3] if paged else 0
         mdl = 64
-        vocab = 11
-        table = jnp.asarray(
-            trng.normal(size=(vocab, 8)).astype(np.float32))
-        embed = lambda i, p=None: table[i]
-        readout = lambda y: y @ table.T
+        dense, params, embed, readout, vocab = _lm(
+            jax.random.key(trial), trng, max_decode_len=mdl)
         kw = {}
         if paged:
             pg = int(trng.choice([2, 4, 8]))
             mp = -(-mdl // pg)
             kw = dict(kv_page_size=pg,
                       kv_num_pages=1 + max(nslots * mp // 2, mp + 1))
-        dense = ku.Transformer(2, 8, 0.0, causal=True,
-                               max_decode_len=mdl)
-        block = (ku.Transformer(2, 8, 0.0, causal=True,
-                                max_decode_len=mdl, **kw)
-                 if paged else dense)
-        params = dense.init(jax.random.key(trial),
-                            [embed(jnp.zeros((1, 2), jnp.int32))])[
-            "params"]
+            block = ku.Transformer(2, 8, 0.0, causal=True,
+                                   max_decode_len=mdl, **kw)
+        else:
+            block = dense
         n = int(trng.integers(2, 7))
         prompts = [trng.integers(0, vocab, size=(int(trng.integers(
             1, 2 * P + 1)),)).astype(np.int32) for _ in range(n)]
         budgets = [int(trng.integers(1, 9)) for _ in range(n)]
         prefix = (trng.integers(0, vocab, size=(prefix_len,)).astype(
-            np.int32) if prefix_len and paged else None)
+            np.int32) if prefix_len else None)
         cb = ContinuousBatcher(block, params, embed=embed,
                                readout=readout, num_slots=nslots,
                                prompt_len=P, max_decode_len=mdl,
@@ -487,3 +482,5 @@ def test_continuous_batcher_fuzz_configs(key, rng):
                 err_msg=f"trial {trial}: slots={nslots} chunk={chunk} "
                         f"P={P} paged={paged} kw={kw} "
                         f"prefix={prefix_len}")
+            compared += 1
+    assert compared >= 10  # the sweep must not pass vacuously
