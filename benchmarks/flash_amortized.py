@@ -41,7 +41,9 @@ def timed(f, *arrays, n=4):
     best = float("inf")
     for i in range(n):
         t0 = time.perf_counter()
-        _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), *arrays))
+        # i+1: the salt must never equal the warmup's 1.0 — the tunnel may
+        # dedupe a byte-identical dispatch (see decode_bench.py / ADVICE r3).
+        _ = np.asarray(f(jnp.float32(1 + 1e-6 * (i + 1)), *arrays))
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 

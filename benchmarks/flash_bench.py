@@ -57,7 +57,7 @@ def bench(fn, *arrays, n=4, s_hi=8):
         best = float("inf")
         for i in range(n):
             t0 = time.perf_counter()
-            _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), *arrays))
+            _ = np.asarray(f(jnp.float32(1 + 1e-6 * (i + 1)), *arrays))
             best = min(best, time.perf_counter() - t0)
         return best * 1e3
 

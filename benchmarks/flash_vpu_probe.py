@@ -150,7 +150,7 @@ def run_variant(q, k, v, scale, variant, block_q=1024, block_k=512, n=4):
         best = float("inf")
         for i in range(n):
             t0 = time.perf_counter()
-            _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), qf, kf, vf))
+            _ = np.asarray(f(jnp.float32(1 + 1e-6 * (i + 1)), qf, kf, vf))
             best = min(best, time.perf_counter() - t0)
         return best * 1e3
 

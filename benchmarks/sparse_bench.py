@@ -39,7 +39,7 @@ def timed(f, *arrays, n=4):
     best = float("inf")
     for i in range(n):
         t0 = time.perf_counter()
-        _ = np.asarray(f(jnp.float32(1 + 1e-6 * i), *arrays))
+        _ = np.asarray(f(jnp.float32(1 + 1e-6 * (i + 1)), *arrays))
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 

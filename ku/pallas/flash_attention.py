@@ -932,7 +932,11 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
     def body(carry, blk):
         m, l, acc = carry
         k_i, v_i, valid_i, key_pos_i, seg_k_i = blk
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_i) * softmax_scale
+        # f32 scores/carry regardless of input dtype, mirroring the Pallas
+        # kernels' f32 scratch (ADVICE r3): bf16 running max/sum/acc drift
+        # from the TPU path at long N in both this forward and its vjp.
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_i,
+                       preferred_element_type=jnp.float32) * softmax_scale
         if logit_softcap is not None:
             s = logit_softcap * jnp.tanh(s / logit_softcap)
         # Masks use finite _NEG_INF, not -inf: a sliding window can fully
@@ -960,20 +964,22 @@ def flash_attention_xla(q, k, v, softmax_scale: float = 1.0,
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=-1)
-        acc_new = acc * corr[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, v_i)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, v_i,
+            preferred_element_type=jnp.float32)
         return (m_new, l_new, acc_new), None
 
     init = (
-        jnp.full((b, h, n), -jnp.inf, q.dtype),
-        jnp.zeros((b, h, n), q.dtype),
-        jnp.zeros((b, h, n, v.shape[-1]), q.dtype),
+        jnp.full((b, h, n), -jnp.inf, jnp.float32),
+        jnp.zeros((b, h, n), jnp.float32),
+        jnp.zeros((b, h, n, v.shape[-1]), jnp.float32),
     )
     (m, l, acc), _ = jax.lax.scan(
         body, init,
         (jnp.moveaxis(kb, 2, 0), jnp.moveaxis(vb, 2, 0), valid, key_pos,
          seg_kb),
     )
-    return acc / jnp.maximum(l, 1e-30)[..., None]
+    return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
