@@ -51,18 +51,66 @@ def greedy(logits, key):
 
 
 def make_sampler(temperature: float = 1.0,
-                 top_k: Optional[int] = None) -> Callable:
-    """Build a stochastic sampler: softmax at ``temperature`` after an
-    optional top-k cut (non-top-k logits masked to -inf)."""
+                 top_k: Optional[int] = None,
+                 top_p: Optional[float] = None,
+                 repetition_penalty: Optional[float] = None) -> Callable:
+    """Build a stochastic sampler: softmax at ``temperature`` after
+    optional cuts, applied in the standard serving order —
+    repetition penalty (raw logits) → temperature → top-k → top-p.
 
-    def sampler(logits, key):
-        lg = logits / jnp.maximum(temperature, 1e-6)
+    ``top_p`` (nucleus): keep the smallest set of tokens whose
+    probability mass reaches ``top_p`` (ties at the cutoff all kept);
+    the rest mask to -inf. Computed on the post-top-k distribution.
+
+    ``repetition_penalty`` (CTRL convention): for every token already
+    seen in the sequence, divide a positive logit by the penalty and
+    multiply a negative one by it (>1 discourages repeats). Seen-token
+    state lives with the CALLER: the sampler is marked
+    ``needs_seen=True`` and must be called ``sampler(logits, key,
+    seen)`` with a (B, V) bool mask of seen tokens — :func:`generate`
+    and ``ContinuousBatcher`` thread this automatically (prompt tokens
+    + every emitted token)."""
+
+    def sampler(logits, key, seen=None):
+        lg = logits
+        if repetition_penalty is not None:
+            if seen is None:
+                raise ValueError(
+                    "repetition_penalty sampler called without the seen "
+                    "mask; call sampler(logits, key, seen)")
+            pen = jnp.where(lg > 0, lg / repetition_penalty,
+                            lg * repetition_penalty)
+            lg = jnp.where(seen, pen, lg)
+        lg = lg / jnp.maximum(temperature, 1e-6)
         if top_k is not None:
             kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
             lg = jnp.where(lg < kth, -jnp.inf, lg)
+        if top_p is not None:
+            probs = jax.nn.softmax(lg, axis=-1)
+            srt = jnp.sort(probs, axis=-1)[..., ::-1]  # descending
+            exclusive = jnp.cumsum(srt, axis=-1) - srt
+            keep = exclusive < top_p  # smallest set reaching top_p
+            cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                             keepdims=True)
+            lg = jnp.where(probs >= cutoff, lg, -jnp.inf)
         return jax.random.categorical(key, lg, axis=-1)
 
+    sampler.needs_seen = repetition_penalty is not None
     return sampler
+
+
+def _seen_from_prompt(prompt_ids, vocab: int, lens=None):
+    """(B, V) bool mask of tokens present in each (right-padded) prompt;
+    with ``lens`` given, padding positions j >= len_b do not count."""
+    bsz, p = prompt_ids.shape
+    valid = (jnp.ones((bsz, p), jnp.bool_) if lens is None else
+             jnp.arange(p)[None] < lens[:, None])
+    rows = jnp.arange(bsz)[:, None]
+    return jnp.zeros((bsz, vocab), jnp.bool_).at[rows, prompt_ids].max(valid)
+
+
+def _mark_seen(seen, tok):
+    return seen.at[jnp.arange(seen.shape[0]), tok].set(True)
 
 
 def generate(model, params, prompt_ids, steps: int, *,
@@ -133,23 +181,35 @@ def generate(model, params, prompt_ids, steps: int, *,
         y_last = y[:, -1:]
     key0, key_scan = jax.random.split(rng)
     logits0 = readout(y_last)[:, 0]
-    tok = sampler(logits0, key0)
+    needs_seen = getattr(sampler, "needs_seen", False)
+    if needs_seen:
+        seen = _seen_from_prompt(prompt_ids, logits0.shape[-1],
+                                 lens if ragged else None)
+        tok = sampler(logits0, key0, seen)
+        seen = _mark_seen(seen, tok)
+    else:
+        seen = None
+        tok = sampler(logits0, key0)
     lp = (chosen_logprob(logits0, tok)
           if return_logprobs else None)
 
     def step(carry, xs):
-        cache, tok, lp = carry
+        cache, tok, lp, seen = carry
         key, i = xs
         pos = (lens + i)[:, None] if ragged else (p + i)[None]
         cache, y = apply_step(cache, embed(tok[:, None], pos))
         logits = readout(y)[:, 0]
-        nxt = sampler(logits, key)
+        if needs_seen:
+            nxt = sampler(logits, key, seen)
+            seen = _mark_seen(seen, nxt)
+        else:
+            nxt = sampler(logits, key)
         nlp = (chosen_logprob(logits, nxt)
                if return_logprobs else None)
-        return (cache, nxt, nlp), (tok, lp)
+        return (cache, nxt, nlp, seen), (tok, lp)
 
-    (_, last, last_lp), (toks, lps) = jax.lax.scan(
-        step, (cache, tok, lp),
+    (_, last, last_lp, _), (toks, lps) = jax.lax.scan(
+        step, (cache, tok, lp, seen),
         (jax.random.split(key_scan, steps - 1),
          jnp.arange(steps - 1)))
     out = jnp.moveaxis(toks, 0, 1)  # (B, steps-1)

@@ -63,7 +63,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ku.nn.decoding import _stepper, chosen_logprob, greedy
+from ku.nn.decoding import _mark_seen, _stepper, chosen_logprob, greedy
 
 _POOL_LEAVES = ("pages_k", "pages_v", "key_scale_pages",
                 "value_scale_pages")
@@ -149,6 +149,11 @@ class ContinuousBatcher:
         self._key = rng if rng is not None else jax.random.key(0)
         self._embed = embed
         self._template = None  # zeroed cache pytree, built lazily
+        # Repetition-penalty samplers (make_sampler(repetition_penalty=))
+        # need a (B, V) seen-token mask: rebuilt per slot at admission
+        # from prefix+prompt, then updated device-side as tokens emit.
+        needs_seen = getattr(sampler, "needs_seen", False)
+        self._needs_seen = needs_seen
         apply_step = _stepper(model, params, model_kwargs or {})
 
         def chosen_lp(logits, tok):
@@ -156,7 +161,7 @@ class ContinuousBatcher:
                 return jnp.zeros(tok.shape, jnp.float32)
             return chosen_logprob(logits, tok)
 
-        def _prefill(cache_in, prompts, lengths, key, pos0):
+        def _prefill(cache_in, prompts, lengths, key, pos0, seen):
             # pos0: global position of the chunk's first token (0, or
             # the shared-prefix length when prompts continue a prefix).
             cache, y = apply_step(
@@ -166,8 +171,21 @@ class ContinuousBatcher:
             y_last = jnp.take_along_axis(y, (lengths - 1)[:, None, None],
                                          axis=1)
             logits = readout(y_last)[:, 0]
-            tok = sampler(logits, key)
-            return cache, tok, chosen_lp(logits, tok)
+            if needs_seen:
+                bsz, p = prompts.shape
+                if seen is None:
+                    seen = jnp.zeros((bsz, logits.shape[-1]), jnp.bool_)
+                # Mark this round's prompt piece (padding past lengths
+                # excluded). The sampled token is NOT marked here — the
+                # decode step marks the fed token before sampling, and
+                # non-final-round pendings are garbage anyway.
+                valid = jnp.arange(p)[None] < lengths[:, None]
+                seen = seen.at[jnp.arange(bsz)[:, None],
+                               prompts].max(valid)
+                tok = sampler(logits, key, seen)
+            else:
+                tok = sampler(logits, key)
+            return cache, tok, chosen_lp(logits, tok), seen
 
         def _merge(live, fresh, admit):
             # Cache merge: every leaf is batch-first (incl. the (B,)
@@ -226,20 +244,28 @@ class ContinuousBatcher:
 
             return jax.tree_util.tree_map_with_path(fix, cache)
 
-        def _chunk_fn(cache, pending, pending_lp, lengths, keys):
+        def _chunk_fn(cache, pending, pending_lp, lengths, keys, seen):
             def step(carry, key):
-                cache, tok, lp, lens = carry
+                cache, tok, lp, lens, seen = carry
                 cache, y = apply_step(cache, embed(tok[:, None],
                                                    lens[:, None]))
                 logits = readout(y)[:, 0]
-                nxt = sampler(logits, key)
-                return ((cache, nxt, chosen_lp(logits, nxt), lens + 1),
-                        (tok, lp))
+                if needs_seen:
+                    # The fed token is now part of the sequence.
+                    seen = _mark_seen(seen, tok)
+                    nxt = sampler(logits, key, seen)
+                else:
+                    nxt = sampler(logits, key)
+                return ((cache, nxt, chosen_lp(logits, nxt), lens + 1,
+                         seen), (tok, lp))
 
-            (cache, pending, pending_lp, _), (toks, lps) = jax.lax.scan(
-                step, (cache, pending, pending_lp, lengths), keys)
+            (cache, pending, pending_lp, _, seen), (toks, lps) = \
+                jax.lax.scan(
+                    step, (cache, pending, pending_lp, lengths, seen),
+                    keys)
             return (cache, pending, pending_lp,
-                    jnp.moveaxis(toks, 0, 1), jnp.moveaxis(lps, 0, 1))
+                    jnp.moveaxis(toks, 0, 1), jnp.moveaxis(lps, 0, 1),
+                    seen)
 
         self._prefill = jax.jit(_prefill)
         self._merge = jax.jit(_merge)
@@ -262,10 +288,12 @@ class ContinuousBatcher:
             # apply here: the scheduler overwrites every table value
             # before real use.
             warnings.filterwarnings("ignore", message=".*ALIASES.*")
-            cache, _, _ = self._prefill(
+            cache, _, _, seen = self._prefill(
                 {}, jnp.zeros((B, P), jnp.int32),
-                jnp.ones((B,), jnp.int32), jax.random.key(0), 0)
+                jnp.ones((B,), jnp.int32), jax.random.key(0), 0, None)
         self._template = jax.tree.map(jnp.zeros_like, cache)
+        # Discovered vocab width for the repetition-penalty seen mask.
+        self._seen0 = (jnp.zeros_like(seen) if self._needs_seen else None)
         if self._mesh is not None:
             # Place the template on the mesh once; every fresh cache and
             # merge output inherits the placement through GSPMD.
@@ -334,6 +362,12 @@ class ContinuousBatcher:
         self._slot_lps: list = [[] for _ in range(B)]
         self._lengths = np.zeros(B, np.int64)  # pending token position
         self._cache = self._pending = self._pending_lp = None
+        self._seen = self._seen0
+        # Host-side base seen row every admitted slot restarts from
+        # (marks the shared prefix's tokens once one is installed).
+        self._base_seen_row = (
+            np.zeros(self._seen0.shape[1], bool)
+            if self._needs_seen else None)
         self._stats = {"admission_events": 0, "chunks": 0,
                        "wasted_slot_steps": 0, "decoded_tokens": 0}
         self.last_stats = self._stats
@@ -380,12 +414,17 @@ class ContinuousBatcher:
             ln0[0] = plen_pre
             self._tables[0, :n_pre] = self._shared_ids
             self._key, kp = jax.random.split(self._key)
-            self._cache, self._pending, self._pending_lp = \
+            self._cache, self._pending, self._pending_lp, _ = \
                 self._prefill(
                     self._set_tables(self._template,
                                      jnp.asarray(self._tables)),
-                    jnp.asarray(pr0), jnp.asarray(ln0), kp, 0)
+                    jnp.asarray(pr0), jnp.asarray(ln0), kp, 0,
+                    self._seen)
             self._tables[0] = 0  # row 0 is not a request
+            if self._needs_seen:
+                # Every request's sequence starts with these tokens.
+                self._base_seen_row[np.asarray(shared_prefix,
+                                               np.int64)] = True
             self._stats["shared_prefix_pages"] = n_pre
 
     @property
@@ -524,6 +563,12 @@ class ContinuousBatcher:
             self._cache = self._template
             self._pending = jnp.zeros((B,), jnp.int32)
             self._pending_lp = jnp.zeros((B,), jnp.float32)
+        if self._needs_seen:
+            # Recycled slots restart from the base row (prefix tokens
+            # only); their previous request's seen state is discarded.
+            admit_j = jnp.asarray(admit)[:, None]
+            base = jnp.asarray(self._base_seen_row)[None]
+            self._seen = jnp.where(admit_j, base, self._seen)
         if paged:
             pmask = np.zeros(self._n_pages, bool)
             pmask[event_pages] = True
@@ -564,9 +609,13 @@ class ContinuousBatcher:
                         cache_in, self._prefix_tail_page,
                         jnp.asarray(seed_dst))
             self._key, kp = jax.random.split(self._key)
-            fresh_cache, fresh_pending, fresh_lp = self._prefill(
-                cache_in, jnp.asarray(sub), jnp.asarray(sub_ln), kp,
-                pos0)
+            fresh_cache, fresh_pending, fresh_lp, fresh_seen = \
+                self._prefill(
+                    cache_in, jnp.asarray(sub), jnp.asarray(sub_ln), kp,
+                    pos0, self._seen)
+            if self._needs_seen:
+                self._seen = jnp.where(jnp.asarray(write)[:, None],
+                                       fresh_seen, self._seen)
             if paged:
                 self._cache = self._merge_paged(
                     self._cache, fresh_cache, jnp.asarray(write),
@@ -600,10 +649,10 @@ class ContinuousBatcher:
         B, chunk, paged = self.num_slots, self.chunk, self._paged
         self._key, kc = jax.random.split(self._key)
         (self._cache, self._pending, self._pending_lp, toks,
-         lps) = self._chunk(
+         lps, self._seen) = self._chunk(
             self._cache, self._pending, self._pending_lp,
             jnp.asarray(self._lengths, jnp.int32),
-            jax.random.split(kc, chunk))
+            jax.random.split(kc, chunk), self._seen)
         toks = np.asarray(toks)
         lps = np.asarray(lps)
         self._lengths += chunk

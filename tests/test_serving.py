@@ -484,3 +484,129 @@ def test_continuous_batcher_fuzz_configs():
                         f"prefix={prefix_len}")
             compared += 1
     assert compared >= 10  # the sweep must not pass vacuously
+
+
+# -- top-p / repetition-penalty samplers (round-4) ----------------------
+
+
+def test_top_p_distribution():
+    """Nucleus sampling: only the smallest token set reaching top_p mass
+    is ever drawn, with frequencies matching the renormalized
+    distribution (8192 independent rows)."""
+    from ku.nn import make_sampler
+
+    probs = np.array([0.4, 0.3, 0.15, 0.08, 0.05, 0.02])
+    logits = jnp.asarray(np.log(probs))[None].repeat(8192, 0)
+    # exclusive cumsum: 0.0, 0.4 < 0.7 -> nucleus {0, 1}
+    samp = make_sampler(temperature=1.0, top_p=0.7)
+    toks = np.asarray(samp(logits, jax.random.key(3)))
+    assert set(np.unique(toks)) <= {0, 1}
+    freq = np.bincount(toks, minlength=6) / toks.size
+    np.testing.assert_allclose(freq[:2], [4 / 7, 3 / 7], atol=0.02)
+
+    # top_p -> 0 keeps only the argmax (greedy); top_p = 1 keeps all.
+    g = np.asarray(make_sampler(1.0, top_p=1e-6)(logits,
+                                                 jax.random.key(4)))
+    assert (g == 0).all()
+    full = np.asarray(make_sampler(1.0, top_p=1.0)(logits,
+                                                   jax.random.key(5)))
+    assert set(np.unique(full)) == set(range(6))
+
+    # Composes after top-k: k=4 then p=0.999 keeps exactly those 4.
+    both = np.asarray(make_sampler(1.0, top_k=4, top_p=0.999)(
+        logits, jax.random.key(6)))
+    assert set(np.unique(both)) == {0, 1, 2, 3}
+
+
+def test_generate_repetition_penalty_oracle(key, rng):
+    """generate() with a repetition-penalty sampler matches a manual
+    step-by-step oracle that tracks the seen set (prompt + emitted) and
+    applies the CTRL penalty before the argmax."""
+    from ku.nn import generate, make_sampler
+
+    block, params, embed, readout, vocab = _lm(key, rng)
+    b, p, steps, pen = 2, 3, 7, 25.0
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, p)), jnp.int32)
+    samp = make_sampler(temperature=1e-4, repetition_penalty=pen)
+    got = np.asarray(generate(block, params, ids, steps, embed=embed,
+                              readout=readout, sampler=samp,
+                              rng=jax.random.key(0)))
+
+    def apply_step(cache, x):
+        y, mut = block.apply({"params": params, **cache}, [x],
+                             decode=True, mutable=["cache"])
+        return mut, y
+
+    seen = np.zeros((b, vocab), bool)
+    np.put_along_axis(seen, np.asarray(ids), True, axis=1)
+    cache, y = apply_step({}, embed(ids))
+    logits = np.asarray(readout(y[:, -1:])[:, 0])
+    toks, plain = [], []
+    pos = p
+    for t in range(steps):
+        plain.append(logits.argmax(-1))
+        lg = np.where(seen, np.where(logits > 0, logits / pen,
+                                     logits * pen), logits)
+        tok = lg.argmax(-1)
+        toks.append(tok)
+        seen[np.arange(b), tok] = True
+        if t < steps - 1:
+            cache, y = apply_step(
+                cache, embed(jnp.asarray(tok)[:, None],
+                             jnp.asarray([pos])))
+            logits = np.asarray(readout(y)[:, 0])
+            pos += 1
+    oracle = np.stack(toks, axis=1)
+    np.testing.assert_array_equal(got, oracle)
+    # Non-vacuous: the penalty changed at least one token vs greedy.
+    assert (oracle != np.stack(plain, axis=1)).any()
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_batcher_repetition_penalty_matches_generate(key, rng, paged):
+    """The batcher threads the seen mask through admission (incl.
+    chunked long prompts and recycled slots) and decode: outputs equal
+    per-request generate() with the same repetition-penalty sampler
+    (near-deterministic at temperature 1e-4)."""
+    from ku.nn import make_sampler
+
+    mha = dict(kv_page_size=8, kv_num_pages=24) if paged else {}
+    block, params, embed, readout, vocab = _lm(key, rng, **mha)
+    samp = make_sampler(temperature=1e-4, top_p=0.95,
+                        repetition_penalty=1.7)
+    assert samp.needs_seen
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (3, 6, 2, 5)]  # 6 > prompt_len: chunked rounds
+    budgets = [6, 4, 7, 5]
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=32,
+                           chunk=3, sampler=samp, rng=jax.random.key(2))
+    outs = cb.serve(prompts, budgets)
+    for pr, b, out in zip(prompts, budgets, outs):
+        ref = np.asarray(generate(
+            block, params, jnp.asarray(pr)[None], b, embed=embed,
+            readout=readout, sampler=samp, rng=jax.random.key(9)))[0]
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_batcher_shared_prefix_repetition_penalty(key, rng):
+    """Paged shared-prefix serving marks the prefix's tokens as seen for
+    every request: outputs equal generate() on prefix+prompt."""
+    from ku.nn import make_sampler
+
+    block, params, embed, readout, vocab = _lm(
+        key, rng, max_decode_len=64, kv_page_size=8, kv_num_pages=40)
+    samp = make_sampler(temperature=1e-4, repetition_penalty=1.7)
+    prefix = rng.integers(0, vocab, size=(5,)).astype(np.int32)
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (3, 2, 4)]
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=64,
+                           chunk=3, sampler=samp, rng=jax.random.key(2))
+    outs = cb.serve(prompts, 6, shared_prefix=prefix)
+    for pr, out in zip(prompts, outs):
+        full = jnp.asarray(np.concatenate([prefix, pr]))[None]
+        ref = np.asarray(generate(
+            block, params, full, 6, embed=embed, readout=readout,
+            sampler=samp, rng=jax.random.key(9)))[0]
+        np.testing.assert_array_equal(out, ref)
