@@ -419,28 +419,38 @@ class MultiHeadAttention(nn.Module):
                                   -127, 127).astype(jnp.int8)
                     return qv, s.astype(jnp.float32)
 
+                # int8 × f32-scale dequant promotes to f32; cast back to
+                # the model's K/V dtype so a bf16 model's attention (and
+                # everything downstream) stays bf16 — the cast is applied
+                # identically at quant time and at every read, keeping
+                # prefill bit-identical to per-token steps.
+                kv_dt = k_h.dtype
                 k_st, k_s = _quant(k_h)
                 v_st, v_s = _quant(v_h)
                 # Keep decode math identical whether a token was cached
                 # by prefill or per-token steps: attention always sees
                 # the DEQUANTIZED values.
-                k_h = k_st * k_s[..., None]
-                v_h = v_st * v_s[..., None]
+                k_h = (k_st * k_s[..., None]).astype(kv_dt)
+                v_h = (v_st * v_s[..., None]).astype(kv_dt)
 
                 if paged:
                     def _read_k():
                         return (_gather(ck.value)
-                                * _gather_s(ksc.value)[..., None])
+                                * _gather_s(ksc.value)[..., None]
+                                ).astype(kv_dt)
 
                     def _read_v():
                         return (_gather(cv.value)
-                                * _gather_s(vsc.value)[..., None])
+                                * _gather_s(vsc.value)[..., None]
+                                ).astype(kv_dt)
                 else:
                     def _read_k():
-                        return ck.value * ksc.value[..., None]
+                        return (ck.value
+                                * ksc.value[..., None]).astype(kv_dt)
 
                     def _read_v():
-                        return cv.value * vsc.value[..., None]
+                        return (cv.value
+                                * vsc.value[..., None]).astype(kv_dt)
             else:
                 k_st, v_st = k_h, v_h
 
