@@ -184,11 +184,15 @@ def sparse_throughput():
         q, k, v, s_hi=16)
 
 
-def decode_throughput(mode: str = "dense"):
-    """Serving gate: KV-cache decode tokens/sec on the standard
-    benchmarks/decode_bench.py conf (2 blocks, d_model 512, GQA 8/2,
-    batch 8, T=512, whole loop one lax.scan dispatch, best-of-4).
-    ``mode``: dense / int8 / ring / paged (the serving cache family)."""
+def decode_throughput(mode: str = "dense", t: int = 512,
+                      conf: str = "toy"):
+    """Serving gate: KV-cache decode tokens/sec on a
+    benchmarks/decode_bench.py conf (whole loop one lax.scan dispatch,
+    best-of-4). ``mode``: dense / int8 / ring / paged (the serving
+    cache family); ``conf``: 'toy' (2 blocks × d512, the fast
+    launch-bound gate) or 'big' (16 blocks × d2048 GQA 16/4 bf16,
+    ~0.9B params — bandwidth-bound; the record then carries the HBM
+    roofline keys). Returns the full record dict."""
     # Remove by VALUE: the imported bench module inserts the repo
     # root at sys.path[0] during import, so pop(0) would evict
     # that instead and leave benchmarks/ importable forever.
@@ -199,7 +203,7 @@ def decode_throughput(mode: str = "dense"):
         import decode_bench
     finally:
         sys.path.remove(_bdir)
-    return decode_bench.run(512, mode)["decode_tokens_per_sec"]
+    return decode_bench.run(t, mode, conf)
 
 
 def _await_tpu(attempts: int = 3, wait_s: int = 60) -> bool:
@@ -339,9 +343,24 @@ def main():
                                ("ring", "decode_ring_tokens_per_sec"),
                                ("paged", "decode_paged_tokens_per_sec")):
             try:
-                record[key_name] = round(decode_throughput(mode), 1)
+                record[key_name] = decode_throughput(
+                    mode)["decode_tokens_per_sec"]
             except Exception as e:
                 record[f"decode_{mode}_error"] = repr(e)[:200]
+        # Real-sized serving gate (round-4): ~0.9B-param bf16 decode at
+        # T=2048 — bandwidth-bound, so tokens/sec AND the achieved
+        # fraction of the v5e's ~819 GB/s HBM roofline are recorded
+        # (the toy confs above are launch-bound and can't see
+        # bandwidth regressions).
+        for mode, prefix in (("dense", "decode_big"),
+                             ("int8", "decode_big_int8")):
+            try:
+                r = decode_throughput(mode, t=2048, conf="big")
+                record[f"{prefix}_tokens_per_sec"] = \
+                    r["decode_tokens_per_sec"]
+                record[f"{prefix}_hbm_frac"] = r["hbm_frac"]
+            except Exception as e:
+                record[f"{prefix}_error"] = repr(e)[:200]
     if not on_tpu:
         record["backend"] = "cpu_fallback_tpu_unavailable"
     print(json.dumps(record))

@@ -6,7 +6,18 @@ WHOLE decode loop runs as ONE dispatch (lax.scan with the functional
 cache dict as carry), so the ~25-30 ms axon-tunnel round trip amortizes
 across T steps (BASELINE.md methodology); scalar-readback fencing.
 
-Usage: python benchmarks/decode_bench.py [T] [ring|prefill|paged|...]
+Usage: python benchmarks/decode_bench.py [T] [ring|prefill|paged|...] [toy|big]
+
+Confs: ``toy`` (2 blocks × d_model 512, ~8M params — the fast gate; NB
+launch/HBM-latency-bound, it cannot see bandwidth regressions) and
+``big`` (16 blocks × d_model 2048, GQA 16/4, bf16, ~0.9B params — a
+real serving size whose decode step IS bandwidth-bound). For big confs
+the record adds the ROOFLINE: every decode step must read all weights
+plus the whole allocated KV page per layer (the dense masked read), so
+model_bytes_per_step = params + cache and
+``achieved_gbps = model_bytes_per_step × T / elapsed`` is compared to
+the v5e's ~819 GB/s HBM peak (``hbm_frac``). int8 halves the cache
+term; at T where cache >> params the A/B should approach 2×.
 
 ``ring``    — StreamingLLM serving: window 512 + 32 sinks ring cache.
 ``paged``   — page-pool KV cache (page 256, identity tables): A/B of
@@ -40,17 +51,32 @@ from ku.nn import Transformer
 
 D_MODEL, HEADS, KV_HEADS, BLOCKS, BATCH = 512, 8, 2, 2, 8
 
+# Each ku Transformer block holds TWO attention sublayers (reference
+# transformer.py parity), so "blocks" here = 2× that many KV caches.
+CONFS = {
+    "toy": dict(d_model=512, heads=8, kv_heads=2, blocks=2, batch=8,
+                dtype="float32"),
+    # ~0.87B params (per block ≈ 12·d² + 4·d²/(heads/kv) with the double
+    # attention + 4× MLP), bf16 → ~1.75 GB weights; at T=8192 the 32 KV
+    # caches hold 4.3 GB — decode is genuinely HBM-read-bound.
+    "big": dict(d_model=2048, heads=16, kv_heads=4, blocks=16, batch=8,
+                dtype="bfloat16"),
+}
 
-def build(max_len, window=None, global_prefix=0, kv_cache_dtype=None,
-          use_flash=False, kv_page_size=None):
+HBM_PEAK_GBPS = 819.0  # TPU v5e
+
+
+def build(max_len, conf, window=None, global_prefix=0,
+          kv_cache_dtype=None, use_flash=False, kv_page_size=None):
     import flax.linen as nn
 
     class LM(nn.Module):
         @nn.compact
         def __call__(self, x, decode: bool = False):
-            for i in range(BLOCKS):
-                x = Transformer(HEADS, D_MODEL, 0.0, causal=True,
-                                num_kv_head=KV_HEADS,
+            for i in range(conf["blocks"]):
+                x = Transformer(conf["heads"], conf["d_model"], 0.0,
+                                causal=True,
+                                num_kv_head=conf["kv_heads"],
                                 max_decode_len=max_len,
                                 window=window, global_prefix=global_prefix,
                                 kv_cache_dtype=kv_cache_dtype,
@@ -69,39 +95,53 @@ def main():
     # t_tokens (unbounded decode at constant memory), vs the dense
     # cache's t_tokens slots.
     mode = sys.argv[2] if len(sys.argv) > 2 else "dense"
+    conf = sys.argv[3] if len(sys.argv) > 3 else "toy"
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    print(json.dumps(run(t_tokens, mode)))
+    print(json.dumps(run(t_tokens, mode, conf)))
 
 
-def run(t_tokens: int, mode: str = "dense") -> dict:
+def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     """Measure one decode/prefill configuration; returns the record dict
     (importable — bench.py's serving gate reuses this)."""
     ring = mode == "ring"
+    c = CONFS[conf]
+    batch, d_model = c["batch"], c["d_model"]
+    dtype = jnp.dtype(c["dtype"])
     rng = np.random.default_rng(0)
     # "paged": dense-layout A/B for the page-pool cache (page 256,
     # identity tables) — measures the flash-decoding-style page-scan
     # read against the contiguous dense read at the same T.
-    model = build(t_tokens, window=512 if ring else None,
+    model = build(t_tokens, c, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
                   kv_cache_dtype="int8" if mode == "int8" else None,
                   use_flash=mode == "prefill_flash",
                   kv_page_size=256 if mode == "paged" else None)
-    x0 = jnp.asarray(rng.normal(size=(BATCH, 1, D_MODEL)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(batch, 1, d_model)), dtype)
     variables = model.init(jax.random.key(0), x0, decode=True)
-    params = variables["params"]
-    cache0 = variables["cache"]
+    params = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+        variables["params"])
+    if dtype == jnp.float32:
+        cache0 = variables["cache"]
+    else:
+        # Re-allocate the cache under the CAST params so K/V pages adopt
+        # the compute dtype (init allocated f32 pages from f32 params).
+        _, mut = model.apply({"params": params}, x0, decode=True,
+                             mutable=["cache"])
+        cache0 = jax.tree.map(jnp.zeros_like, mut["cache"])
 
     if mode.startswith("prefill"):
         S = 16
-        xp = jnp.asarray(rng.normal(size=(BATCH, t_tokens, D_MODEL)),
-                         jnp.float32)
+        xp = jnp.asarray(rng.normal(size=(batch, t_tokens, d_model)),
+                         dtype)
 
         @jax.jit
         def prefill_chain(params, cache0, xp, salt):
             def step(x, _):
                 y, _ = model.apply({"params": params, "cache": cache0},
                                    x, decode=True, mutable=["cache"])
-                return y * (1 + salt * 1e-30), jnp.sum(y)
+                # astype: the f32 salt would promote a bf16 carry.
+                return (y * (1 + salt * 1e-30)).astype(y.dtype), jnp.sum(y)
 
             _, sums = jax.lax.scan(step, xp, None, length=S)
             return jnp.sum(sums)
@@ -116,10 +156,11 @@ def run(t_tokens: int, mode: str = "dense") -> dict:
                                          jnp.float32(1e-6 * (i + 1))))
             best = min(best, time.perf_counter() - t0)
         return {
-            "prefill_tokens_per_sec": round(BATCH * t_tokens * S / best, 1),
+            "prefill_tokens_per_sec": round(batch * t_tokens * S / best, 1),
             "ms_per_prompt": round(best * 1e3 / S, 4), "mode": mode,
-            "batch": BATCH, "t": t_tokens, "d_model": D_MODEL,
-            "heads": HEADS, "kv_heads": KV_HEADS, "blocks": BLOCKS,
+            "batch": batch, "t": t_tokens, "d_model": d_model,
+            "heads": c["heads"], "kv_heads": c["kv_heads"],
+            "blocks": c["blocks"], "conf": conf,
         }
 
     @jax.jit
@@ -128,8 +169,10 @@ def run(t_tokens: int, mode: str = "dense") -> dict:
             x, cache = carry
             y, mut = model.apply({"params": params, "cache": cache}, x,
                                  decode=True, mutable=["cache"])
-            # Feed the output back (greedy-decode shape without a vocab).
-            return (y * (1 + salt * 1e-30), mut["cache"]), jnp.sum(y)
+            # Feed the output back (greedy-decode shape without a vocab);
+            # astype: the f32 salt would promote a bf16 carry.
+            return ((y * (1 + salt * 1e-30)).astype(y.dtype),
+                    mut["cache"]), jnp.sum(y)
 
         (_, _), sums = jax.lax.scan(step, (x0, cache0), None,
                                     length=t_tokens)
@@ -142,13 +185,31 @@ def run(t_tokens: int, mode: str = "dense") -> dict:
         _ = np.asarray(decode_chain(params, cache0, x0,
                                     jnp.float32(1e-6 * (i + 1))))
         best = min(best, time.perf_counter() - t0)
-    toks = BATCH * t_tokens
+    toks = batch * t_tokens
     out = {
         "decode_tokens_per_sec": round(toks / best, 1),
         "ms_per_token_batch": round(best * 1e3 / t_tokens, 4),
-        "batch": BATCH, "t": t_tokens, "d_model": D_MODEL,
-        "heads": HEADS, "kv_heads": KV_HEADS, "blocks": BLOCKS,
+        "batch": batch, "t": t_tokens, "d_model": d_model,
+        "heads": c["heads"], "kv_heads": c["kv_heads"],
+        "blocks": c["blocks"], "conf": conf,
     }
+    # HBM roofline (dense/int8/paged full-page reads; a ring cache reads
+    # its fixed window instead — the same leaf-size accounting covers it
+    # since its pages ARE window-sized): each decode step reads every
+    # weight once plus every allocated KV page (the masked dense read
+    # touches the whole page; int8 leaf sizes halve the cache term
+    # automatically, and its f32 scales are counted too).
+    param_bytes = sum(a.nbytes for a in jax.tree.leaves(params))
+    cache_bytes = sum(a.nbytes for a in jax.tree.leaves(cache0))
+    step_bytes = param_bytes + cache_bytes
+    achieved = step_bytes * t_tokens / best / 1e9
+    out.update(
+        params_gb=round(param_bytes / 1e9, 3),
+        kv_cache_gb=round(cache_bytes / 1e9, 3),
+        model_read_gb_per_step=round(step_bytes / 1e9, 3),
+        achieved_gbps=round(achieved, 1),
+        hbm_frac=round(achieved / HBM_PEAK_GBPS, 3),
+    )
     if ring:
         out["cache_slots_per_layer"] = 512 + 32
     if mode != "dense":
