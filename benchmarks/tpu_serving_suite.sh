@@ -33,6 +33,23 @@ timeout 2400 python benchmarks/decode_bench.py 8192 paged
 echo "== decode paged T=512 =="
 timeout 1800 python benchmarks/decode_bench.py 512 paged
 
+echo "== decode BIG (0.9B bf16) dense T=2048 — HBM roofline =="
+timeout 3600 python benchmarks/decode_bench.py 2048 dense big
+echo "== decode BIG int8 T=2048 (A/B: cache term halves) =="
+timeout 3600 python benchmarks/decode_bench.py 2048 int8 big
+echo "== decode BIG dense T=8192 (cache >> params regime) =="
+timeout 3600 python benchmarks/decode_bench.py 8192 dense big
+echo "== decode BIG int8 T=8192 =="
+timeout 3600 python benchmarks/decode_bench.py 8192 int8 big
+echo "== decode BIG paged T=8192 =="
+timeout 3600 python benchmarks/decode_bench.py 8192 paged big
+
+echo "== speculative decoding: real 1-block draft vs dense =="
+timeout 3600 python benchmarks/spec_decode_bench.py 256 8
+
+echo "== int8 KV quality (logprob/ppl delta, T=512/2048) =="
+timeout 3600 python benchmarks/int8_kv_quality.py 512 2048
+
 echo "== bench.py (driver gate) =="
 timeout 3600 python bench.py
 echo "== DONE =="

@@ -729,3 +729,55 @@ def test_paged_serving_on_tpu(rng):
     assert all(o.shape == (6,) for o in outs)
     assert cb.last_stats["shared_prefix_pages"] == 2
     assert 0 < cb.last_stats["peak_pages_in_use"] <= 10
+
+
+def test_bf16_int8_decode_dtype_on_tpu(rng):
+    """bf16 model + int8 KV cache on hardware: the dequantized reads
+    stay in bf16 (ku/nn/attention.py kv_dt cast — a bf16 model must not
+    silently upcast its decode path to f32) and step decode matches the
+    full bf16 forward within quantization+bf16 tolerance."""
+    import ku
+
+    b, t, dm = 2, 10, 16
+    x = jnp.asarray(rng.normal(size=(b, t, dm)), jnp.bfloat16)
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, num_kv_head=1,
+                                  kv_cache_dtype="int8")
+    variables = layer.init(jax.random.key(0), [x, x, x])
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          variables["params"])
+    full = layer.apply({"params": params}, [x, x, x])
+    assert full.dtype == jnp.bfloat16
+    cache, steps = {}, []
+    step = jax.jit(lambda v, tok: layer.apply(
+        v, [tok, tok, tok], decode=True, mutable=["cache"]))
+    for i in range(t):
+        y, cache = step({"params": params, **cache}, x[:, i:i + 1])
+        assert y.dtype == jnp.bfloat16  # the dequant path must not leak f32
+        steps.append(np.asarray(y, np.float32))
+    np.testing.assert_allclose(
+        np.concatenate(steps, axis=1), np.asarray(full, np.float32),
+        rtol=1.2e-1, atol=2e-2)  # int8 quant + bf16 matmuls
+
+
+def test_topp_repetition_sampler_on_tpu(rng):
+    """generate() with the top-p + repetition-penalty sampler (seen-mask
+    scan carry) compiles and runs on hardware; outputs stay in-vocab and
+    are deterministic per key."""
+    import ku
+    from ku.nn import generate, make_sampler
+
+    vocab, dm, b = 11, 16, 2
+    table = jnp.asarray(rng.normal(size=(vocab, dm)).astype(np.float32))
+    block = ku.Transformer(2, dm, 0.0, causal=True, max_decode_len=24)
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, 5)), jnp.int32)
+    params = block.init(jax.random.key(0), [table[ids]])["params"]
+    samp = make_sampler(temperature=0.9, top_k=6, top_p=0.9,
+                        repetition_penalty=1.4)
+    run = lambda: np.asarray(generate(
+        block, params, ids, 8, embed=lambda i, p=None: table[i],
+        readout=lambda y: y @ table.T, sampler=samp,
+        rng=jax.random.key(3)))
+    a, bb = run(), run()
+    np.testing.assert_array_equal(a, bb)
+    assert a.shape == (b, 8) and a.min() >= 0 and a.max() < vocab
