@@ -1,0 +1,168 @@
+"""ContinuousBatcher ON-HARDWARE efficiency vs the raw decode loop.
+
+VERDICT r3 weak-4: the batcher's steady-state throughput had only CPU
+numbers and its per-``step()`` host overhead on TPU was unquantified.
+This measures, at the real-sized serving conf (decode_bench CONFS
+['big']: 16 blocks x d_model 2048, GQA 16/4, bf16, ~0.9B params):
+
+1. ``generate()`` tokens/sec — the strongest baseline: same model, same
+   batch width, whole decode as ONE lax.scan dispatch (no scheduler).
+2. Batcher steady tokens/sec at chunk 8/32/128 (closed-loop: pool kept
+   full; round-0 compile excluded), its efficiency vs (1), and the mean
+   host+dispatch wall per ``step()`` vs the pure device time the chunk's
+   tokens cost in (1) — the difference IS the scheduler+tunnel tax per
+   scheduling round.
+
+Target from the VERDICT: >= 80% of the raw loop at the production chunk.
+A dispatch costs ~28 ms over the axon tunnel, so small chunks are
+expected to lose: chunk 8 = 8 slots x 8 tokens per dispatch round trip.
+
+Usage: python benchmarks/batcher_bench.py [conf] [budget] [chunks...]
+       (defaults: big 256 8 32 128; 'toy' for a CPU-speed smoke)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from decode_bench import CONFS  # noqa: E402  (same dir at runtime)
+
+VOCAB = 1024
+
+
+def build_lm(conf, max_len):
+    import flax.linen as nn
+
+    from ku.nn import Transformer
+
+    class LM(nn.Module):
+        @nn.compact
+        def __call__(self, xs, decode=False, prompt_lengths=None):
+            x = xs[0]
+            for i in range(conf["blocks"]):
+                x = Transformer(conf["heads"], conf["d_model"], 0.0,
+                                causal=True, rope=True,
+                                num_kv_head=conf["kv_heads"],
+                                max_decode_len=max_len,
+                                name=f"block{i}")(
+                    [x], decode=decode, prompt_lengths=prompt_lengths)
+            return x
+
+    return LM()
+
+
+def main():
+    conf_name = sys.argv[1] if len(sys.argv) > 1 else "big"
+    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    chunks = [int(a) for a in sys.argv[3:]] or [8, 32, 128]
+    conf = CONFS[conf_name]
+    dtype = jnp.dtype(conf["dtype"])
+    slots = conf["batch"]
+    prompt_len = 64
+    max_len = prompt_len + budget + max(chunks)
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    from ku.nn import ContinuousBatcher, generate
+
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(VOCAB, conf["d_model"])) * 0.05,
+                        dtype)
+    embed = lambda i, p=None: table[i]  # noqa: E731 (RoPE: no PE table)
+    readout = lambda y: y @ table.T  # noqa: E731
+    model = build_lm(conf, max_len)
+    params0 = model.init(jax.random.key(0),
+                         [embed(jnp.zeros((1, 2), jnp.int32))],
+                         decode=True)["params"]
+    params = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+        params0)
+
+    prompts = rng.integers(0, VOCAB, size=(slots, prompt_len))
+
+    # 1. Raw loop: generate() at the pool width, whole decode one scan.
+    # Jitted ONCE with params/table as ARGUMENTS: an unjitted call
+    # re-traces the whole stack every invocation (seconds of host time
+    # at 16 blocks), and closure arrays would embed in the HLO and blow
+    # the tunnel's upload limit (CLAUDE.md HTTP 413 gotcha).
+    @jax.jit
+    def gen_jit(params, table, ids, key):
+        return generate(model, params, ids, budget,
+                        embed=lambda i, p=None: table[i],
+                        readout=lambda y: y @ table.T, rng=key)
+
+    def run_gen(salt):
+        return np.asarray(gen_jit(params, table,
+                                  jnp.asarray(prompts, jnp.int32),
+                                  jax.random.key(salt)))
+
+    _ = run_gen(0)  # compile
+    t_gen = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        _ = run_gen(i + 1)  # fresh key: the tunnel may dedupe
+        t_gen = min(t_gen, time.perf_counter() - t0)
+    gen_tps = slots * budget / t_gen
+    per_token_ms = t_gen * 1e3 / budget  # per batched decode step
+    print(json.dumps({"baseline": "generate", "conf": conf_name,
+                      "slots": slots, "budget": budget,
+                      "tokens_per_sec": round(gen_tps, 1),
+                      "ms_per_token_batch": round(per_token_ms, 3)}))
+
+    rows = []
+    for chunk in chunks:
+        cb = ContinuousBatcher(model, params, embed=embed,
+                               readout=readout, num_slots=slots,
+                               prompt_len=prompt_len,
+                               max_decode_len=max_len, chunk=chunk,
+                               rng=jax.random.key(7))
+        # Closed-loop: 2x slots requests so every slot recycles once.
+        reqs = [rng.integers(0, VOCAB, size=(prompt_len,))
+                .astype(np.int32) for _ in range(2 * slots)]
+        cb.reset()
+        for r in reqs:
+            cb.submit(r, budget)
+        step_walls = []
+        t_warm = tok_warm = None
+        while not cb.idle:
+            t0 = time.perf_counter()
+            cb.step()
+            step_walls.append(time.perf_counter() - t0)
+            if t_warm is None:  # round 0 pays the compiles
+                t_warm = time.perf_counter()
+                tok_warm = cb.last_stats["decoded_tokens"]
+        steady = ((cb.last_stats["decoded_tokens"] - tok_warm)
+                  / max(time.perf_counter() - t_warm, 1e-9))
+        st = cb.last_stats
+        mean_step_ms = float(np.mean(step_walls[1:])) * 1e3
+        device_ms = chunk * per_token_ms  # what the tokens cost raw
+        rows.append({
+            "chunk": chunk,
+            "steady_tokens_per_sec": round(steady, 1),
+            "efficiency_vs_generate": round(steady / gen_tps, 3),
+            "mean_step_ms": round(mean_step_ms, 2),
+            "device_equiv_ms": round(device_ms, 2),
+            "sched_overhead_ms_per_step": round(
+                mean_step_ms - device_ms, 2),
+            "chunks": st["chunks"],
+            "wasted_slot_steps": st["wasted_slot_steps"],
+        })
+        print(json.dumps(rows[-1]))
+
+    print(json.dumps({"conf": conf_name, "slots": slots,
+                      "budget": budget,
+                      "generate_tokens_per_sec": round(gen_tps, 1),
+                      "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -122,7 +122,7 @@ def main():
     from ku.nn import generate, make_sampler, speculative_generate
 
     table, tparams = train(2, epochs=8, seed=0)
-    dtable, dparams = train(1, epochs=4, seed=1)
+    dtable, dparams = train(1, epochs=8, seed=1)
     max_len = PERIOD + steps + 8  # prompt + steps + gamma+1 overshoot
     target, draft = _models(max_len)
 
@@ -146,25 +146,30 @@ def main():
             label = f"gamma{gamma}_" + ("greedy" if temp is None
                                         else f"T{temp}")
 
+            # Jit ONCE per config (an unjitted call re-traces the whole
+            # loop program every invocation — host seconds that would
+            # drown the comparison; rng passed as an arg so fresh keys
+            # don't retrigger compilation or tunnel dedupe).
+            spec_jit = jax.jit(lambda tp, dp, ids, key: speculative_generate(
+                target, tp, draft, dp, ids, steps, gamma=gamma,
+                temperature=temp, embed=t_emb, readout=t_read,
+                draft_embed=d_emb, draft_readout=d_read, rng=key))
+            sampler = make_sampler(temp) if temp is not None else None
+            kw = dict(sampler=sampler) if sampler else {}
+            dense_jit = jax.jit(lambda tp, ids, key: generate(
+                target, tp, ids, steps, embed=t_emb, readout=t_read,
+                rng=key, **kw))
+
             def run_spec(salt):
-                out, acc = speculative_generate(
-                    target, tparams, draft, dparams,
-                    jnp.asarray(prompts, jnp.int32), steps,
-                    gamma=gamma, temperature=temp,
-                    embed=t_emb, readout=t_read,
-                    draft_embed=d_emb, draft_readout=d_read,
-                    rng=jax.random.key(100 + salt))
+                out, acc = spec_jit(tparams, dparams,
+                                    jnp.asarray(prompts, jnp.int32),
+                                    jax.random.key(100 + salt))
                 return np.asarray(out), np.asarray(acc)
 
             def run_dense(salt):
-                sampler = (make_sampler(temp) if temp is not None
-                           else None)
-                kw = dict(sampler=sampler) if sampler else {}
-                out = generate(target, tparams,
-                               jnp.asarray(prompts, jnp.int32), steps,
-                               embed=t_emb, readout=t_read,
-                               rng=jax.random.key(100 + salt), **kw)
-                return np.asarray(out)
+                return np.asarray(dense_jit(
+                    tparams, jnp.asarray(prompts, jnp.int32),
+                    jax.random.key(100 + salt)))
 
             t_spec = timed(lambda s: run_spec(s)[0])
             t_dense = timed(run_dense)

@@ -1,0 +1,73 @@
+"""int8 KV-cache QUALITY bound (VERDICT r4 item 6): the quantized cache
+must track the f32 cache's per-token logprobs within a documented bound.
+
+Mechanism-level test (fast, no training): teacher-forced logits come
+from ONE ``decode=True`` prefill per cache dtype — the prefill attention
+reads the dequantized K/V and prefill is exactness-tested bit-identical
+to per-token steps (tests/test_layers.py), so this bounds what int8
+costs the step-by-step decode too. The embedding table is scaled up to
+SHARPEN the logit distribution (worst-casing the quantization error far
+beyond an untrained model's near-uniform logits). Trained-model numbers
+at T=512/2048 live in benchmarks/int8_kv_quality.py → BASELINE.md; the
+documented threshold (docs/source/user_guide.rst): mean |Δ logprob|
+< 0.01, relative Δperplexity < 0.5%.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ku
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def _core(max_len, qdt):
+    import flax.linen as nn
+
+    class Core(nn.Module):
+        @nn.compact
+        def __call__(self, xs, decode=False):
+            x = xs[0]
+            for i in range(2):
+                x = ku.Transformer(4, 64, 0.0, causal=True, rope=True,
+                                   max_decode_len=max_len,
+                                   kv_cache_dtype=qdt,
+                                   name=f"block_{i}")([x], decode=decode)
+            return x
+
+    return Core()
+
+
+def test_int8_cache_logprob_delta_bound(rng):
+    b, t, vocab = 8, 256, 32
+    table = jnp.asarray(rng.normal(size=(vocab, 64)).astype(np.float32)
+                        * 4.0)  # sharpened: stresses quantization
+    ids = jnp.asarray(rng.integers(0, vocab, size=(b, t + 1)), jnp.int32)
+    x = table[ids[:, :-1]]
+    params = _core(t, None).init(jax.random.key(0), [x],
+                                 decode=True)["params"]
+
+    def logits(qdt):
+        y, _ = _core(t, qdt).apply({"params": params}, [x], decode=True,
+                                   mutable=["cache"])
+        return jax.nn.log_softmax(y @ table.T, axis=-1)
+
+    lg_f = np.asarray(logits(None), np.float64)
+    lg_q = np.asarray(logits("int8"), np.float64)
+    rows = np.arange(b)[:, None]
+    cols = np.arange(t)[None]
+    y_true = np.asarray(ids[:, 1:])
+    lp_f, lp_q = lg_f[rows, cols, y_true], lg_q[rows, cols, y_true]
+    d = np.abs(lp_f - lp_q)
+    ppl_f, ppl_q = np.exp(-lp_f.mean()), np.exp(-lp_q.mean())
+    assert d.mean() < 0.01, d.mean()
+    assert np.percentile(d, 99) < 0.05, np.percentile(d, 99)
+    assert abs(ppl_q - ppl_f) / ppl_f < 0.005
+    # Distribution shape also holds: argmax flips are rare.
+    agree = (lg_f.argmax(-1) == lg_q.argmax(-1)).mean()
+    assert agree > 0.99, agree
