@@ -122,9 +122,11 @@ def pick_backend():
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     batch_step = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    prepare_data()
+    # Backend first: prepare_data's load_mnist touches jax.image.resize,
+    # which would initialize (and cache) a dead axon backend.
     backend = pick_backend()
     print(f"[train_digits] backend: {backend}")
+    prepare_data()
 
     from style_based_gan import StyleGAN, TrainingSequenceFFHQ
     from ku.utils.callbacks import CheckpointCallback, LambdaCallback

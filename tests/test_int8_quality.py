@@ -6,11 +6,13 @@ from ONE ``decode=True`` prefill per cache dtype — the prefill attention
 reads the dequantized K/V and prefill is exactness-tested bit-identical
 to per-token steps (tests/test_layers.py), so this bounds what int8
 costs the step-by-step decode too. The embedding table is scaled up to
-SHARPEN the logit distribution (worst-casing the quantization error far
-beyond an untrained model's near-uniform logits). Trained-model numbers
-at T=512/2048 live in benchmarks/int8_kv_quality.py → BASELINE.md; the
-documented threshold (docs/source/user_guide.rst): mean |Δ logprob|
-< 0.01, relative Δperplexity < 0.5%.
+SHARPEN the logit distribution (stressing the quantization error beyond
+an untrained model's near-uniform logits). The asserted numbers here are
+the MECHANISM bound for this setup; a fully-trained LM (sharper still)
+measures mean |Δ logprob| ~0.02 / p99 ~0.2 with relative Δperplexity
+< 0.05% and top-1 agreement within 0.1% at T=512/2048
+(benchmarks/int8_kv_quality.py → BASELINE.md, thresholds documented in
+docs/source/user_guide.rst).
 """
 
 import jax
