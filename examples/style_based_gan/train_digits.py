@@ -134,6 +134,11 @@ def main():
     conf = json.loads(json.dumps(CONF))  # deep copy
     conf["hps"]["epochs"] = epochs
     conf["hps"]["batch_step"] = batch_step
+    if backend == "cpu":
+        # steps_per_call fuses 8 logical steps into one dispatch to
+        # amortize the TPU tunnel round trip; on CPU it only multiplies
+        # the XLA-CPU compile graph 8x (>40 min at 32px, measured).
+        conf["hps"]["steps_per_call"] = 1
     os.makedirs(os.path.join(RUN_DIR, "samples"), exist_ok=True)
     hist_path = os.path.join(RUN_DIR, "history.json")
     history = (json.load(open(hist_path))
