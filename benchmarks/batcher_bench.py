@@ -119,7 +119,7 @@ def main():
                       "ms_per_token_batch": round(per_token_ms, 3)}))
 
     rows = []
-    for chunk in chunks:
+    for chunk in chunks + [tuple(chunks)]:  # fixed sizes + adaptive
         cb = ContinuousBatcher(model, params, embed=embed,
                                readout=readout, num_slots=slots,
                                prompt_len=prompt_len,
@@ -128,25 +128,36 @@ def main():
         # Closed-loop: 2x slots requests so every slot recycles once.
         reqs = [rng.integers(0, VOCAB, size=(prompt_len,))
                 .astype(np.int32) for _ in range(2 * slots)]
-        cb.reset()
-        for r in reqs:
-            cb.submit(r, budget)
-        step_walls = []
-        t_warm = tok_warm = None
-        while not cb.idle:
-            t0 = time.perf_counter()
-            cb.step()
-            step_walls.append(time.perf_counter() - t0)
-            if t_warm is None:  # round 0 pays the compiles
-                t_warm = time.perf_counter()
-                tok_warm = cb.last_stats["decoded_tokens"]
-        steady = ((cb.last_stats["decoded_tokens"] - tok_warm)
-                  / max(time.perf_counter() - t_warm, 1e-9))
+
+        def run_once():
+            cb.reset(force=True)
+            for r in reqs:
+                cb.submit(r, budget)
+            walls = []
+            t0_all = time.perf_counter()
+            while not cb.idle:
+                t0 = time.perf_counter()
+                cb.step()
+                walls.append(time.perf_counter() - t0)
+            return walls, time.perf_counter() - t0_all
+
+        # Pass 1 warms EVERY compiled shape this config can reach
+        # (adaptive chunking compiles one scan per size, and sizes
+        # first appear mid-run — timing pass 1 would charge compiles
+        # to steady state); pass 2 is the measurement.
+        run_once()
+        step_walls, wall = run_once()
+        steady = cb.last_stats["decoded_tokens"] / wall
         st = cb.last_stats
-        mean_step_ms = float(np.mean(step_walls[1:])) * 1e3
-        device_ms = chunk * per_token_ms  # what the tokens cost raw
+        mean_step_ms = float(np.mean(step_walls)) * 1e3
+        # Mean realized chunk (adaptive varies per round): every scanned
+        # slot-step is either a decoded or a wasted token.
+        mean_chunk = ((st["decoded_tokens"] + st["wasted_slot_steps"])
+                      / (st["chunks"] * slots))
+        device_ms = mean_chunk * per_token_ms  # what the tokens cost raw
         rows.append({
-            "chunk": chunk,
+            "chunk": chunk if isinstance(chunk, int) else list(chunk),
+            "mean_realized_chunk": round(mean_chunk, 1),
             "steady_tokens_per_sec": round(steady, 1),
             "efficiency_vs_generate": round(steady / gen_tps, 3),
             "mean_step_ms": round(mean_step_ms, 2),

@@ -96,7 +96,12 @@ class ContinuousBatcher:
         prompt length.
       max_decode_len: the model's cache page length (for budget checks).
       chunk: decode quantum — tokens generated per dispatch between
-        scheduling points.
+        scheduling points. An int, or a sequence of sizes (e.g.
+        ``(8, 32, 128)``) for ADAPTIVE chunking: one compiled scan per
+        size; each round picks the smallest while requests are queued
+        (fast admission) and otherwise the largest fitting the
+        tightest remaining budget (fewest dispatch round trips).
+        Validation and paged-pool accounting use the largest size.
       sampler: (logits (B, V), key) → (B,) ids; greedy by default.
       return_logprobs: also track each emitted token's raw-model
         log-softmax probability; finished requests then map to
@@ -130,8 +135,20 @@ class ContinuousBatcher:
         if prompt_len < 2:
             # prompt_lengths needs a >1-wide chunk (attention.py guard).
             raise ValueError("prompt_len must be >= 2")
-        if chunk < 1:
-            raise ValueError("chunk must be >= 1")
+        # ADAPTIVE chunking: a sequence of sizes (e.g. (8, 32, 128))
+        # compiles one decode scan per size and picks per round — the
+        # smallest size while requests are queued (frequent admission
+        # points), else the largest that fits the tightest remaining
+        # budget (fewer dispatch round trips — each costs ~28 ms over a
+        # TPU tunnel). Budget/page accounting uses the LARGEST size (a
+        # row may overrun its budget by up to chunk-1 dead tokens).
+        chunks = ((chunk,) if isinstance(chunk, (int, np.integer))
+                  else tuple(chunk))
+        if not chunks or any(int(c) < 1 for c in chunks):
+            raise ValueError("chunk must be >= 1 (or a non-empty "
+                             "sequence of sizes >= 1)")
+        self._chunks = tuple(sorted({int(c) for c in chunks}))
+        self.chunk = self._chunks[-1]  # max: validation/page accounting
         self._mesh = mesh
         self._shard_kw = dict(model_axis=model_axis, data_axis=data_axis,
                               num_head=num_head, num_kv_head=num_kv_head)
@@ -143,7 +160,6 @@ class ContinuousBatcher:
         self.num_slots = num_slots
         self.prompt_len = prompt_len
         self.max_decode_len = max_decode_len
-        self.chunk = chunk
         self.eos_id = eos_id
         self.return_logprobs = return_logprobs
         self._key = rng if rng is not None else jax.random.key(0)
@@ -635,6 +651,26 @@ class ContinuousBatcher:
             self._stats.get("prefill_rounds", 0) + rounds)
         return True
 
+    def _pick_chunk(self) -> int:
+        """Adaptive policy over ``self._chunks``: smallest while the
+        queue is non-empty (a finished slot should reach admission
+        fast), else the largest size not overshooting the tightest
+        remaining budget by a full smaller option (dead-token waste);
+        always at least the smallest size."""
+        if len(self._chunks) == 1:
+            return self._chunks[0]
+        if self._queue:
+            return self._chunks[0]
+        remaining = min(
+            (self._budgets[self._slot_req[s]] - len(self._slot_toks[s])
+             for s in range(self.num_slots) if self._active[s]),
+            default=self._chunks[0])
+        best = self._chunks[0]
+        for c in self._chunks[1:]:
+            if c <= max(remaining, self._chunks[0]):
+                best = c
+        return best
+
     def step(self) -> dict:
         """One scheduling round: admit what fits, decode ONE chunk
         (a single ``lax.scan`` dispatch), harvest finished slots.
@@ -646,7 +682,8 @@ class ContinuousBatcher:
         if self._template is None or self.idle:
             return {}
         self._admit()
-        B, chunk, paged = self.num_slots, self.chunk, self._paged
+        B, paged = self.num_slots, self._paged
+        chunk = self._pick_chunk()
         self._key, kc = jax.random.split(self._key)
         (self._cache, self._pending, self._pending_lp, toks,
          lps, self._seen) = self._chunk(

@@ -610,3 +610,36 @@ def test_batcher_shared_prefix_repetition_penalty(key, rng):
             block, params, full, 6, embed=embed, readout=readout,
             sampler=samp, rng=jax.random.key(9)))[0]
         np.testing.assert_array_equal(out, ref)
+
+
+def test_batcher_adaptive_chunk_matches_generate(key, rng):
+    """chunk=(2, 4, 8) adaptive scheduling: outputs stay bit-identical
+    to per-request greedy generate() (chunk boundaries never affect
+    greedy tokens), the engine drains, and more than one compiled chunk
+    size is actually exercised (non-vacuous: queued rounds pick 2,
+    drained full-budget rounds pick larger)."""
+    block, params, embed, readout, vocab = _lm(key, rng,
+                                               max_decode_len=64)
+    prompts = [rng.integers(0, vocab, size=(p,)).astype(np.int32)
+               for p in (3, 1, 4, 2, 4)]
+    budgets = [20, 9, 16, 7, 12]
+    cb = ContinuousBatcher(block, params, embed=embed, readout=readout,
+                           num_slots=2, prompt_len=4, max_decode_len=64,
+                           chunk=(2, 4, 8))
+    assert cb.chunk == 8  # validation uses the max size
+    sizes = set()
+    orig = cb._pick_chunk
+
+    def spy():
+        c = orig()
+        sizes.add(c)
+        return c
+
+    cb._pick_chunk = spy
+    outs = cb.serve(prompts, budgets)
+    assert len(sizes) > 1, sizes
+    for pr, b, out in zip(prompts, budgets, outs):
+        ref = np.asarray(generate(
+            block, params, jnp.asarray(pr)[None], b, embed=embed,
+            readout=readout))[0]
+        np.testing.assert_array_equal(out, ref)
