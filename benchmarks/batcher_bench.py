@@ -94,25 +94,33 @@ def main():
     # re-traces the whole stack every invocation (seconds of host time
     # at 16 blocks), and closure arrays would embed in the HLO and blow
     # the tunnel's upload limit (CLAUDE.md HTTP 413 gotcha).
-    @jax.jit
-    def gen_jit(params, table, ids, key):
-        return generate(model, params, ids, budget,
-                        embed=lambda i, p=None: table[i],
-                        readout=lambda y: y @ table.T, rng=key)
+    def make_gen(steps):
+        @jax.jit
+        def gen_jit(params, table, ids, key):
+            return generate(model, params, ids, steps,
+                            embed=lambda i, p=None: table[i],
+                            readout=lambda y: y @ table.T, rng=key)
 
-    def run_gen(salt):
-        return np.asarray(gen_jit(params, table,
-                                  jnp.asarray(prompts, jnp.int32),
-                                  jax.random.key(salt)))
+        def run(salt):
+            return np.asarray(gen_jit(params, table,
+                                      jnp.asarray(prompts, jnp.int32),
+                                      jax.random.key(salt)))
 
-    _ = run_gen(0)  # compile
-    t_gen = float("inf")
-    for i in range(3):
-        t0 = time.perf_counter()
-        _ = run_gen(i + 1)  # fresh key: the tunnel may dedupe
-        t_gen = min(t_gen, time.perf_counter() - t0)
+        run(0)  # compile
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            run(i + 1)  # fresh key: the tunnel may dedupe
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # Two budgets isolate the per-decode-step price as a SLOPE — a
+    # single measurement would fold the 64-token prompt prefill into
+    # per_token_ms and understate the scheduler overhead split below.
+    t_gen = make_gen(budget)
+    t_half = make_gen(budget // 2)
     gen_tps = slots * budget / t_gen
-    per_token_ms = t_gen * 1e3 / budget  # per batched decode step
+    per_token_ms = ((t_gen - t_half) * 1e3) / (budget - budget // 2)
     print(json.dumps({"baseline": "generate", "conf": conf_name,
                       "slots": slots, "budget": budget,
                       "tokens_per_sec": round(gen_tps, 1),

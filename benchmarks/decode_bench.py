@@ -126,9 +126,24 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     else:
         # Re-allocate the cache under the CAST params so K/V pages adopt
         # the compute dtype (init allocated f32 pages from f32 params).
+        # Zero ONLY the data leaves the throwaway token wrote: a blanket
+        # zeros_like would also destroy structural defaults — the
+        # identity page_table (every row would alias page 0) and the
+        # ring cache_pos whose empty value is -1 (every slot would read
+        # as occupied-at-position-0).
         _, mut = model.apply({"params": params}, x0, decode=True,
                              mutable=["cache"])
-        cache0 = jax.tree.map(jnp.zeros_like, mut["cache"])
+
+        def reset_leaf(path, leaf):
+            name = str(getattr(path[-1], "key", path[-1]))
+            if name == "page_table":
+                return leaf
+            if name == "cache_pos":
+                return jnp.full_like(leaf, -1)
+            return jnp.zeros_like(leaf)  # K/V data, scales, cache_index
+
+        cache0 = jax.tree_util.tree_map_with_path(reset_leaf,
+                                                  mut["cache"])
 
     if mode.startswith("prefill"):
         S = 16

@@ -8,8 +8,10 @@ actual point of the feature — wall-clock tokens/sec of
 equal distribution), plus acceptance rates.
 
 Setup: the transformer example's induction task (period-P copy), target
-= 2 blocks / draft = 1 block at d_model 64 — the draft is ~half the
-per-token cost and, once trained, proposes near-perfect continuations
+= 2 blocks at d_model 64, draft = 2 blocks at d_model 32 (~1/4 the
+per-token cost; induction needs two attention layers, so the draft
+shrinks in WIDTH, not depth — a 1-block draft measured near-random
+acceptance). A trained draft proposes near-perfect continuations
 (acceptance → gamma), the regime speculative decoding is built for.
 Both loops run device-side (generate: one prefill + one scan dispatch;
 speculative: prefill + one while_loop program), so the tunnel round

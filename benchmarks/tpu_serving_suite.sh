@@ -44,8 +44,11 @@ timeout 3600 python benchmarks/decode_bench.py 8192 int8 big
 echo "== decode BIG paged T=8192 =="
 timeout 3600 python benchmarks/decode_bench.py 8192 paged big
 
-echo "== speculative decoding: real 1-block draft vs dense =="
+echo "== speculative decoding: real d32 draft vs dense =="
 timeout 3600 python benchmarks/spec_decode_bench.py 256 8
+
+echo "== ContinuousBatcher vs raw loop (big conf, chunk sweep + adaptive) =="
+timeout 5400 python benchmarks/batcher_bench.py big 256 8 32 128
 
 echo "== int8 KV quality (logprob/ppl delta, T=512/2048) =="
 timeout 3600 python benchmarks/int8_kv_quality.py 512 2048

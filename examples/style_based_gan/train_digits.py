@@ -107,9 +107,13 @@ def pick_backend():
     in-process failed init is cached by jax, so probe out-of-process)."""
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=300)
-        if r.returncode == 0:
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=300)
+        # Check the PLATFORM, not just a clean exit: on a host without
+        # the axon plugin the probe succeeds on CPU, and labeling that
+        # "tpu" would skip the steps_per_call=1 CPU compile fix.
+        if r.returncode == 0 and r.stdout.strip().endswith("tpu"):
             return "tpu"
     except subprocess.TimeoutExpired:
         pass

@@ -644,11 +644,22 @@ class MultiHeadAttention(nn.Module):
                     def page_step(carry, j):
                         m, l, acc = carry
                         pid = tbl.value[:, j]  # (B,)
-                        kp = ck.value[pid].astype(jnp.float32)
-                        vp = cv.value[pid].astype(jnp.float32)
                         if qdt:
-                            kp = kp * ksc.value[pid][..., None]
-                            vp = vp * vsc.value[pid][..., None]
+                            # Round the dequant through kv_dt EXACTLY as
+                            # _read_k/_read_v do before the f32 upcast:
+                            # prefill and per-token decode must see the
+                            # same cached values (a bf16 model's near-tie
+                            # logits would otherwise flip tokens between
+                            # the two paths).
+                            kp = (ck.value[pid].astype(jnp.float32)
+                                  * ksc.value[pid][..., None]
+                                  ).astype(kv_dt).astype(jnp.float32)
+                            vp = (cv.value[pid].astype(jnp.float32)
+                                  * vsc.value[pid][..., None]
+                                  ).astype(kv_dt).astype(jnp.float32)
+                        else:
+                            kp = ck.value[pid].astype(jnp.float32)
+                            vp = cv.value[pid].astype(jnp.float32)
                         s = jnp.einsum("bhgqd,bhkd->bhgqk", qg,
                                        kp) * scale
                         s = self._cap(s)

@@ -71,6 +71,11 @@ def make_sampler(temperature: float = 1.0,
     and ``ContinuousBatcher`` thread this automatically (prompt tokens
     + every emitted token)."""
 
+    if top_p is not None and not 0.0 < top_p <= 1.0:
+        # top_p <= 0 would mask EVERY logit to -inf and categorical
+        # would silently emit token 0; surface the misuse instead.
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+
     def sampler(logits, key, seen=None):
         lg = logits
         if repetition_penalty is not None:

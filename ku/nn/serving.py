@@ -98,10 +98,11 @@ class ContinuousBatcher:
       chunk: decode quantum — tokens generated per dispatch between
         scheduling points. An int, or a sequence of sizes (e.g.
         ``(8, 32, 128)``) for ADAPTIVE chunking: one compiled scan per
-        size; each round picks the smallest while requests are queued
-        (fast admission) and otherwise the largest fitting the
-        tightest remaining budget (fewest dispatch round trips).
-        Validation and paged-pool accounting use the largest size.
+        size; each round picks the largest size fitting the tightest
+        remaining budget (fewest dispatch round trips, bounded waste),
+        dropping to the smallest only when EOS is enabled and requests
+        are queued (EOS can free a slot on any token). Validation and
+        paged-pool accounting use the largest size.
       sampler: (logits (B, V), key) → (B,) ids; greedy by default.
       return_logprobs: also track each emitted token's raw-model
         log-softmax probability; finished requests then map to
@@ -136,12 +137,10 @@ class ContinuousBatcher:
             # prompt_lengths needs a >1-wide chunk (attention.py guard).
             raise ValueError("prompt_len must be >= 2")
         # ADAPTIVE chunking: a sequence of sizes (e.g. (8, 32, 128))
-        # compiles one decode scan per size and picks per round — the
-        # smallest size while requests are queued (frequent admission
-        # points), else the largest that fits the tightest remaining
-        # budget (fewer dispatch round trips — each costs ~28 ms over a
-        # TPU tunnel). Budget/page accounting uses the LARGEST size (a
-        # row may overrun its budget by up to chunk-1 dead tokens).
+        # compiles one decode scan per size and picks per round — see
+        # _pick_chunk (each dispatch costs ~28 ms over a TPU tunnel).
+        # Budget/page accounting uses the LARGEST size (a row may
+        # overrun its budget by up to chunk-1 dead tokens).
         chunks = ((chunk,) if isinstance(chunk, (int, np.integer))
                   else tuple(chunk))
         if not chunks or any(int(c) < 1 for c in chunks):
@@ -652,14 +651,17 @@ class ContinuousBatcher:
         return True
 
     def _pick_chunk(self) -> int:
-        """Adaptive policy over ``self._chunks``: smallest while the
-        queue is non-empty (a finished slot should reach admission
-        fast), else the largest size not overshooting the tightest
-        remaining budget by a full smaller option (dead-token waste);
-        always at least the smallest size."""
+        """Adaptive policy over ``self._chunks``: the largest size that
+        does not overshoot the TIGHTEST remaining budget among active
+        rows (bounded dead-token waste, fewest dispatch round trips) —
+        without EOS no slot can free any earlier than that row's budget,
+        so queued requests lose nothing to a big chunk. Only with an
+        ``eos_id`` AND a non-empty queue does the policy drop to the
+        smallest size: EOS can free a slot on any token, and a small
+        chunk reaches the admission point fast."""
         if len(self._chunks) == 1:
             return self._chunks[0]
-        if self._queue:
+        if self._queue and self.eos_id is not None:
             return self._chunks[0]
         remaining = min(
             (self._budgets[self._slot_req[s]] - len(self._slot_toks[s])

@@ -73,3 +73,51 @@ def test_int8_cache_logprob_delta_bound(rng):
     # Distribution shape also holds: argmax flips are rare.
     agree = (lg_f.argmax(-1) == lg_q.argmax(-1)).mean()
     assert agree > 0.99, agree
+
+
+def test_bf16_int8_paged_prefill_matches_steps(rng):
+    """bf16 model + int8 cache + PAGED pool: chunk prefill and per-token
+    steps must leave bit-identical quantized cache state, and decode
+    outputs after either history must agree — the page-scan dequant
+    rounds through the model's K/V dtype exactly like the prefill read
+    (ku/nn/attention.py page_step), so near-tie logits cannot flip
+    between the two paths."""
+    b, t, dm, pre = 2, 12, 16, 6
+    x = jnp.asarray(rng.normal(size=(b, t, dm)), jnp.bfloat16)
+    layer = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, num_kv_head=1,
+                                  kv_cache_dtype="int8", kv_page_size=4)
+    variables = layer.init(jax.random.key(0), [x, x, x])
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                          variables["params"])
+
+    def steps_from(cache, lo):
+        # cache={} lets apply CREATE the collection (standard stepper
+        # pattern) — no hand-zeroed template that could clobber the
+        # identity page table.
+        outs = []
+        for i in range(lo, t):
+            tok = x[:, i:i + 1]
+            y, cache = layer.apply({"params": params, **cache},
+                                   [tok, tok, tok], decode=True,
+                                   mutable=["cache"])
+            outs.append(np.asarray(y, np.float32))
+        return cache, np.concatenate(outs, axis=1)
+
+    # Path A: chunk-prefill the first `pre` tokens, then steps.
+    chunk = x[:, :pre]
+    _, cache_a = layer.apply({"params": params},
+                             [chunk, chunk, chunk], decode=True,
+                             mutable=["cache"])
+    cache_a = dict(cache_a)
+    cache_a, tail_a = steps_from(cache_a, pre)
+    # Path B: per-token steps from an empty cache.
+    cache_b, all_b = steps_from({}, 0)
+    for path, la in jax.tree_util.tree_leaves_with_path(cache_a["cache"]):
+        name = str(getattr(path[-1], "key", path[-1]))
+        lb = cache_b["cache"]
+        for pp in path:
+            lb = lb[pp.key]
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                      err_msg=name)
+    np.testing.assert_array_equal(tail_a, all_b[:, pre:])
