@@ -117,10 +117,17 @@ def main():
     # Two budgets isolate the per-decode-step price as a SLOPE — a
     # single measurement would fold the 64-token prompt prefill into
     # per_token_ms and understate the scheduler overhead split below.
+    if budget < 4:
+        raise SystemExit("budget must be >= 4 (the two-budget slope "
+                         "needs distinct, non-trivial step counts)")
     t_gen = make_gen(budget)
     t_half = make_gen(budget // 2)
     gen_tps = slots * budget / t_gen
-    per_token_ms = ((t_gen - t_half) * 1e3) / (budget - budget // 2)
+    # max(0): on fast/noisy hosts (CPU smoke, flapping tunnel) the two
+    # best-of-3 timings are independent and the difference can come out
+    # negative — clamp rather than archive nonsense overhead splits.
+    per_token_ms = max(
+        ((t_gen - t_half) * 1e3) / (budget - budget // 2), 0.0)
     print(json.dumps({"baseline": "generate", "conf": conf_name,
                       "slots": slots, "budget": budget,
                       "tokens_per_sec": round(gen_tps, 1),

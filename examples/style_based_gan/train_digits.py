@@ -153,7 +153,10 @@ def main():
     gan = StyleGAN(conf)
     seq = TrainingSequenceFFHQ(DATA_DIR, conf["hps"], conf["nn_arch"],
                                conf["map_nn_arch"])
-    t0 = time.time()
+    # Keep wall_s monotonic across kill/resume: continue from the last
+    # recorded value instead of this process's clock.
+    t0 = time.time() - (history["wall_s"][-1] if history["wall_s"]
+                        else 0.0)
 
     def on_epoch_end(engine, epoch, logs):
         n = 20

@@ -75,6 +75,15 @@ def make_sampler(temperature: float = 1.0,
         # top_p <= 0 would mask EVERY logit to -inf and categorical
         # would silently emit token 0; surface the misuse instead.
         raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+    if top_k is not None and top_k < 1:
+        # top_k=0 fails much later inside the jitted decode scan with a
+        # shape error that names no user parameter.
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if repetition_penalty is not None and repetition_penalty <= 0:
+        # penalty 0 would divide positive logits to +inf — categorical
+        # then deterministically re-emits seen tokens, silently.
+        raise ValueError("repetition_penalty must be > 0, got "
+                         f"{repetition_penalty}")
 
     def sampler(logits, key, seen=None):
         lg = logits
