@@ -7,24 +7,32 @@ actual point of the feature — wall-clock tokens/sec of
 ``generate`` at equal outputs (greedy: bit-identical; temperature T:
 equal distribution), plus acceptance rates.
 
-Setup: the transformer example's induction task (period-P copy), target
-= 2 blocks at d_model 64, draft = 2 blocks at d_model 32 (~1/4 the
-per-token cost; induction needs two attention layers, so the draft
-shrinks in WIDTH, not depth — a 1-block draft measured near-random
-acceptance). A trained draft proposes near-perfect continuations
-(acceptance → gamma), the regime speculative decoding is built for.
+Setup: the transformer example's induction task (period-P copy); both
+target and draft TRAIN to (near-)perfect next-token accuracy, so the
+draft proposes near-perfect continuations (acceptance → gamma), the
+regime speculative decoding is built for. Two confs:
+
+``toy`` — target 2 blocks × d_model 64, draft 2 × d32 (~1/4 the
+    per-token cost; induction needs two attention layers — the
+    previous-token head feeding the induction head — so the draft
+    shrinks in WIDTH, not depth; a 1-block draft measured near-random
+    acceptance). At this scale every decode step is LAUNCH-bound
+    (~41 µs), so the spec while_loop's per-round overhead dominates and
+    the measured speedup < 1 is the honest result (BASELINE.md round 4);
+    the acceptance column says what a bandwidth-bound model would gain.
+``big`` — target 16 blocks × d_model 2048 GQA 16/4 served in bf16
+    (~0.87B params, the decode_bench 'big' conf: its per-token step is
+    HBM-read-bound at 0.55× the v5e roofline), draft 2 blocks × d512
+    GQA 8/2 (~1/130 the weight traffic). This is the regime the
+    technique exists for: one gamma+1-wide verify pass reads the 1.75 GB
+    of weights ONCE per round instead of once per token.
+
 Both loops run device-side (generate: one prefill + one scan dispatch;
 speculative: prefill + one while_loop program), so the tunnel round
 trip amortizes; timing is best-of-N wall-clock with full host readback,
 fresh rng/prompt salts per run so the tunnel cannot dedupe.
 
-Honest-negative note: at this toy scale every step is launch-bound, not
-FLOP-bound — if the while_loop's per-round overhead eats the saved
-target steps, the JSON will show speedup < 1 and that IS the result at
-this scale; the acceptance rate column says what a FLOP-bound model
-would gain (ideal_speedup ≈ (accepted+1) / (1 + (gamma+1)·c_draft)).
-
-Usage: python benchmarks/spec_decode_bench.py [steps] [batch]
+Usage: python benchmarks/spec_decode_bench.py [steps] [batch] [toy|big]
 """
 
 from __future__ import annotations
@@ -41,55 +49,72 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-VOCAB, PERIOD, D_MODEL, HEADS, SEQ = 16, 8, 64, 4, 24
-D_DRAFT = 32
+VOCAB, PERIOD, SEQ = 16, 8, 24
+
+CONFS = {
+    "toy": dict(
+        target=dict(blocks=2, d_model=64, heads=4, kv=None,
+                    epochs=15, lr=3e-3),
+        draft=dict(blocks=2, d_model=32, heads=2, kv=None,
+                   epochs=15, lr=3e-3),
+        serve_dtype="float32",
+    ),
+    # Matches benchmarks/decode_bench.py CONFS['big'] (16 blocks of the
+    # double-attention ku Transformer × d2048 GQA 16/4, bf16 serving).
+    # The induction task is easy, so the 0.87B target needs only a few
+    # epochs; training runs f32 (adam moments ~10.5 GB peak — fits the
+    # 16 GB v5e), serving casts to bf16.
+    "big": dict(
+        target=dict(blocks=16, d_model=2048, heads=16, kv=4,
+                    epochs=3, lr=1e-3),
+        draft=dict(blocks=2, d_model=512, heads=8, kv=2,
+                   epochs=15, lr=3e-3),
+        serve_dtype="bfloat16",
+    ),
+}
 
 
-def _models(max_len):
+def _core(mc, max_len):
     import flax.linen as nn
 
     from ku.nn import Transformer
 
-    def core(blocks, d_model, heads):
-        class Core(nn.Module):
-            @nn.compact
-            def __call__(self, xs, decode=False, prompt_lengths=None):
-                x = xs[0]
-                for i in range(blocks):
-                    x = Transformer(heads, d_model, 0.0, causal=True,
-                                    rope=True, max_decode_len=max_len,
-                                    name=f"block_{i}")(
-                        [x], decode=decode,
-                        prompt_lengths=prompt_lengths)
-                return x
+    class Core(nn.Module):
+        @nn.compact
+        def __call__(self, xs, decode=False, prompt_lengths=None):
+            x = xs[0]
+            for i in range(mc["blocks"]):
+                x = Transformer(mc["heads"], mc["d_model"], 0.0,
+                                causal=True, rope=True,
+                                num_kv_head=mc["kv"],
+                                max_decode_len=max_len,
+                                name=f"block_{i}")(
+                    [x], decode=decode,
+                    prompt_lengths=prompt_lengths)
+            return x
 
-        return Core()
-
-    # Draft: induction needs TWO attention layers (previous-token head
-    # feeding the induction head) — a 1-block draft tops out near-random
-    # on this task. Shrink WIDTH instead: d32 is ~1/4 the per-token
-    # cost and still learns the task to ~perfect acceptance.
-    return core(2, D_MODEL, HEADS), core(2, D_DRAFT, 2)
+    return Core()
 
 
-def train(model_blocks, epochs, seed, d_model=None, heads=None):
+def train(mc, seed):
+    """Train an LM of conf ``mc`` on the induction task; returns
+    (embedding_table, core_params) in f32."""
     import flax.linen as nn
     import optax
 
     from ku.engine_ext import Trainer
     from ku.nn import Transformer
 
-    dm = D_MODEL if d_model is None else d_model
-    hh = HEADS if heads is None else heads
-
     class LM(nn.Module):
         @nn.compact
         def __call__(self, tokens, deterministic=True):
-            tok = nn.Embed(VOCAB, dm, name="tok")
+            tok = nn.Embed(VOCAB, mc["d_model"], name="tok")
             x = tok(jnp.asarray(tokens, jnp.int32))
-            for i in range(model_blocks):
-                x = Transformer(hh, dm, 0.0, causal=True,
-                                rope=True, max_decode_len=SEQ,
+            for i in range(mc["blocks"]):
+                x = Transformer(mc["heads"], mc["d_model"], 0.0,
+                                causal=True, rope=True,
+                                num_kv_head=mc["kv"],
+                                max_decode_len=SEQ,
                                 name=f"core_block_{i}")([x])
             return x @ tok.embedding.T
 
@@ -105,13 +130,16 @@ def train(model_blocks, epochs, seed, d_model=None, heads=None):
         return (ce * mask).sum(1) / mask.sum()
 
     model = LM()
-    tr = Trainer(model, masked_xent, optimizer=optax.adam(3e-3), seed=seed)
-    tr.fit(x_train, y_train, batch_size=64, epochs=epochs, verbose=0)
+    tr = Trainer(model, masked_xent, optimizer=optax.adam(mc["lr"]),
+                 seed=seed)
+    tr.fit(x_train, y_train, batch_size=64, epochs=mc["epochs"], verbose=0)
     p = tr.state["params"]
     # Repack: core blocks under a 'core'-shaped dict for the Core module.
     core_params = {f"block_{i}": p[f"core_block_{i}"]
-                   for i in range(model_blocks)}
-    return p["tok"]["embedding"], core_params
+                   for i in range(mc["blocks"])}
+    emb = p["tok"]["embedding"]
+    tr.state = None  # free the adam moments before the next model trains
+    return emb, core_params
 
 
 def timed(fn, n=3):
@@ -127,14 +155,31 @@ def timed(fn, n=3):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    conf = sys.argv[3] if len(sys.argv) > 3 else "toy"
+    c = CONFS[conf]
+    serve_dt = jnp.dtype(c["serve_dtype"])
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     from ku.nn import generate, make_sampler, speculative_generate
 
-    table, tparams = train(2, epochs=15, seed=0)
-    dtable, dparams = train(2, epochs=15, seed=1, d_model=D_DRAFT, heads=2)
+    def cast(tree):
+        return jax.tree.map(
+            lambda a: a.astype(serve_dt) if a.dtype == jnp.float32 else a,
+            tree)
+
+    t0 = time.perf_counter()
+    table, tparams = train(c["target"], seed=0)
+    table, tparams = cast(table), cast(tparams)
+    print(f"target trained in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    dtable, dparams = train(c["draft"], seed=1)
+    dtable, dparams = cast(dtable), cast(dparams)
+    print(f"draft trained in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     max_len = PERIOD + steps + 8  # prompt + steps + gamma+1 overshoot
-    target, draft = _models(max_len)
+    target = _core(c["target"], max_len)
+    draft = _core(c["draft"], max_len)
 
     def emb(tab):
         def f(i, p):
@@ -185,7 +230,22 @@ def main():
             t_dense = timed(run_dense)
             out_s, acc = run_spec(0)
             out_d = run_dense(0)
-            exact = bool((out_s == out_d).all()) if temp is None else None
+            # Greedy spec decode is bit-exact vs generate() given identical
+            # target logits (proven on the CPU suite). On TPU the verify
+            # pass (gamma+1 positions batched) and the one-token decode
+            # step are DIFFERENT XLA programs running bf16-precision
+            # matmuls, so a near-tie argmax can flip — and one flip
+            # cascades autoregressively. Report per-sequence exactness +
+            # first divergence position so a single mid-sequence tie flip
+            # is distinguishable from broken logic.
+            exact = exact_frac = first_div = None
+            if temp is None:
+                seq_eq = (out_s == out_d).all(axis=-1)
+                exact = bool(seq_eq.all())
+                exact_frac = round(float(seq_eq.mean()), 3)
+                if not exact:
+                    div = (out_s != out_d).argmax(axis=-1)[~seq_eq]
+                    first_div = int(div.min())
             rows.append({
                 "mode": label, "gamma": gamma, "temperature": temp,
                 "accepted_per_round": round(float(acc.mean()), 3),
@@ -193,13 +253,15 @@ def main():
                 "dense_tokens_per_sec": round(batch * steps / t_dense, 1),
                 "speedup": round(t_dense / t_spec, 3),
                 "greedy_exact": exact,
+                "greedy_exact_frac": exact_frac,
+                "first_divergence_pos": first_div,
             })
             print(json.dumps(rows[-1]), file=sys.stderr)
 
-    print(json.dumps({"steps": steps, "batch": batch,
+    print(json.dumps({"steps": steps, "batch": batch, "conf_name": conf,
                       "conf": dict(vocab=VOCAB, period=PERIOD,
-                                   d_model=D_MODEL, target_blocks=2,
-                                   draft_d_model=D_DRAFT),
+                                   serve_dtype=c["serve_dtype"],
+                                   target=c["target"], draft=c["draft"]),
                       "rows": rows}))
 
 

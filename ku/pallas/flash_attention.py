@@ -153,7 +153,7 @@ def _first_k_block(q_start, window, block_k):
 
 def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
                 window=None, banded=False, segments=False,
-                softcap=None):
+                softcap=None, per_seq_off=False):
     """Forward grid step, TRANSPOSED score layout: the slab lives as
     (BLOCK_K, BLOCK_Q) so the softmax max/sum are SUBLANE reductions and
     the per-query running stats are (1, BLOCK_Q) lane vectors whose
@@ -165,7 +165,12 @@ def _fwd_kernel(*refs, scale, kv_len, causal, pad_mask, offsets,
     row-major layout at D=64/128 (benchmarks/flash_tune_probe.py)."""
     refs = list(refs)
     if offsets:
-        q_off, k_off = refs.pop(0)[0, 0], refs.pop(0)[0, 0]
+        # Per-sequence offsets ride as ONE full-array (b*h, 1) SMEM
+        # block (Mosaic rejects (1, 1) blocks over a larger array) and
+        # are indexed dynamically by the flattened (batch, head) grid
+        # row; scalar offsets are a (1, 1) array read at [0, 0].
+        i = pl.program_id(0) if per_seq_off else 0
+        q_off, k_off = refs.pop(0)[i, 0], refs.pop(0)[i, 0]
     else:
         q_off = k_off = 0
     seg_q_ref = refs.pop(0) if segments else None
@@ -339,6 +344,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
     smem = lambda: pl.BlockSpec((1, 1), lambda bh, qi, kb: (0, 0),
                                 memory_space=pltpu.SMEM)
     off_specs, off_args = [], ()
+    per_seq_off = False
     if offsets:
         qo = jnp.asarray(q_offset, jnp.int32)
         ko = jnp.asarray(k_offset if k_offset is not None else 0,
@@ -347,9 +353,13 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
             off_specs = [smem(), smem()]
             off_args = (qo.reshape(1, 1), ko.reshape(1, 1))
         else:
-            # PER-SEQUENCE offsets (ragged KV-cache prefill): one (1, 1)
-            # SMEM block per flattened (batch, head) grid row.
-            per = lambda: pl.BlockSpec((1, 1), lambda bh, qi, kb: (bh, 0),
+            # PER-SEQUENCE offsets (ragged KV-cache prefill): the whole
+            # (b*h, 1) table rides as ONE SMEM block (block shape ==
+            # array shape — Mosaic rejects (1, 1) blocks over a larger
+            # array) and the kernel indexes it by its grid row.
+            per_seq_off = True
+            per = lambda: pl.BlockSpec((b * h, 1),
+                                       lambda bh, qi, kb: (0, 0),
                                        memory_space=pltpu.SMEM)
             off_specs = [per(), per()]
             off_args = (
@@ -415,7 +425,7 @@ def _fwd_pallas(q, k, v, softmax_scale, block_q, block_k, causal, interpret,
                           causal=causal, pad_mask=nk_pad != kn,
                           offsets=offsets, window=window, banded=banded,
                           segments=segment_ids is not None,
-                          softcap=softcap),
+                          softcap=softcap, per_seq_off=per_seq_off),
         grid=grid,
         in_specs=off_specs + seg_specs + [
             pl.BlockSpec((1, block_q, d), lambda bh, qi, kb: (bh, qi, 0),

@@ -67,6 +67,29 @@ def test_paged_decode_matches_dense(key, rng, kwargs, pg):
     np.testing.assert_array_equal(np.asarray(leaves["cache_index"]), t)
 
 
+@pytest.mark.parametrize("kwargs", [dict(), dict(kv_cache_dtype="int8"),
+                                    dict(rope=True)])
+def test_paged_decode_blocked_scan_padding(key, rng, kwargs):
+    """Pools WIDER than the 8-entry scan block exercise the BLOCKED
+    page-scan read (attention.py page_step gathers 8 table entries per
+    lax.scan step) including its entry-0 tail padding: t=22 @ page 2 ->
+    11 pages -> 2 blocked steps with 5 padded entries whose positions
+    land past max_decode_len, so the liveness mask must kill them (a
+    padded entry aliases page 0, which holds REAL position-0 data)."""
+    b, t, dm, pg = 2, 22, 8, 2
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    dense = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, **kwargs)
+    paged = ku.MultiHeadAttention(2, dm, 0.0, causal=True,
+                                  max_decode_len=t, kv_page_size=pg,
+                                  **kwargs)
+    variables = dense.init(key, [x, x, x])
+    want, _ = _decode_all(dense, variables["params"], {}, x)
+    got, pcache = _decode_all(paged, variables["params"], {}, x)
+    assert pcache["cache"]["page_table"].shape == (b, 11)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("flash,qdt,ragged", [
     (False, None, False), (True, None, False), (False, "int8", False),
     (False, None, True), (True, None, True),
