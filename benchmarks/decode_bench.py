@@ -67,7 +67,8 @@ HBM_PEAK_GBPS = 819.0  # TPU v5e
 
 
 def build(max_len, conf, window=None, global_prefix=0,
-          kv_cache_dtype=None, use_flash=False, kv_page_size=None):
+          kv_cache_dtype=None, use_flash=False, kv_page_size=None,
+          flash_decode=None):
     import flax.linen as nn
 
     class LM(nn.Module):
@@ -82,6 +83,7 @@ def build(max_len, conf, window=None, global_prefix=0,
                                 kv_cache_dtype=kv_cache_dtype,
                                 use_flash=use_flash,
                                 kv_page_size=kv_page_size,
+                                flash_decode=flash_decode,
                                 name=f"block{i}")([x], decode=decode)
             return x
 
@@ -103,6 +105,11 @@ def main():
 def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     """Measure one decode/prefill configuration; returns the record dict
     (importable — bench.py's serving gate reuses this)."""
+    # "_xla" suffix: force the XLA per-token decode paths instead of the
+    # flash-decoding Pallas kernel (the kernel auto-selects on TPU) —
+    # the kernel-vs-XLA A/B at identical shapes.
+    flash_decode = False if mode.endswith("_xla") else None
+    mode = mode.removesuffix("_xla")
     ring = mode == "ring"
     c = CONFS[conf]
     batch, d_model = c["batch"], c["d_model"]
@@ -115,35 +122,40 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
                   global_prefix=32 if ring else 0,
                   kv_cache_dtype="int8" if mode == "int8" else None,
                   use_flash=mode == "prefill_flash",
-                  kv_page_size=256 if mode == "paged" else None)
+                  kv_page_size=256 if mode == "paged" else None,
+                  flash_decode=flash_decode)
     x0 = jnp.asarray(rng.normal(size=(batch, 1, d_model)), dtype)
-    variables = model.init(jax.random.key(0), x0, decode=True)
+    # MEMORY HYGIENE (the big conf at T=8192 OOMed the 16 GB v5e): init
+    # WITHOUT decode so no f32 cache is ever allocated (init params are
+    # f32, so its cache pages would be too — 8.6 GB at the big conf),
+    # free the f32 params as soon as they are cast, and build the cache
+    # template from ONE decode apply under the cast params, freeing the
+    # throwaway-written copy after the reset. Peak live set: cast params
+    # + 2× cache instead of f32 params + f32 cache + cast params +
+    # 2× cache.
+    variables = model.init(jax.random.key(0), x0, decode=False)
     params = jax.tree.map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
         variables["params"])
-    if dtype == jnp.float32:
-        cache0 = variables["cache"]
-    else:
-        # Re-allocate the cache under the CAST params so K/V pages adopt
-        # the compute dtype (init allocated f32 pages from f32 params).
-        # Zero ONLY the data leaves the throwaway token wrote: a blanket
-        # zeros_like would also destroy structural defaults — the
-        # identity page_table (every row would alias page 0) and the
-        # ring cache_pos whose empty value is -1 (every slot would read
-        # as occupied-at-position-0).
-        _, mut = model.apply({"params": params}, x0, decode=True,
-                             mutable=["cache"])
+    del variables
+    # Allocate the cache in the compute dtype, then zero ONLY the data
+    # leaves the throwaway token wrote: a blanket zeros_like would also
+    # destroy structural defaults — the identity page_table (every row
+    # would alias page 0) and the ring cache_pos whose empty value is -1
+    # (every slot would read as occupied-at-position-0).
+    _, mut = model.apply({"params": params}, x0, decode=True,
+                         mutable=["cache"])
 
-        def reset_leaf(path, leaf):
-            name = str(getattr(path[-1], "key", path[-1]))
-            if name == "page_table":
-                return leaf
-            if name == "cache_pos":
-                return jnp.full_like(leaf, -1)
-            return jnp.zeros_like(leaf)  # K/V data, scales, cache_index
+    def reset_leaf(path, leaf):
+        name = str(getattr(path[-1], "key", path[-1]))
+        if name == "page_table":
+            return leaf
+        if name == "cache_pos":
+            return jnp.full_like(leaf, -1)
+        return jnp.zeros_like(leaf)  # K/V data, scales, cache_index
 
-        cache0 = jax.tree_util.tree_map_with_path(reset_leaf,
-                                                  mut["cache"])
+    cache0 = jax.tree_util.tree_map_with_path(reset_leaf, mut["cache"])
+    del mut
 
     if mode.startswith("prefill"):
         S = 16
@@ -229,6 +241,11 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
         out["cache_slots_per_layer"] = 512 + 32
     if mode != "dense":
         out["mode"] = mode
+    # Resolved per-token read path (mirrors MultiHeadAttention's auto
+    # rule: kernel on TPU unless forced off; ring always XLA).
+    out["flash_decode"] = bool(
+        (flash_decode if flash_decode is not None
+         else jax.default_backend() == "tpu") and not ring)
     return out
 
 

@@ -151,6 +151,17 @@ class MultiHeadAttention(nn.Module):
     # rotations). Requires the scaled similarity and an even head dim.
     rope: bool = False
     rope_base: float = 10000.0
+    # Per-token decode reads (L==1 with a decode cache) through the
+    # Pallas flash-decoding kernel (ku/pallas/decode_attention.py): the
+    # cache streams through VMEM once per step — int8 caches stream AS
+    # int8 (the XLA path's dequant convert materializes a full-precision
+    # copy in HBM every step), paged pools gather through the block
+    # table in the DMA engine's addressing, and each row reads only its
+    # live prefix (the XLA einsum always reads all max_decode_len
+    # slots). None = auto (kernel on the TPU backend, XLA elsewhere);
+    # True forces the kernel (interpret mode off-TPU — tests); False
+    # forces the XLA paths. Ring caches (window) always use XLA.
+    flash_decode: Optional[bool] = None
 
     def _cap(self, s):
         """cap·tanh(s/cap) when logit_softcap is set (identity otherwise);
@@ -629,48 +640,109 @@ class MultiHeadAttention(nn.Module):
                         vsc.value = upd3(vsc.value, v_s, slot)
                 ci.value = idx + 1
 
-                if paged:
+                use_kernel = (self.flash_decode
+                              if self.flash_decode is not None
+                              else jax.default_backend() == "tpu")
+                if use_kernel and not ring:
+                    # Flash-decoding Pallas kernel: one VMEM-streamed
+                    # online-softmax pass over the live cache prefix;
+                    # int8 pages stream AS int8 (scale-folded exactly
+                    # like the XLA paths below), paged pools gather
+                    # through the scalar-prefetched block table.
+                    from ku.pallas.decode_attention import (
+                        decode_attention, decode_attention_paged)
+
+                    kw = dict(
+                        k_scale=ksc.value if qdt else None,
+                        v_scale=vsc.value if qdt else None,
+                        softmax_scale=1.0 / math.sqrt(d_k),
+                        logit_softcap=self.logit_softcap)
+                    if paged:
+                        res = decode_attention_paged(
+                            qg[:, :, :, 0], ck.value, cv.value,
+                            tbl.value, idx + 1, **kw)
+                    else:
+                        res = decode_attention(
+                            qg[:, :, :, 0], ck.value, cv.value,
+                            idx + 1, **kw)
+                    head = res.reshape(bsz, h, 1, d_v_h)
+                elif paged:
                     # Flash-decoding-style read: one lax.scan over the
                     # table entries with an online-softmax carry reads
                     # each page ONCE in place — the materialized gather
                     # view would cost ~3 passes over the cache (pool
                     # read + gathered write + attention read), and the
                     # long-context decode step is cache-read-bound.
-                    # f32 accumulators; fully-dead pages contribute 0
-                    # (page 0 always holds position 0, so the running
-                    # max is real from the first scan step on).
+                    # BLOCKED: each scan step gathers page_scan_block
+                    # table entries at once (one big slab matmul instead
+                    # of mp tiny serial ones — the one-page-per-step scan
+                    # measured latency-bound at 0.21× the HBM roofline
+                    # where the dense read hit 0.80× at T=8192 on the
+                    # v5e). The table is padded with entry 0 up to a
+                    # block multiple; padded entries read page 0 but
+                    # their positions land past max_decode_len so the
+                    # liveness mask kills them. f32 accumulators; fully-
+                    # dead pages contribute 0 (page 0 always holds
+                    # position 0, so the running max is real from the
+                    # first scan step on).
                     scale = 1.0 / math.sqrt(d_k)
+                    blk = min(8, mp)
+                    nsteps = -(-mp // blk)
+                    tpad = nsteps * blk - mp
+                    tblp = (tbl.value if tpad == 0 else
+                            jnp.pad(tbl.value, ((0, 0), (0, tpad))))
+                    # (nsteps, B, blk) so scan feeds one block per step.
+                    tblp = tblp.reshape(bsz, nsteps, blk).transpose(
+                        1, 0, 2)
 
-                    def page_step(carry, j):
+                    def _slab(g):  # (B, blk, hkv, pg, d) -> blk*pg keys
+                        return jnp.transpose(g, (0, 2, 1, 3, 4)).reshape(
+                            bsz, hkv, blk * pg, g.shape[-1])
+
+                    def _slab_s(g):  # (B, blk, hkv, pg) scales
+                        return jnp.transpose(g, (0, 2, 1, 3)).reshape(
+                            bsz, hkv, blk * pg)
+
+                    def page_step(carry, xs):
                         m, l, acc = carry
-                        pid = tbl.value[:, j]  # (B,)
+                        j, pid = xs  # step index, (B, blk) pool ids
                         if qdt:
-                            # Round the dequant through kv_dt EXACTLY as
-                            # _read_k/_read_v do before the f32 upcast:
-                            # prefill and per-token decode must see the
-                            # same cached values (a bf16 model's near-tie
-                            # logits would otherwise flip tokens between
-                            # the two paths).
-                            kp = (ck.value[pid].astype(jnp.float32)
-                                  * ksc.value[pid][..., None]
-                                  ).astype(kv_dt).astype(jnp.float32)
-                            vp = (cv.value[pid].astype(jnp.float32)
-                                  * vsc.value[pid][..., None]
-                                  ).astype(kv_dt).astype(jnp.float32)
+                            # SCALE-FOLDED int8 page read, mirroring the
+                            # dense per-token step above: the int8 pages
+                            # stream into the matmul through an exact
+                            # int8→kv_dt cast and the per-token scales
+                            # multiply the (tiny) score/prob slabs —
+                            # q·(k_int8·s_k) == (q·k_int8)·s_k, so no
+                            # dequantized page copy is materialized and
+                            # both per-token paths share one rounding
+                            # story (near-tie logits cannot flip
+                            # between dense and paged decode).
+                            kp = _slab(ck.value[pid].astype(kv_dt))
+                            vp = _slab(cv.value[pid]
+                                       .astype(jnp.float32))
+                            ksp = _slab_s(ksc.value[pid])
+                            vsp = _slab_s(vsc.value[pid])
+                            s = (jnp.einsum("bhgqd,bhkd->bhgqk", qg, kp)
+                                 .astype(jnp.float32)
+                                 * ksp[:, :, None, None, :]) * scale
                         else:
-                            kp = ck.value[pid].astype(jnp.float32)
-                            vp = cv.value[pid].astype(jnp.float32)
-                        s = jnp.einsum("bhgqd,bhkd->bhgqk", qg,
-                                       kp) * scale
+                            kp = _slab(ck.value[pid]
+                                       .astype(jnp.float32))
+                            vp = _slab(cv.value[pid]
+                                       .astype(jnp.float32))
+                            s = jnp.einsum("bhgqd,bhkd->bhgqk", qg,
+                                           kp) * scale
                         s = self._cap(s)
-                        kpos = j * pg + jnp.arange(pg)
-                        live = kpos[None] <= idx[:, None]  # (B, pg)
+                        kpos = j * (blk * pg) + jnp.arange(blk * pg)
+                        live = kpos[None] <= idx[:, None]  # (B, blk*pg)
                         s = jnp.where(live[:, None, None, None], s,
                                       -1e30)
                         m2 = jnp.maximum(m, s.max(-1, keepdims=True))
                         p = jnp.exp(s - m2)
                         r = jnp.exp(m - m2)
                         l2 = l * r + p.sum(-1, keepdims=True)
+                        if qdt:  # fold s_v into the prob slab (exact)
+                            p = p * vsp[:, :, None, None, :]
                         acc2 = acc * r + jnp.einsum(
                             "bhgqk,bhkd->bhgqd", p, vp)
                         return (m2, l2, acc2), None
@@ -681,9 +753,34 @@ class MultiHeadAttention(nn.Module):
                         (jnp.full(shp + (1,), -1e30, jnp.float32),
                          jnp.zeros(shp + (1,), jnp.float32),
                          jnp.zeros(shp + (d_v_h,), jnp.float32)),
-                        jnp.arange(mx // pg))
+                        (jnp.arange(nsteps), tblp))
                     head = (acc / l).astype(q_h.dtype).reshape(
                         bsz, h, 1, d_v_h)
+                elif qdt:
+                    # SCALE-FOLDED int8 read (the decode hot loop is
+                    # cache-read-bound at long T): per-token scales
+                    # factor out of the dot products —
+                    # q·(k_int8·s_k) == (q·k_int8)·s_k — so the int8
+                    # cache streams straight into the matmul (the exact
+                    # int8→kv_dt cast fuses into the dot operand) and a
+                    # full-precision dequantized copy is never
+                    # materialized. Measured 3.4× slower than dense the
+                    # materializing way at T=8192 on the v5e; the paged
+                    # page_step below folds identically, keeping the
+                    # two per-token paths' near-tie behavior aligned.
+                    sc = 1.0 / math.sqrt(d_k)
+                    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg,
+                                   ck.value.astype(kv_dt))
+                    s = (s.astype(jnp.float32)
+                         * (ksc.value * sc)[:, :, None, None, :])
+                    s = self._cap(s)
+                    s = jnp.where(keep[:, None, None, None, :], s, -1e30)
+                    p = nn.softmax(s, axis=-1)
+                    pv = (p * vsc.value[:, :, None, None, :]
+                          ).astype(kv_dt)
+                    head = jnp.einsum("bhgqk,bhkd->bhgqd", pv,
+                                      cv.value.astype(kv_dt)
+                                      ).reshape(bsz, h, 1, d_v_h)
                 else:
                     s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
                                    ) / math.sqrt(d_k)

@@ -64,6 +64,9 @@ class Transformer(nn.Module):
     rope_base: float = 10000.0
     # Gemma-style logit soft-capping (see MultiHeadAttention).
     logit_softcap: float | None = None
+    # Per-token decode reads through the flash-decoding Pallas kernel
+    # (None = auto on TPU; see MultiHeadAttention.flash_decode).
+    flash_decode: bool | None = None
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -88,6 +91,7 @@ class Transformer(nn.Module):
                 kv_num_pages=self.kv_num_pages,
                 rope=self.rope, rope_base=self.rope_base,
                 logit_softcap=self.logit_softcap,
+                flash_decode=self.flash_decode,
             )([y, y, y, m], deterministic=deterministic, decode=decode,
               segment_ids=segment_ids, block_mask=block_mask,
               prompt_lengths=prompt_lengths)

@@ -1,0 +1,262 @@
+"""Flash-decoding kernel: one query token attending over the KV cache.
+
+Covers the per-token decode read of ``MultiHeadAttention`` (reference
+``/root/reference/ku/layer_ext/attention.py:24-160`` has no decode cache
+at all — this is a beyond-reference serving path), replacing the masked
+XLA einsum / gathered-page ``lax.scan`` with a single Pallas program
+whose grid streams the cache through VMEM exactly once:
+
+- **dense** cache ``(B, Hkv, S, D)``: grid ``(B, Hkv, ceil(S/bt))``;
+  each step DMAs one ``(bt, D)`` K/V slab and folds it into an online
+  softmax. The K/V ``index_map`` CLAMPS the block index at the last
+  live block (``lengths`` rides as a scalar-prefetch argument), so
+  blocks past a sequence's fill level re-point at the same slab and
+  Mosaic's pipeliner skips the DMA — a short sequence in a long cache
+  reads only its live prefix, where the XLA einsum always reads all S.
+- **int8** cache: the K/V slabs stream as int8 (HALF the HBM traffic of
+  bf16, a quarter of f32) and dequantize in VMEM — the XLA path's
+  ``convert`` materializes a full-precision copy of the cache in HBM
+  every step (measured 0.11× roofline vs dense's 0.80× at T=8192 on the
+  v5e), which the kernel avoids by construction. Per-token scales
+  multiply the tiny score/prob slabs: ``q·(k_int8·s_k) == (q·k_int8)·s_k``
+  exactly (f32 score accumulation), matching the scale-folded XLA path.
+- **paged** pool ``(NP, Hkv, pg, D)``: same kernel; the grid walks each
+  row's block table (scalar-prefetched) and the ``index_map`` resolves
+  logical page ``j`` to pool page ``table[b, j]`` — the gather happens
+  in the DMA engine's addressing, never as a materialized gathered view.
+  Clamping at the last live page means unallocated table tail entries
+  are never dereferenced.
+
+Layout: scores live as ``(bt, G)`` — keys on sublanes, the G grouped
+query heads on lanes — so the per-token quant scales apply as natural
+``(bt, 1)`` sublane vectors (no in-kernel relayout) and the softmax
+max/sum are sublane reductions. G is tiny (1-16), so slab VPU work is
+negligible; the step is HBM-bound and the matmuls' MXU utilization is
+irrelevant. The accumulator stays transposed ``(Dv, G)`` (PV computed
+as VᵀP) and is untransposed once at the final grid step, mirroring
+``flash_attention.py``'s transposed-slab convention. Running max/sum/
+accumulator are f32 VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["decode_attention", "decode_attention_paged"]
+
+_NEG = -1e30
+
+
+def _kernel(lens_ref, *refs, scale, bt, softcap, quant, nt):
+    """One (b, h, t) grid step of the online-softmax cache read."""
+    if quant:
+        q_ref, k_ref, v_ref, ksc_ref, vsc_ref, o_ref = refs[:6]
+        m_scr, l_scr, acc_scr = refs[6:]
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    b, t = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    length = lens_ref[b]
+
+    # Fully-dead blocks: the clamped index_map already re-points their
+    # DMA at the last live slab (no new traffic); skip the compute too.
+    @pl.when(t * bt < length)
+    def _body():
+        q = q_ref[0, 0]  # (G, D)
+        k = k_ref[0, 0]  # (bt, D) — int8 when quant
+        if quant:
+            k = k.astype(q.dtype)
+        # (bt, G): keys on sublanes, grouped query heads on lanes.
+        s = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if quant:
+            s = s * ksc_ref[0, 0]  # (bt, 1) per-token k scales
+        s = s * scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        kpos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+        s = jnp.where(kpos < length, s, _NEG)
+        m = m_scr[:]  # (1, G)
+        m2 = jnp.maximum(m, s.max(axis=0, keepdims=True))
+        p = jnp.exp(s - m2)
+        r = jnp.exp(m - m2)
+        m_scr[:] = m2
+        l_scr[:] = l_scr[:] * r + p.sum(axis=0, keepdims=True)
+        v = v_ref[0, 0]  # (bt, Dv) — int8 when quant
+        if quant:
+            p = p * vsc_ref[0, 0]  # fold v scales into the prob slab
+            v = v.astype(q.dtype)
+        acc_scr[:] = acc_scr[:] * r + jax.lax.dot_general(
+            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (Dv, G) += VᵀP
+
+    @pl.when(t == nt - 1)
+    def _done():
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:]).T.astype(o_ref.dtype)
+
+
+def _call(q, k, v, lengths, k_scale, v_scale, softmax_scale, softcap,
+          block_t, interpret, kv_index, nt, kv_shape, sc_shape):
+    """Shared pallas_call assembly for the dense and paged variants.
+
+    ``kv_index(b, h, t, lens)`` -> block index tuple into the K/V
+    (and scale) arrays; ``nt`` = grid steps over the key axis;
+    ``kv_shape``/``sc_shape`` = the K/V and scale BlockSpec shapes.
+    """
+    bsz, hkv, g, d = q.shape
+    dv = v.shape[-1]
+    quant = k_scale is not None
+    grid = (bsz, hkv, nt)
+
+    qspec = pl.BlockSpec((1, 1, g, d), lambda b, h, t, lens: (b, h, 0, 0))
+    kspec = pl.BlockSpec(kv_shape + (d,), kv_index)
+    vspec = pl.BlockSpec(kv_shape + (dv,), kv_index)
+    in_specs = [qspec, kspec, vspec]
+    args = (q, k, v)
+    if quant:
+        sspec = pl.BlockSpec(sc_shape + (1,), kv_index)
+        in_specs += [sspec, sspec]
+        args += (k_scale[..., None], v_scale[..., None])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=softmax_scale, bt=block_t,
+                          softcap=softcap, quant=quant, nt=nt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, g, dv),
+                                   lambda b, h, t, lens: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, g), jnp.float32),
+                pltpu.VMEM((1, g), jnp.float32),
+                pltpu.VMEM((dv, g), jnp.float32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, g, dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(jnp.asarray(lengths, jnp.int32), *args)
+    return out
+
+
+def decode_attention(q, k, v, lengths, *, k_scale=None, v_scale=None,
+                     softmax_scale: Optional[float] = None,
+                     logit_softcap: Optional[float] = None,
+                     block_t: int = 512,
+                     interpret: Optional[bool] = None):
+    """Single-token attention over a dense decode cache.
+
+    q: (B, Hkv, G, D) current-token queries, grouped per KV head.
+    k, v: (B, Hkv, S, D/Dv) cache pages (any dtype; int8 with scales).
+    lengths: (B,) int32 — number of LIVE positions per row (index+1).
+    k_scale, v_scale: (B, Hkv, S) f32 per-token scales (int8 caches).
+    Returns (B, Hkv, G, Dv) in q.dtype with f32 accumulation.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(q.shape[-1])
+    s_total = k.shape[2]
+    bt = s_total if s_total <= block_t else block_t
+    nt = -(-s_total // bt)
+
+    def kv_index(b, h, t, lens):
+        # Clamp at each row's last live block: dead steps re-DMA the
+        # same slab (skipped by the pipeliner) and never read past the
+        # fill level.
+        return (b, h, jnp.minimum(t, (lens[b] - 1) // bt), 0)
+
+    return _call(q, k, v, lengths, k_scale, v_scale, softmax_scale,
+                 logit_softcap, bt, interpret, kv_index, nt,
+                 kv_shape=(1, 1, bt), sc_shape=(1, 1, bt))
+
+
+def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
+                           k_scale=None, v_scale=None,
+                           softmax_scale: Optional[float] = None,
+                           logit_softcap: Optional[float] = None,
+                           interpret: Optional[bool] = None):
+    """Single-token attention over a paged decode cache.
+
+    q: (B, Hkv, G, D); pools: (NP, Hkv, pg, D/Dv) (+ (NP, Hkv, pg)
+    scales for int8); page_table: (B, MP) int32 pool ids per logical
+    page; lengths: (B,) int32 live positions. The table and lengths ride
+    as scalar-prefetch args: the DMA engine gathers pages directly from
+    the pool — no gathered view is ever materialized — and the block
+    index clamps at each row's last live page, so tail table entries
+    (unallocated pages) are never dereferenced.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if softmax_scale is None:
+        softmax_scale = 1.0 / math.sqrt(q.shape[-1])
+    pg = k_pool.shape[2]
+    mp = page_table.shape[1]
+
+    def kv_index(b, h, t, lens):
+        tc = jnp.minimum(t, (lens[b, 0] - 1) // pg)
+        return (lens[b, tc + 1], h, 0, 0)
+
+    # One scalar-prefetch ref: lengths and table PACKED as (B, 1 + MP)
+    # (pallas_call's num_scalar_prefetch consumes a prefix of the args;
+    # packing keeps the shared kernel body's single lens_ref signature —
+    # in-kernel, lengths live at column 0).
+    packed = jnp.concatenate(
+        [jnp.asarray(lengths, jnp.int32)[:, None],
+         jnp.asarray(page_table, jnp.int32)], axis=1)
+
+    bsz, hkv, g, d = q.shape
+    dv = v_pool.shape[-1]
+    quant = k_scale is not None
+
+    def kernel(packed_ref, *refs):
+        # Adapter: present lengths as a (B,)-indexable view to _kernel.
+        class _Lens:
+            def __getitem__(self, b):
+                return packed_ref[b, 0]
+
+        _kernel(_Lens(), *refs, scale=softmax_scale, bt=pg,
+                softcap=logit_softcap, quant=quant, nt=mp)
+
+    qspec = pl.BlockSpec((1, 1, g, d), lambda b, h, t, lens: (b, h, 0, 0))
+    in_specs = [qspec,
+                pl.BlockSpec((1, 1, pg, d), kv_index),
+                pl.BlockSpec((1, 1, pg, dv), kv_index)]
+    args = (q, k_pool, v_pool)
+    if quant:
+        sspec = pl.BlockSpec((1, 1, pg, 1), kv_index)
+        in_specs += [sspec, sspec]
+        args += (k_scale[..., None], v_scale[..., None])
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, hkv, mp),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, g, dv),
+                                   lambda b, h, t, lens: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, g), jnp.float32),
+                pltpu.VMEM((1, g), jnp.float32),
+                pltpu.VMEM((dv, g), jnp.float32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((bsz, hkv, g, dv), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(packed, *args)
