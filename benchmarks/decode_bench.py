@@ -31,6 +31,17 @@ term; at T where cache >> params the A/B should approach 2×.
 ``int8``    — dense cache quantized to int8 (kv_cache_dtype): halves the
               per-step cache read; run at large T where the decode step
               is cache-read-bound.
+``ragged``  — MIXED-LENGTH batch (the serving norm): rows prefilled to
+              a 1/8..8/8 spread of (T - 256), then 256 decode steps. The
+              flash-decoding kernel reads each row's live prefix only
+              (clamped index_map); the XLA einsum always reads all
+              allocated slots — this row measures that structural win
+              at mean fill ~0.5. hbm_frac is reported on FULL-cache
+              bytes, so the kernel can legitimately exceed the dense
+              full-batch fraction here.
+
+Any mode takes an ``_xla`` suffix (e.g. ``dense_xla``) to force the XLA
+per-token read paths instead of the flash-decoding Pallas kernel.
 """
 
 from __future__ import annotations
@@ -44,6 +55,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
+
+if os.environ.get("KU_BENCH_CPU"):
+    # Validation runs: the env var JAX_PLATFORMS alone is ignored when
+    # the axon plugin is on PYTHONPATH — the config update is required.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,7 +90,7 @@ def build(max_len, conf, window=None, global_prefix=0,
 
     class LM(nn.Module):
         @nn.compact
-        def __call__(self, x, decode: bool = False):
+        def __call__(self, x, decode: bool = False, prompt_lengths=None):
             for i in range(conf["blocks"]):
                 x = Transformer(conf["heads"], conf["d_model"], 0.0,
                                 causal=True,
@@ -84,7 +101,8 @@ def build(max_len, conf, window=None, global_prefix=0,
                                 use_flash=use_flash,
                                 kv_page_size=kv_page_size,
                                 flash_decode=flash_decode,
-                                name=f"block{i}")([x], decode=decode)
+                                name=f"block{i}")([x], decode=decode,
+                                                  prompt_lengths=prompt_lengths)
             return x
 
     return LM()
@@ -157,6 +175,27 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     cache0 = jax.tree_util.tree_map_with_path(reset_leaf, mut["cache"])
     del mut
 
+    ragged = mode == "ragged"
+    decode_steps = t_tokens
+    mean_fill = 1.0
+    if ragged:
+        # Prefill rows to a 1/8..8/8 spread of the cache (the serving
+        # norm: admissions at different progress), then time 256 decode
+        # steps on the mixed-length batch.
+        decode_steps = 256
+        fracs = (np.arange(batch) % 8 + 1) / 8.0
+        lengths = np.maximum(
+            1, ((t_tokens - decode_steps) * fracs)).astype(np.int32)
+        xp = jnp.asarray(
+            rng.normal(size=(batch, int(lengths.max()), d_model)), dtype)
+        _, mut = model.apply({"params": params, "cache": cache0}, xp,
+                             decode=True, mutable=["cache"],
+                             prompt_lengths=jnp.asarray(lengths))
+        cache0 = mut["cache"]
+        del mut, xp
+        mean_fill = float(
+            (lengths.mean() + decode_steps / 2) / t_tokens)
+
     if mode.startswith("prefill"):
         S = 16
         xp = jnp.asarray(rng.normal(size=(batch, t_tokens, d_model)),
@@ -202,7 +241,7 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
                     mut["cache"]), jnp.sum(y)
 
         (_, _), sums = jax.lax.scan(step, (x0, cache0), None,
-                                    length=t_tokens)
+                                    length=decode_steps)
         return jnp.sum(sums)
 
     _ = np.asarray(decode_chain(params, cache0, x0, jnp.float32(0)))  # compile
@@ -212,10 +251,10 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
         _ = np.asarray(decode_chain(params, cache0, x0,
                                     jnp.float32(1e-6 * (i + 1))))
         best = min(best, time.perf_counter() - t0)
-    toks = batch * t_tokens
+    toks = batch * decode_steps
     out = {
         "decode_tokens_per_sec": round(toks / best, 1),
-        "ms_per_token_batch": round(best * 1e3 / t_tokens, 4),
+        "ms_per_token_batch": round(best * 1e3 / decode_steps, 4),
         "batch": batch, "t": t_tokens, "d_model": d_model,
         "heads": c["heads"], "kv_heads": c["kv_heads"],
         "blocks": c["blocks"], "conf": conf,
@@ -229,7 +268,7 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     param_bytes = sum(a.nbytes for a in jax.tree.leaves(params))
     cache_bytes = sum(a.nbytes for a in jax.tree.leaves(cache0))
     step_bytes = param_bytes + cache_bytes
-    achieved = step_bytes * t_tokens / best / 1e9
+    achieved = step_bytes * decode_steps / best / 1e9
     out.update(
         params_gb=round(param_bytes / 1e9, 3),
         kv_cache_gb=round(cache_bytes / 1e9, 3),
@@ -239,6 +278,9 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     )
     if ring:
         out["cache_slots_per_layer"] = 512 + 32
+    if ragged:
+        out["mean_fill"] = round(mean_fill, 3)
+        out["decode_steps"] = decode_steps
     if mode != "dense":
         out["mode"] = mode
     # Resolved per-token read path (mirrors MultiHeadAttention's auto

@@ -14,12 +14,13 @@ whose grid streams the cache through VMEM exactly once:
   Mosaic's pipeliner skips the DMA — a short sequence in a long cache
   reads only its live prefix, where the XLA einsum always reads all S.
 - **int8** cache: the K/V slabs stream as int8 (HALF the HBM traffic of
-  bf16, a quarter of f32) and dequantize in VMEM — the XLA path's
-  ``convert`` materializes a full-precision copy of the cache in HBM
-  every step (measured 0.11× roofline vs dense's 0.80× at T=8192 on the
-  v5e), which the kernel avoids by construction. Per-token scales
-  multiply the tiny score/prob slabs: ``q·(k_int8·s_k) == (q·k_int8)·s_k``
-  exactly (f32 score accumulation), matching the scale-folded XLA path.
+  bf16, a quarter of f32) and dequantize in VMEM — the XLA path cannot
+  avoid materializing a converted copy of the cache (measured 0.11×
+  roofline vs dense's 0.80× at toy T=8192 on the v5e even after
+  scale-folding), which the kernel avoids by construction. Per-token
+  scales multiply the tiny score/prob slabs:
+  ``q·(k_int8·s_k) == (q·k_int8)·s_k`` exactly (f32 score
+  accumulation), matching the scale-folded XLA path.
 - **paged** pool ``(NP, Hkv, pg, D)``: same kernel; the grid walks each
   row's block table (scalar-prefetched) and the ``index_map`` resolves
   logical page ``j`` to pool page ``table[b, j]`` — the gather happens
@@ -27,15 +28,19 @@ whose grid streams the cache through VMEM exactly once:
   Clamping at the last live page means unallocated table tail entries
   are never dereferenced.
 
-Layout: scores live as ``(bt, G)`` — keys on sublanes, the G grouped
-query heads on lanes — so the per-token quant scales apply as natural
-``(bt, 1)`` sublane vectors (no in-kernel relayout) and the softmax
-max/sum are sublane reductions. G is tiny (1-16), so slab VPU work is
-negligible; the step is HBM-bound and the matmuls' MXU utilization is
-irrelevant. The accumulator stays transposed ``(Dv, G)`` (PV computed
-as VᵀP) and is untransposed once at the final grid step, mirroring
-``flash_attention.py``'s transposed-slab convention. Running max/sum/
-accumulator are f32 VMEM scratch.
+Layout (v2): scores live as ``(G, bt)`` — the grouped query heads on
+sublanes, keys on LANES — so the per-token quant scales ride directly
+as ``(1, bt)`` lane vectors, blocked from ``(…, 1, S)`` views of the
+``(…, S)`` scale arrays (the key axis stays contiguous in HBM; the
+unit dim satisfies Mosaic's last-two-dims block rule by equalling the
+array dim). v1 put keys on sublanes and fed scales as ``(…, S, 1)``
+arrays whose trailing unit dim Mosaic lane-pads ×128: each scale DMA
+cost as much as the K/V slab itself — the int8 path read MORE physical
+bytes than the f32 dense path (measured 0.08× roofline; the layout
+flip removes the padded arrays entirely). The accumulator is
+``(G, Dv)`` (PV as P·V), the output writes with no transpose, and the
+running max/sum are ``(G, 1)`` f32 VMEM scratch with lane reductions
+over the key axis.
 """
 
 from __future__ import annotations
@@ -52,6 +57,16 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["decode_attention", "decode_attention_paged"]
 
 _NEG = -1e30
+
+
+def _scale_index(kv_index):
+    """Index map for the (…, 1, S) scale views: the K/V map's key-block
+    coordinate moves to the minor axis (dense (b, h, tc, 0) → scale
+    (b, h, 0, tc); paged (page, h, 0, 0) is unchanged)."""
+    def idx(*a):
+        i = kv_index(*a)
+        return i[:-2] + (i[-1], i[-2])
+    return idx
 
 
 def _kernel(lens_ref, *refs, scale, bt, softcap, quant, nt):
@@ -79,42 +94,43 @@ def _kernel(lens_ref, *refs, scale, bt, softcap, quant, nt):
         k = k_ref[0, 0]  # (bt, D) — int8 when quant
         if quant:
             k = k.astype(q.dtype)
-        # (bt, G): keys on sublanes, grouped query heads on lanes.
-        s = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+        # (G, bt): grouped query heads on sublanes, keys on lanes.
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if quant:
-            s = s * ksc_ref[0, 0]  # (bt, 1) per-token k scales
+            s = s * ksc_ref[0, 0]  # (1, bt) per-token k scales
         s = s * scale
         if softcap is not None:
             s = softcap * jnp.tanh(s / softcap)
-        kpos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0)
+        kpos = t * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
         s = jnp.where(kpos < length, s, _NEG)
-        m = m_scr[:]  # (1, G)
-        m2 = jnp.maximum(m, s.max(axis=0, keepdims=True))
+        m = m_scr[:]  # (G, 1)
+        m2 = jnp.maximum(m, s.max(axis=1, keepdims=True))
         p = jnp.exp(s - m2)
         r = jnp.exp(m - m2)
         m_scr[:] = m2
-        l_scr[:] = l_scr[:] * r + p.sum(axis=0, keepdims=True)
+        l_scr[:] = l_scr[:] * r + p.sum(axis=1, keepdims=True)
         v = v_ref[0, 0]  # (bt, Dv) — int8 when quant
         if quant:
             p = p * vsc_ref[0, 0]  # fold v scales into the prob slab
             v = v.astype(q.dtype)
         acc_scr[:] = acc_scr[:] * r + jax.lax.dot_general(
-            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (Dv, G) += VᵀP
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (G, Dv) += P·V
 
     @pl.when(t == nt - 1)
     def _done():
-        o_ref[0, 0] = (acc_scr[:] / l_scr[:]).T.astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
 def _call(q, k, v, lengths, k_scale, v_scale, softmax_scale, softcap,
-          block_t, interpret, kv_index, nt, kv_shape, sc_shape):
+          block_t, interpret, kv_index, nt, kv_blk, sc_blk):
     """Shared pallas_call assembly for the dense and paged variants.
 
     ``kv_index(b, h, t, lens)`` -> block index tuple into the K/V
-    (and scale) arrays; ``nt`` = grid steps over the key axis;
-    ``kv_shape``/``sc_shape`` = the K/V and scale BlockSpec shapes.
+    arrays (``_scale_index`` adapts it for the (…, 1, S) scale views);
+    ``nt`` = grid steps over the key axis; ``kv_blk`` / ``sc_blk`` =
+    K/V and scale BlockSpec block shapes sans the head-dim axis.
     """
     bsz, hkv, g, d = q.shape
     dv = v.shape[-1]
@@ -122,14 +138,21 @@ def _call(q, k, v, lengths, k_scale, v_scale, softmax_scale, softcap,
     grid = (bsz, hkv, nt)
 
     qspec = pl.BlockSpec((1, 1, g, d), lambda b, h, t, lens: (b, h, 0, 0))
-    kspec = pl.BlockSpec(kv_shape + (d,), kv_index)
-    vspec = pl.BlockSpec(kv_shape + (dv,), kv_index)
+    kspec = pl.BlockSpec(kv_blk + (d,), kv_index)
+    vspec = pl.BlockSpec(kv_blk + (dv,), kv_index)
     in_specs = [qspec, kspec, vspec]
     args = (q, k, v)
     if quant:
-        sspec = pl.BlockSpec(sc_shape + (1,), kv_index)
+        # Scales ride as (…, 1, S) views of the (…, S) arrays: the key
+        # axis stays on LANES (contiguous in HBM — the DMA is one linear
+        # read) and the unit dim satisfies Mosaic's last-two-dims rule
+        # by equalling the array dim. A trailing unit dim instead would
+        # lane-pad every element ×128 (see module docstring); a bare
+        # (…, bt) block is illegal (dim -2 = 1 vs array Hkv).
+        sidx = _scale_index(kv_index)
+        sspec = pl.BlockSpec(sc_blk, sidx)
         in_specs += [sspec, sspec]
-        args += (k_scale[..., None], v_scale[..., None])
+        args += (k_scale[:, :, None, :], v_scale[:, :, None, :])
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=softmax_scale, bt=block_t,
@@ -141,9 +164,9 @@ def _call(q, k, v, lengths, k_scale, v_scale, softmax_scale, softcap,
             out_specs=pl.BlockSpec((1, 1, g, dv),
                                    lambda b, h, t, lens: (b, h, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((1, g), jnp.float32),
-                pltpu.VMEM((1, g), jnp.float32),
-                pltpu.VMEM((dv, g), jnp.float32),
+                pltpu.VMEM((g, 1), jnp.float32),
+                pltpu.VMEM((g, 1), jnp.float32),
+                pltpu.VMEM((g, dv), jnp.float32),
             ]),
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, g, dv), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -182,7 +205,7 @@ def decode_attention(q, k, v, lengths, *, k_scale=None, v_scale=None,
 
     return _call(q, k, v, lengths, k_scale, v_scale, softmax_scale,
                  logit_softcap, bt, interpret, kv_index, nt,
-                 kv_shape=(1, 1, bt), sc_shape=(1, 1, bt))
+                 kv_blk=(1, 1, bt), sc_blk=(1, 1, 1, bt))
 
 
 def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
@@ -238,9 +261,9 @@ def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
                 pl.BlockSpec((1, 1, pg, dv), kv_index)]
     args = (q, k_pool, v_pool)
     if quant:
-        sspec = pl.BlockSpec((1, 1, pg, 1), kv_index)
+        sspec = pl.BlockSpec((1, 1, 1, pg), _scale_index(kv_index))
         in_specs += [sspec, sspec]
-        args += (k_scale[..., None], v_scale[..., None])
+        args += (k_scale[:, :, None, :], v_scale[:, :, None, :])
 
     return pl.pallas_call(
         kernel,
@@ -251,9 +274,9 @@ def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
             out_specs=pl.BlockSpec((1, 1, g, dv),
                                    lambda b, h, t, lens: (b, h, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((1, g), jnp.float32),
-                pltpu.VMEM((1, g), jnp.float32),
-                pltpu.VMEM((dv, g), jnp.float32),
+                pltpu.VMEM((g, 1), jnp.float32),
+                pltpu.VMEM((g, 1), jnp.float32),
+                pltpu.VMEM((g, dv), jnp.float32),
             ]),
         out_shape=jax.ShapeDtypeStruct((bsz, hkv, g, dv), q.dtype),
         compiler_params=pltpu.CompilerParams(
