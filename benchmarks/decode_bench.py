@@ -136,10 +136,18 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     # "paged": dense-layout A/B for the page-pool cache (page 256,
     # identity tables) — measures the flash-decoding-style page-scan
     # read against the contiguous dense read at the same T.
+    # ragged also prefills with flash (q_offset streaming) ON TPU: its
+    # mixed-length prompts at large T would otherwise materialize an
+    # O(L·S) masked score tensor in the one-shot prefill (HTTP 500 /
+    # compiler OOM at T=8192). Decode steps are unaffected by use_flash.
+    # (CPU validation keeps the einsum prefill — interpret-mode flash
+    # over a whole prompt takes tens of minutes.)
+    on_tpu = jax.default_backend() == "tpu"
     model = build(t_tokens, c, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
                   kv_cache_dtype="int8" if mode == "int8" else None,
-                  use_flash=mode == "prefill_flash",
+                  use_flash=(mode == "prefill_flash"
+                             or (mode == "ragged" and on_tpu)),
                   kv_page_size=256 if mode == "paged" else None,
                   flash_decode=flash_decode)
     x0 = jnp.asarray(rng.normal(size=(batch, 1, d_model)), dtype)

@@ -361,11 +361,17 @@ class MultiHeadAttention(nn.Module):
                         " — wrong attention unless a scheduler (e.g. "
                         "ku.nn.ContinuousBatcher) overwrites the table "
                         "values before real use", stacklevel=2)
+                # TRANSPOSED pool (slot axis MINOR): lane-pad-free in
+                # HBM for any head dim, and the layout the flash-
+                # decoding kernel's operand constraint resolves to
+                # without a relayout copy (see decode_attention.py's
+                # module docstring for the measured ×2-padding failure
+                # of the (…, pg, D) form at D=64).
                 ck = self.variable("cache", "pages_k", jnp.zeros,
-                                   (n_pages, hkv, pg, d_k_h),
+                                   (n_pages, hkv, d_k_h, pg),
                                    jnp.int8 if qdt else k_h.dtype)
                 cv = self.variable("cache", "pages_v", jnp.zeros,
-                                   (n_pages, hkv, pg, d_v_h),
+                                   (n_pages, hkv, d_v_h, pg),
                                    jnp.int8 if qdt else v_h.dtype)
                 tbl = self.variable(
                     "cache", "page_table",
@@ -374,12 +380,18 @@ class MultiHeadAttention(nn.Module):
                         + jnp.arange(mp)[None], n_pages - 1
                     ).astype(jnp.int32))
             else:
+                # Dense cache TRANSPOSED (slot axis MINOR — pad-free
+                # lanes at any head dim; the ring cache keeps slots on
+                # axis 2: its position bookkeeping gathers along slots
+                # and it never feeds the flash-decoding kernel).
+                kshape = ((bsz, hkv, mx, d_k_h) if ring
+                          else (bsz, hkv, d_k_h, mx))
+                vshape = ((bsz, hkv, mx, d_v_h) if ring
+                          else (bsz, hkv, d_v_h, mx))
                 ck = self.variable("cache", "cached_key", jnp.zeros,
-                                   (bsz, hkv, mx, d_k_h),
-                                   jnp.int8 if qdt else k_h.dtype)
+                                   kshape, jnp.int8 if qdt else k_h.dtype)
                 cv = self.variable("cache", "cached_value", jnp.zeros,
-                                   (bsz, hkv, mx, d_v_h),
-                                   jnp.int8 if qdt else v_h.dtype)
+                                   vshape, jnp.int8 if qdt else v_h.dtype)
             # Per-sequence fill index: ragged prompts (prompt_lengths)
             # and continuous batching leave each sequence at its own
             # position; the uniform case is just the equal-values
@@ -394,13 +406,13 @@ class MultiHeadAttention(nn.Module):
                 q_h = apply_rope(q_h, gpos, self.rope_base)
                 k_h = apply_rope(k_h, gpos, self.rope_base)
             if paged:
-                # Gathered page view (B, hkv, mx, d): every downstream
-                # attention path (masked einsum, flash q_offset prefill,
-                # per-token step) then runs unchanged on it.
+                # Gathered page view in the TRANSPOSED convention
+                # (B, hkv, d, mx): downstream prefill reads consume it
+                # with slot-minor einsum subscripts.
                 def _gather(pool):
-                    g = pool[tbl.value]  # (B, mp, hkv, pg, d)
-                    return jnp.transpose(g, (0, 2, 1, 3, 4)).reshape(
-                        bsz, hkv, mx, g.shape[-1])
+                    g = pool[tbl.value]  # (B, mp, hkv, d, pg)
+                    return jnp.transpose(g, (0, 2, 3, 1, 4)).reshape(
+                        bsz, hkv, g.shape[3], mx)
 
                 def _gather_s(scales):
                     g = scales[tbl.value]  # (B, mp, hkv, pg)
@@ -447,14 +459,14 @@ class MultiHeadAttention(nn.Module):
                 if paged:
                     def _read_k():
                         return (_gather(ck.value)
-                                * _gather_s(ksc.value)[..., None]
+                                * _gather_s(ksc.value)[:, :, None, :]
                                 ).astype(kv_dt)
 
                     def _read_v():
                         return (_gather(cv.value)
-                                * _gather_s(vsc.value)[..., None]
+                                * _gather_s(vsc.value)[:, :, None, :]
                                 ).astype(kv_dt)
-                else:
+                elif ring:
                     def _read_k():
                         return (ck.value
                                 * ksc.value[..., None]).astype(kv_dt)
@@ -462,6 +474,16 @@ class MultiHeadAttention(nn.Module):
                     def _read_v():
                         return (cv.value
                                 * vsc.value[..., None]).astype(kv_dt)
+                else:
+                    # Transposed dense cache: scales broadcast along
+                    # the minor slot axis.
+                    def _read_k():
+                        return (ck.value
+                                * ksc.value[:, :, None, :]).astype(kv_dt)
+
+                    def _read_v():
+                        return (cv.value
+                                * vsc.value[:, :, None, :]).astype(kv_dt)
             else:
                 k_st, v_st = k_h, v_h
 
@@ -480,10 +502,17 @@ class MultiHeadAttention(nn.Module):
             group = h // hkv
             qg = q_h.reshape(bsz, hkv, group, L, d_k_h)
             # Per-sequence cache writes: vmap a dynamic_update_slice over
-            # the batch so every sequence lands at its own index.
-            upd4 = jax.vmap(
-                lambda c, u, i: jax.lax.dynamic_update_slice(
-                    c, u, (0, i, 0)))
+            # the batch so every sequence lands at its own index. The
+            # update chunk arrives logical (hkv, L, d) per row; the
+            # transposed dense cache stores it slot-minor.
+            if ring:
+                upd4 = jax.vmap(
+                    lambda c, u, i: jax.lax.dynamic_update_slice(
+                        c, u, (0, i, 0)))
+            else:
+                upd4 = jax.vmap(
+                    lambda c, u, i: jax.lax.dynamic_update_slice(
+                        c, u.swapaxes(1, 2), (0, 0, i)))
             upd3 = jax.vmap(
                 lambda c, u, i: jax.lax.dynamic_update_slice(c, u, (0, i)))
             if paged:
@@ -496,7 +525,10 @@ class MultiHeadAttention(nn.Module):
                 def _store(pool, upd, posn):  # upd (B, hkv, L, d)
                     pid = jnp.take_along_axis(tbl.value, posn // pg,
                                               axis=1)
-                    return pool.at[pid, :, posn % pg].set(
+                    # Advanced indices at axes 0 and 3 broadcast to a
+                    # leading (B, L); values land as (B, L, hkv, d) —
+                    # the slot axis is the pool's MINOR dim.
+                    return pool.at[pid, :, :, posn % pg].set(
                         jnp.transpose(upd, (0, 2, 1, 3)))
 
                 def _store_s(scales, upd, posn):  # upd (B, hkv, L)
@@ -593,8 +625,13 @@ class MultiHeadAttention(nn.Module):
                     from ku.pallas.flash_attention import (
                         flash_attention_pallas)
 
+                    # The streaming kernel consumes (B, H, S, D): one
+                    # materialized transpose of the cache page per
+                    # prefill DISPATCH (amortized over the prompt; the
+                    # per-token decode loop never pays it).
                     head = flash_attention_pallas(
-                        q_h, _read_k(), _read_v(),
+                        q_h, _read_k().swapaxes(2, 3),
+                        _read_v().swapaxes(2, 3),
                         softmax_scale=1.0 / math.sqrt(d_k),
                         causal=True, q_offset=idx,
                         logit_softcap=self.logit_softcap)
@@ -602,12 +639,15 @@ class MultiHeadAttention(nn.Module):
                     pos = jnp.arange(mx)[None, None, :]
                     keep = pos <= (idx[:, None, None]
                                    + jnp.arange(L)[None, :, None])
-                    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
+                    # Slot-minor cache: XLA absorbs the transposed
+                    # operand into the dot dimension numbers — no
+                    # materialized relayout.
+                    s = jnp.einsum("bhgqd,bhdk->bhgqk", qg, _read_k()
                                    ) / math.sqrt(d_k)
                     s = self._cap(s)
                     s = jnp.where(keep[:, None, None], s, -1e30)
                     p = nn.softmax(s, axis=-1)
-                    head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
+                    head = jnp.einsum("bhgqk,bhdk->bhgqd", p, _read_v()
                                       ).reshape(bsz, h, L, d_v_h)
             else:
                 if ring:
@@ -695,9 +735,10 @@ class MultiHeadAttention(nn.Module):
                     tblp = tblp.reshape(bsz, nsteps, blk).transpose(
                         1, 0, 2)
 
-                    def _slab(g):  # (B, blk, hkv, pg, d) -> blk*pg keys
-                        return jnp.transpose(g, (0, 2, 1, 3, 4)).reshape(
-                            bsz, hkv, blk * pg, g.shape[-1])
+                    def _slab(g):  # (B, blk, hkv, d, pg) -> blk*pg keys
+                        # Slot-minor slab (B, hkv, d, blk*pg).
+                        return jnp.transpose(g, (0, 2, 3, 1, 4)).reshape(
+                            bsz, hkv, g.shape[3], blk * pg)
 
                     def _slab_s(g):  # (B, blk, hkv, pg) scales
                         return jnp.transpose(g, (0, 2, 1, 3)).reshape(
@@ -722,7 +763,7 @@ class MultiHeadAttention(nn.Module):
                                        .astype(jnp.float32))
                             ksp = _slab_s(ksc.value[pid])
                             vsp = _slab_s(vsc.value[pid])
-                            s = (jnp.einsum("bhgqd,bhkd->bhgqk", qg, kp)
+                            s = (jnp.einsum("bhgqd,bhdk->bhgqk", qg, kp)
                                  .astype(jnp.float32)
                                  * ksp[:, :, None, None, :]) * scale
                         else:
@@ -730,7 +771,7 @@ class MultiHeadAttention(nn.Module):
                                        .astype(jnp.float32))
                             vp = _slab(cv.value[pid]
                                        .astype(jnp.float32))
-                            s = jnp.einsum("bhgqd,bhkd->bhgqk", qg,
+                            s = jnp.einsum("bhgqd,bhdk->bhgqk", qg,
                                            kp) * scale
                         s = self._cap(s)
                         kpos = j * (blk * pg) + jnp.arange(blk * pg)
@@ -744,7 +785,7 @@ class MultiHeadAttention(nn.Module):
                         if qdt:  # fold s_v into the prob slab (exact)
                             p = p * vsp[:, :, None, None, :]
                         acc2 = acc * r + jnp.einsum(
-                            "bhgqk,bhkd->bhgqd", p, vp)
+                            "bhgqk,bhdk->bhgqd", p, vp)
                         return (m2, l2, acc2), None
 
                     shp = (bsz, hkv, group, 1)
@@ -769,7 +810,10 @@ class MultiHeadAttention(nn.Module):
                     # page_step below folds identically, keeping the
                     # two per-token paths' near-tie behavior aligned.
                     sc = 1.0 / math.sqrt(d_k)
-                    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg,
+                    # Ring caches stay slot-major (B,hkv,S,d); the
+                    # dense cache is slot-MINOR (B,hkv,d,S).
+                    kd = "bhkd" if ring else "bhdk"
+                    s = jnp.einsum(f"bhgqd,{kd}->bhgqk", qg,
                                    ck.value.astype(kv_dt))
                     s = (s.astype(jnp.float32)
                          * (ksc.value * sc)[:, :, None, None, :])
@@ -778,16 +822,17 @@ class MultiHeadAttention(nn.Module):
                     p = nn.softmax(s, axis=-1)
                     pv = (p * vsc.value[:, :, None, None, :]
                           ).astype(kv_dt)
-                    head = jnp.einsum("bhgqk,bhkd->bhgqd", pv,
+                    head = jnp.einsum(f"bhgqk,{kd}->bhgqd", pv,
                                       cv.value.astype(kv_dt)
                                       ).reshape(bsz, h, 1, d_v_h)
                 else:
-                    s = jnp.einsum("bhgqd,bhkd->bhgqk", qg, _read_k()
+                    kd = "bhkd" if ring else "bhdk"
+                    s = jnp.einsum(f"bhgqd,{kd}->bhgqk", qg, _read_k()
                                    ) / math.sqrt(d_k)
                     s = self._cap(s)
                     s = jnp.where(keep[:, None, None, None, :], s, -1e30)
                     p = nn.softmax(s, axis=-1)
-                    head = jnp.einsum("bhgqk,bhkd->bhgqd", p, _read_v()
+                    head = jnp.einsum(f"bhgqk,{kd}->bhgqd", p, _read_v()
                                       ).reshape(bsz, h, 1, d_v_h)
         elif block_mask is not None:
             from ku.pallas.sparse_attention import sparse_attention

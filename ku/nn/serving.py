@@ -321,11 +321,14 @@ class ContinuousBatcher:
         for path, leaf in jax.tree_util.tree_leaves_with_path(cache):
             name = _leaf_name(path)
             if name == "pages_k":
-                geom.add((leaf.shape[0], leaf.shape[2]))
+                # Transposed pool (NP, hkv, d, pg): slots are MINOR.
+                geom.add((leaf.shape[0], leaf.shape[3]))
             elif name == "page_table":
                 geom.add(("mp", leaf.shape[1]))
             elif name == "cached_key":
-                dense_mx = leaf.shape[2]
+                # Transposed dense cache (B, hkv, d, mx); ring caches
+                # (slot-major) are rejected below via cache_pos.
+                dense_mx = leaf.shape[3]
             elif name == "cache_pos":
                 raise ValueError(
                     "ContinuousBatcher does not support ring (window) "

@@ -6,8 +6,8 @@ at all — this is a beyond-reference serving path), replacing the masked
 XLA einsum / gathered-page ``lax.scan`` with a single Pallas program
 whose grid streams the cache through VMEM exactly once:
 
-- **dense** cache ``(B, Hkv, S, D)``: grid ``(B, Hkv, ceil(S/bt))``;
-  each step DMAs one ``(bt, D)`` K/V slab and folds it into an online
+- **dense** cache ``(B, Hkv, D, S)``: grid ``(B, Hkv, ceil(S/bt))``;
+  each step DMAs one ``(D, bt)`` K/V slab and folds it into an online
   softmax. The K/V ``index_map`` CLAMPS the block index at the last
   live block (``lengths`` rides as a scalar-prefetch argument), so
   blocks past a sequence's fill level re-point at the same slab and
@@ -21,26 +21,33 @@ whose grid streams the cache through VMEM exactly once:
   scales multiply the tiny score/prob slabs:
   ``q·(k_int8·s_k) == (q·k_int8)·s_k`` exactly (f32 score
   accumulation), matching the scale-folded XLA path.
-- **paged** pool ``(NP, Hkv, pg, D)``: same kernel; the grid walks each
+- **paged** pool ``(NP, Hkv, D, pg)``: same kernel; the grid walks each
   row's block table (scalar-prefetched) and the ``index_map`` resolves
   logical page ``j`` to pool page ``table[b, j]`` — the gather happens
   in the DMA engine's addressing, never as a materialized gathered view.
   Clamping at the last live page means unallocated table tail entries
   are never dereferenced.
 
-Layout (v2): scores live as ``(G, bt)`` — the grouped query heads on
-sublanes, keys on LANES — so the per-token quant scales ride directly
-as ``(1, bt)`` lane vectors, blocked from ``(…, 1, S)`` views of the
-``(…, S)`` scale arrays (the key axis stays contiguous in HBM; the
-unit dim satisfies Mosaic's last-two-dims block rule by equalling the
-array dim). v1 put keys on sublanes and fed scales as ``(…, S, 1)``
-arrays whose trailing unit dim Mosaic lane-pads ×128: each scale DMA
-cost as much as the K/V slab itself — the int8 path read MORE physical
-bytes than the f32 dense path (measured 0.08× roofline; the layout
-flip removes the padded arrays entirely). The accumulator is
-``(G, Dv)`` (PV as P·V), the output writes with no transpose, and the
-running max/sum are ``(G, 1)`` f32 VMEM scratch with lane reductions
-over the key axis.
+Layout (v3, TRANSPOSED cache): K/V arrive with the key axis MINOR —
+``(…, D, S)`` — so the cache is lane-pad-free in HBM for ANY head dim.
+The optimized-HLO evidence that forced this (round 4, v5e): a Pallas
+custom call constrains its operands to the default dim order
+``{3,2,1,0}``, and with the old ``(…, S, D)`` convention at D=64 that
+layout lane-pads every (8,128) tile ×2 — the kernel physically read
+twice the cache bytes and hit 0.49× of the HBM roofline where the XLA
+masked einsum (free to keep the cache ``{2,3,1,0}``, i.e. exactly this
+transposed form) hit 0.80×. With the key axis minor the constraint and
+the pad-free layout coincide. Scores are ``(G, bt)`` (grouped query
+heads on sublanes, keys on lanes): QK is a plain ``(G,D)·(D,bt)``
+matmul on the slab as it arrives, the int8 per-token scales ride as
+``(1, bt)`` lane vectors blocked from ``(…, 1, S)`` views of the
+``(…, S)`` scale arrays — and the scale index_map equals the K/V one.
+PV is ``(G,bt)·(Dv,bt)ᵀ`` into a ``(G, Dv)`` f32 accumulator; running
+max/sum are ``(G, 1)`` f32 VMEM scratch with lane reductions.
+(History: v1 had keys on sublanes and scales as ``(…, S, 1)`` arrays
+whose trailing unit dim lane-pads ×128 — the scale DMA cost as much as
+the K/V slab; v2 fixed the scales but kept ``(…, S, D)`` K/V and so
+still paid the ×2 cache padding at sub-128 head dims.)
 """
 
 from __future__ import annotations
@@ -57,16 +64,6 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["decode_attention", "decode_attention_paged"]
 
 _NEG = -1e30
-
-
-def _scale_index(kv_index):
-    """Index map for the (…, 1, S) scale views: the K/V map's key-block
-    coordinate moves to the minor axis (dense (b, h, tc, 0) → scale
-    (b, h, 0, tc); paged (page, h, 0, 0) is unchanged)."""
-    def idx(*a):
-        i = kv_index(*a)
-        return i[:-2] + (i[-1], i[-2])
-    return idx
 
 
 def _kernel(lens_ref, *refs, scale, bt, softcap, quant, nt):
@@ -91,11 +88,11 @@ def _kernel(lens_ref, *refs, scale, bt, softcap, quant, nt):
     @pl.when(t * bt < length)
     def _body():
         q = q_ref[0, 0]  # (G, D)
-        k = k_ref[0, 0]  # (bt, D) — int8 when quant
+        k = k_ref[0, 0]  # (D, bt) — int8 when quant
         if quant:
             k = k.astype(q.dtype)
         # (G, bt): grouped query heads on sublanes, keys on lanes.
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if quant:
             s = s * ksc_ref[0, 0]  # (1, bt) per-token k scales
@@ -110,36 +107,35 @@ def _kernel(lens_ref, *refs, scale, bt, softcap, quant, nt):
         r = jnp.exp(m - m2)
         m_scr[:] = m2
         l_scr[:] = l_scr[:] * r + p.sum(axis=1, keepdims=True)
-        v = v_ref[0, 0]  # (bt, Dv) — int8 when quant
+        v = v_ref[0, 0]  # (Dv, bt) — int8 when quant
         if quant:
             p = p * vsc_ref[0, 0]  # fold v scales into the prob slab
             v = v.astype(q.dtype)
         acc_scr[:] = acc_scr[:] * r + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (G, Dv) += P·V
-
+            p.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (G, Dv) += P·Vᵀ
     @pl.when(t == nt - 1)
     def _done():
         o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
 def _call(q, k, v, lengths, k_scale, v_scale, softmax_scale, softcap,
-          block_t, interpret, kv_index, nt, kv_blk, sc_blk):
+          block_t, interpret, kv_index, nt):
     """Shared pallas_call assembly for the dense and paged variants.
 
-    ``kv_index(b, h, t, lens)`` -> block index tuple into the K/V
-    arrays (``_scale_index`` adapts it for the (…, 1, S) scale views);
-    ``nt`` = grid steps over the key axis; ``kv_blk`` / ``sc_blk`` =
-    K/V and scale BlockSpec block shapes sans the head-dim axis.
+    ``kv_index(b, h, t, lens)`` -> block index tuple into the
+    ``(…, D, bt)``-blocked K/V arrays; the ``(…, 1, S)`` scale views
+    block with the SAME index map (their unit dim rides where D does).
+    ``nt`` = grid steps over the key axis; ``block_t`` = key block.
     """
     bsz, hkv, g, d = q.shape
-    dv = v.shape[-1]
+    dv = v.shape[2]
     quant = k_scale is not None
     grid = (bsz, hkv, nt)
 
     qspec = pl.BlockSpec((1, 1, g, d), lambda b, h, t, lens: (b, h, 0, 0))
-    kspec = pl.BlockSpec(kv_blk + (d,), kv_index)
-    vspec = pl.BlockSpec(kv_blk + (dv,), kv_index)
+    kspec = pl.BlockSpec((1, 1, d, block_t), kv_index)
+    vspec = pl.BlockSpec((1, 1, dv, block_t), kv_index)
     in_specs = [qspec, kspec, vspec]
     args = (q, k, v)
     if quant:
@@ -147,10 +143,8 @@ def _call(q, k, v, lengths, k_scale, v_scale, softmax_scale, softcap,
         # axis stays on LANES (contiguous in HBM — the DMA is one linear
         # read) and the unit dim satisfies Mosaic's last-two-dims rule
         # by equalling the array dim. A trailing unit dim instead would
-        # lane-pad every element ×128 (see module docstring); a bare
-        # (…, bt) block is illegal (dim -2 = 1 vs array Hkv).
-        sidx = _scale_index(kv_index)
-        sspec = pl.BlockSpec(sc_blk, sidx)
+        # lane-pad every element ×128 (see module docstring).
+        sspec = pl.BlockSpec((1, 1, 1, block_t), kv_index)
         in_specs += [sspec, sspec]
         args += (k_scale[:, :, None, :], v_scale[:, :, None, :])
 
@@ -179,21 +173,30 @@ def _call(q, k, v, lengths, k_scale, v_scale, softmax_scale, softcap,
 def decode_attention(q, k, v, lengths, *, k_scale=None, v_scale=None,
                      softmax_scale: Optional[float] = None,
                      logit_softcap: Optional[float] = None,
-                     block_t: int = 512,
+                     block_t: Optional[int] = None,
                      interpret: Optional[bool] = None):
-    """Single-token attention over a dense decode cache.
+    """Single-token attention over a dense TRANSPOSED decode cache.
 
     q: (B, Hkv, G, D) current-token queries, grouped per KV head.
-    k, v: (B, Hkv, S, D/Dv) cache pages (any dtype; int8 with scales).
+    k, v: (B, Hkv, D, S) / (B, Hkv, Dv, S) cache, key axis MINOR (any
+      dtype; int8 with scales) — lane-pad-free in HBM for any head dim.
     lengths: (B,) int32 — number of LIVE positions per row (index+1).
     k_scale, v_scale: (B, Hkv, S) f32 per-token scales (int8 caches).
+    block_t: key-block size; None (default) auto-sizes toward ~1 MB K
+      slabs (HBM-latency-bound at small slabs: bt=512 at D=64 f32 paid
+      ~0.2 µs of per-grid-step fixed cost per 128 KB slab on the v5e).
     Returns (B, Hkv, G, Dv) in q.dtype with f32 accumulation.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(q.shape[-1])
-    s_total = k.shape[2]
+    s_total = k.shape[3]
+    if block_t is None:
+        # ~1 MB K slabs, in [512, 4096], multiples of 512 (the scale
+        # view's lane dim needs bt % 128 == 0; D rides sublanes).
+        per_key = k.shape[2] * k.dtype.itemsize
+        block_t = max(512, min(4096, (1 << 20) // per_key // 512 * 512))
     bt = s_total if s_total <= block_t else block_t
     nt = -(-s_total // bt)
 
@@ -201,11 +204,10 @@ def decode_attention(q, k, v, lengths, *, k_scale=None, v_scale=None,
         # Clamp at each row's last live block: dead steps re-DMA the
         # same slab (skipped by the pipeliner) and never read past the
         # fill level.
-        return (b, h, jnp.minimum(t, (lens[b] - 1) // bt), 0)
+        return (b, h, 0, jnp.minimum(t, (lens[b] - 1) // bt))
 
     return _call(q, k, v, lengths, k_scale, v_scale, softmax_scale,
-                 logit_softcap, bt, interpret, kv_index, nt,
-                 kv_blk=(1, 1, bt), sc_blk=(1, 1, 1, bt))
+                 logit_softcap, bt, interpret, kv_index, nt)
 
 
 def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
@@ -213,21 +215,22 @@ def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
                            softmax_scale: Optional[float] = None,
                            logit_softcap: Optional[float] = None,
                            interpret: Optional[bool] = None):
-    """Single-token attention over a paged decode cache.
+    """Single-token attention over a paged TRANSPOSED decode cache.
 
-    q: (B, Hkv, G, D); pools: (NP, Hkv, pg, D/Dv) (+ (NP, Hkv, pg)
-    scales for int8); page_table: (B, MP) int32 pool ids per logical
-    page; lengths: (B,) int32 live positions. The table and lengths ride
-    as scalar-prefetch args: the DMA engine gathers pages directly from
-    the pool — no gathered view is ever materialized — and the block
-    index clamps at each row's last live page, so tail table entries
-    (unallocated pages) are never dereferenced.
+    q: (B, Hkv, G, D); pools: (NP, Hkv, D, pg) / (NP, Hkv, Dv, pg)
+    (+ (NP, Hkv, pg) scales for int8); page_table: (B, MP) int32 pool
+    ids per logical page; lengths: (B,) int32 live positions. The table
+    and lengths ride as scalar-prefetch args: the DMA engine gathers
+    pages directly from the pool — no gathered view is ever
+    materialized — and the block index clamps at each row's last live
+    page, so tail table entries (unallocated pages) are never
+    dereferenced.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(q.shape[-1])
-    pg = k_pool.shape[2]
+    pg = k_pool.shape[3]
     mp = page_table.shape[1]
 
     def kv_index(b, h, t, lens):
@@ -243,7 +246,7 @@ def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
          jnp.asarray(page_table, jnp.int32)], axis=1)
 
     bsz, hkv, g, d = q.shape
-    dv = v_pool.shape[-1]
+    dv = v_pool.shape[2]
     quant = k_scale is not None
 
     def kernel(packed_ref, *refs):
@@ -257,11 +260,11 @@ def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
 
     qspec = pl.BlockSpec((1, 1, g, d), lambda b, h, t, lens: (b, h, 0, 0))
     in_specs = [qspec,
-                pl.BlockSpec((1, 1, pg, d), kv_index),
-                pl.BlockSpec((1, 1, pg, dv), kv_index)]
+                pl.BlockSpec((1, 1, d, pg), kv_index),
+                pl.BlockSpec((1, 1, dv, pg), kv_index)]
     args = (q, k_pool, v_pool)
     if quant:
-        sspec = pl.BlockSpec((1, 1, 1, pg), _scale_index(kv_index))
+        sspec = pl.BlockSpec((1, 1, 1, pg), kv_index)
         in_specs += [sspec, sspec]
         args += (k_scale[:, :, None, :], v_scale[:, :, None, :])
 

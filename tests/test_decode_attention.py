@@ -5,7 +5,16 @@ groups, int8 scales, softcap, and paged pools with permuted block
 tables — plus full-module equivalence: MultiHeadAttention per-token
 decode with flash_decode=True must match the XLA paths bit-for-bit at
 f32 (same scale-folded math, f32 accumulation both sides).
+
+The kernel consumes the TRANSPOSED cache convention (key axis minor:
+(B, Hkv, D, S) / (NP, Hkv, D, pg)); tests build logical (…, S, D)
+arrays for the oracle and transpose at the kernel boundary.
 """
+
+def _t(x):
+    """Logical (…, S, D) -> kernel (…, D, S)."""
+    import jax.numpy as _jnp
+    return _jnp.asarray(x).swapaxes(-1, -2)
 
 import jax
 import jax.numpy as jnp
@@ -45,8 +54,8 @@ def test_dense_kernel_vs_oracle(rng, g, softcap):
     k = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
     v = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
     lengths = np.array([1, 37], np.int32)
-    got = decode_attention(jnp.asarray(q), jnp.asarray(k),
-                           jnp.asarray(v), jnp.asarray(lengths),
+    got = decode_attention(jnp.asarray(q), _t(k), _t(v),
+                           jnp.asarray(lengths),
                            logit_softcap=softcap, interpret=True)
     want = _oracle(q, k, v, lengths, softcap=softcap)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
@@ -63,8 +72,8 @@ def test_dense_kernel_multiblock(rng):
     k = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
     v = rng.normal(size=(b, hkv, s, d)).astype(np.float32)
     lengths = np.array([5, 17, 64], np.int32)
-    got = decode_attention(jnp.asarray(q), jnp.asarray(k),
-                           jnp.asarray(v), jnp.asarray(lengths),
+    got = decode_attention(jnp.asarray(q), _t(k), _t(v),
+                           jnp.asarray(lengths),
                            block_t=16, interpret=True)
     want = _oracle(q, k, v, lengths)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
@@ -79,8 +88,8 @@ def test_dense_kernel_int8(rng):
     ks = rng.uniform(0.01, 0.05, size=(b, hkv, s)).astype(np.float32)
     vs = rng.uniform(0.01, 0.05, size=(b, hkv, s)).astype(np.float32)
     lengths = np.array([9, 32], np.int32)
-    got = decode_attention(jnp.asarray(q), jnp.asarray(k8),
-                           jnp.asarray(v8), jnp.asarray(lengths),
+    got = decode_attention(jnp.asarray(q), _t(k8), _t(v8),
+                           jnp.asarray(lengths),
                            k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs),
                            block_t=16, interpret=True)
     want = _oracle(q, k8, v8, lengths, k_scale=ks, v_scale=vs)
@@ -119,7 +128,7 @@ def test_paged_kernel_vs_oracle(rng, quant):
                          size=(np_pool, hkv, pg)).astype(np.float32)
         pool_k, pool_v = kq, vq
     got = decode_attention_paged(
-        jnp.asarray(q), jnp.asarray(pool_k), jnp.asarray(pool_v),
+        jnp.asarray(q), _t(pool_k), _t(pool_v),
         jnp.asarray(table, jnp.int32), jnp.asarray(lengths),
         k_scale=None if ks is None else jnp.asarray(ks),
         v_scale=None if vs is None else jnp.asarray(vs),
