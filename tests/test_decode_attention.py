@@ -151,6 +151,31 @@ def test_paged_kernel_vs_oracle(rng, quant):
     np.testing.assert_allclose(out, want, rtol=2e-5, atol=1e-6)
 
 
+def test_paged_kernel_length_overrun(rng):
+    """A caller that keeps writing past the allocated window reports
+    length > mp·pg (e.g. MultiHeadAttention init performs a real decode
+    write before the caller's max_decode_len steps). The kernel must
+    clamp at the table width — read the whole window unmasked, never
+    dereference past the table (regression: the chunked page walk
+    computed its trip count from the raw length and read table column
+    mp, an out-of-bounds SMEM read)."""
+    b, hkv, g, d, pg, mp = 2, 2, 2, 8, 4, 3
+    np_pool = b * mp
+    q = rng.normal(size=(b, hkv, g, d)).astype(np.float32)
+    pool_k = rng.normal(size=(np_pool, hkv, pg, d)).astype(np.float32)
+    pool_v = rng.normal(size=(np_pool, hkv, pg, d)).astype(np.float32)
+    table = np.arange(np_pool, dtype=np.int32).reshape(b, mp)
+    lengths = np.array([mp * pg + 1, mp * pg + 7], np.int32)
+    got = decode_attention_paged(
+        jnp.asarray(q), _t(pool_k), _t(pool_v),
+        jnp.asarray(table), jnp.asarray(lengths), interpret=True)
+    gk = pool_k[table].transpose(0, 2, 1, 3, 4).reshape(b, hkv, mp * pg, d)
+    gv = pool_v[table].transpose(0, 2, 1, 3, 4).reshape(b, hkv, mp * pg, d)
+    want = _oracle(q, gk, gv, np.full((b,), mp * pg, np.int32))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                               atol=1e-6)
+
+
 @pytest.mark.parametrize("kwargs", [
     dict(),
     dict(kv_cache_dtype="int8"),
