@@ -42,6 +42,12 @@ term; at T where cache >> params the A/B should approach 2×.
 
 Any mode takes an ``_xla`` suffix (e.g. ``dense_xla``) to force the XLA
 per-token read paths instead of the flash-decoding Pallas kernel.
+
+At T > 2048, non-ring decode modes run STEADY-STATE: rows prefill to
+T-1024 and 1024 decode steps are timed at ~full cache (see the inline
+comment in ``run`` — the T-step single-dispatch scan both tripped the
+tunnel's program deadline at the big conf and under-read the cache from
+an empty start).
 """
 
 from __future__ import annotations
@@ -143,11 +149,23 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     # (CPU validation keeps the einsum prefill — interpret-mode flash
     # over a whole prompt takes tens of minutes.)
     on_tpu = jax.default_backend() == "tpu"
+    # STEADY-STATE rule (T > 2048, non-ring decode modes): prefill every
+    # row to T-1024 and time 1024 decode steps at ~full cache. Two
+    # reasons, both measured on 2026-08-20: (a) a T-step scan at the big
+    # conf is a single ~57 s device program, which crashed the tunnel's
+    # TPU worker ("kernel fault" = the RPC deadline, not the kernel —
+    # ragged's 256-step scan at the same shapes ran fine); (b) from an
+    # empty cache the flash-decoding kernel reads only the written
+    # prefix (mean fill 1/2), so the roofline row under-read the cache
+    # it claims to measure. T <= 2048 keeps the historical
+    # empty-cache-full-scan semantics (bench.py gate stability).
+    steady = (t_tokens > 2048 and not ring
+              and not mode.startswith("prefill") and mode != "ragged")
     model = build(t_tokens, c, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
                   kv_cache_dtype="int8" if mode == "int8" else None,
                   use_flash=(mode == "prefill_flash"
-                             or (mode == "ragged" and on_tpu)),
+                             or ((mode == "ragged" or steady) and on_tpu)),
                   kv_page_size=256 if mode == "paged" else None,
                   flash_decode=flash_decode)
     x0 = jnp.asarray(rng.normal(size=(batch, 1, d_model)), dtype)
@@ -186,6 +204,17 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     ragged = mode == "ragged"
     decode_steps = t_tokens
     mean_fill = 1.0
+    if steady:
+        decode_steps = 1024
+        fill0 = t_tokens - decode_steps
+        xp = jnp.asarray(rng.normal(size=(batch, fill0, d_model)), dtype)
+        _, mut = model.apply({"params": params, "cache": cache0}, xp,
+                             decode=True, mutable=["cache"],
+                             prompt_lengths=jnp.full((batch,), fill0,
+                                                     jnp.int32))
+        cache0 = mut["cache"]
+        del mut, xp
+        mean_fill = float((fill0 + decode_steps / 2) / t_tokens)
     if ragged:
         # Prefill rows to a 1/8..8/8 spread of the cache (the serving
         # norm: admissions at different progress), then time 256 decode
@@ -286,16 +315,20 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     )
     if ring:
         out["cache_slots_per_layer"] = 512 + 32
-    if ragged:
+    if ragged or steady:
         out["mean_fill"] = round(mean_fill, 3)
         out["decode_steps"] = decode_steps
+    if steady:
+        out["steady_state"] = True
     if mode != "dense":
         out["mode"] = mode
     # Resolved per-token read path (mirrors MultiHeadAttention's auto
-    # rule: kernel on TPU unless forced off; ring always XLA).
+    # rule: on TPU, kernel for paged pools and caches >= 1024 slots;
+    # ring always XLA).
     out["flash_decode"] = bool(
         (flash_decode if flash_decode is not None
-         else jax.default_backend() == "tpu") and not ring)
+         else jax.default_backend() == "tpu"
+         and (mode == "paged" or t_tokens >= 1024)) and not ring)
     return out
 
 

@@ -62,11 +62,14 @@ CONFS = {
     # Matches benchmarks/decode_bench.py CONFS['big'] (16 blocks of the
     # double-attention ku Transformer × d2048 GQA 16/4, bf16 serving).
     # The induction task is easy, so the 0.87B target needs only a few
-    # epochs; training runs f32 (adam moments ~10.5 GB peak — fits the
-    # 16 GB v5e), serving casts to bf16.
+    # epochs; training runs f32 with ADAFACTOR (adam's two f32 moments =
+    # 7 GB, which pushed params 3.5 + grads 3.5 + activations past the
+    # 16 GB v5e — measured RESOURCE_EXHAUSTED on 2026-08-20; factored
+    # second moments cost ~MBs) and batch 32; serving casts to bf16.
     "big": dict(
         target=dict(blocks=16, d_model=2048, heads=16, kv=4,
-                    epochs=3, lr=1e-3),
+                    epochs=3, lr=1e-3, optimizer="adafactor",
+                    train_batch=32),
         draft=dict(blocks=2, d_model=512, heads=8, kv=2,
                    epochs=15, lr=3e-3),
         serve_dtype="bfloat16",
@@ -130,10 +133,21 @@ def train(mc, seed):
         return (ce * mask).sum(1) / mask.sum()
 
     model = LM()
-    tr = Trainer(model, masked_xent, optimizer=optax.adam(mc["lr"]),
-                 seed=seed)
-    tr.fit(x_train, y_train, batch_size=64, epochs=mc["epochs"], verbose=0)
+    if mc.get("optimizer") == "adafactor":
+        opt = optax.adafactor(mc["lr"])
+    else:
+        opt = optax.adam(mc["lr"])
+    tr = Trainer(model, masked_xent, optimizer=opt, seed=seed)
+    tr.fit(x_train, y_train, batch_size=mc.get("train_batch", 64),
+           epochs=mc["epochs"], verbose=0)
     p = tr.state["params"]
+    # Post-warmup next-token accuracy on a held-out slice — acceptance is
+    # meaningless if either model failed to learn the task, so make a
+    # weak fit visible in the bench log.
+    logits = jax.jit(model.apply)({"params": p}, x_train[:256])
+    pred = np.asarray(jnp.argmax(logits[:, PERIOD - 1:], -1))
+    acc = float((pred == y_train[:256, PERIOD - 1:]).mean())
+    print(f"train acc (post-warmup positions): {acc:.4f}", file=sys.stderr)
     # Repack: core blocks under a 'core'-shaped dict for the Core module.
     core_params = {f"block_{i}": p[f"core_block_{i}"]
                    for i in range(mc["blocks"])}

@@ -158,9 +158,15 @@ class MultiHeadAttention(nn.Module):
     # copy in HBM every step), paged pools gather through the block
     # table in the DMA engine's addressing, and each row reads only its
     # live prefix (the XLA einsum always reads all max_decode_len
-    # slots). None = auto (kernel on the TPU backend, XLA elsewhere);
-    # True forces the kernel (interpret mode off-TPU — tests); False
-    # forces the XLA paths. Ring caches (window) always use XLA.
+    # slots). None = auto: on the TPU backend, the kernel for paged
+    # pools and for dense/int8 caches allocated >= 1024 slots, XLA
+    # otherwise — the v5e A/Bs (BASELINE.md round 4): at small caches
+    # the per-dispatch kernel fixed cost loses to the fused masked
+    # einsum (toy d512 T=512: 28.5k vs 31.9k tok/s) while at real sizes
+    # the kernel wins (0.87B conf T=2048: 1,434 vs 1,284; ragged T=8192:
+    # 13.5k vs 9.7k; paged T=512: 61.8k vs 44.9k). True forces the
+    # kernel (interpret mode off-TPU — tests); False forces the XLA
+    # paths. Ring caches (window) always use XLA.
     flash_decode: Optional[bool] = None
 
     def _cap(self, s):
@@ -680,9 +686,18 @@ class MultiHeadAttention(nn.Module):
                         vsc.value = upd3(vsc.value, v_s, slot)
                 ci.value = idx + 1
 
-                use_kernel = (self.flash_decode
-                              if self.flash_decode is not None
-                              else jax.default_backend() == "tpu")
+                # Auto rule (measured on the v5e — see the flash_decode
+                # attribute comment): the kernel pays a per-dispatch
+                # fixed cost that only amortizes over enough cache
+                # traffic, so small dense/int8 caches keep the fused
+                # XLA masked read; paged pools always use the kernel
+                # (the DMA-engine table gather beats the blocked
+                # page-scan at every measured size).
+                if self.flash_decode is not None:
+                    use_kernel = self.flash_decode
+                else:
+                    use_kernel = (jax.default_backend() == "tpu"
+                                  and (paged or mx >= 1024))
                 if use_kernel and not ring:
                     # Flash-decoding Pallas kernel: one VMEM-streamed
                     # online-softmax pass over the live cache prefix;
