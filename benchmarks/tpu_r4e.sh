@@ -26,6 +26,10 @@ for mode in dense dense_xla int8 int8_xla paged paged_xla; do
   timeout 2400 python benchmarks/decode_bench.py 8192 "$mode" toy \
     || echo "ROW FAILED: toy 8192 $mode"
 done
+echo "== tests_tpu paged-kernel fixes (aligned pages + XLA fallback) =="
+timeout 3600 python -m pytest tests_tpu/test_tpu_regression.py -q \
+  -k "flash_decode_kernel_compiled or paged_serving" \
+  || echo "ROW FAILED: tests_tpu paged fixes"
 echo "== spec decode BIG (adafactor target) =="
 timeout 7200 python benchmarks/spec_decode_bench.py 256 8 big \
   || echo "ROW FAILED: spec big"

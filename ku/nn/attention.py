@@ -692,11 +692,24 @@ class MultiHeadAttention(nn.Module):
                 # traffic, so small dense/int8 caches keep the fused
                 # XLA masked read; paged pools always use the kernel
                 # (the DMA-engine table gather beats the blocked
-                # page-scan at every measured size).
+                # page-scan at every measured size). The COMPILED paged
+                # kernel additionally needs 128-aligned pages (VMEM
+                # lane tiling) — smaller pages fall back to the XLA
+                # page-scan, with a warning when the kernel was forced.
+                on_tpu = jax.default_backend() == "tpu"
+                pg_ok = not paged or pg % 128 == 0 or not on_tpu
                 if self.flash_decode is not None:
-                    use_kernel = self.flash_decode
+                    use_kernel = self.flash_decode and pg_ok
+                    if self.flash_decode and not pg_ok:
+                        import warnings
+
+                        warnings.warn(
+                            f"flash_decode=True with kv_page_size={pg}: "
+                            f"the compiled paged kernel requires "
+                            f"kv_page_size % 128 == 0; using the XLA "
+                            f"page-scan read instead")
                 else:
-                    use_kernel = (jax.default_backend() == "tpu"
+                    use_kernel = (on_tpu and pg_ok
                                   and (paged or mx >= 1024))
                 if use_kernel and not ring:
                     # Flash-decoding Pallas kernel: one VMEM-streamed

@@ -340,6 +340,17 @@ def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
     if softmax_scale is None:
         softmax_scale = 1.0 / math.sqrt(q.shape[-1])
     pg = k_pool.shape[3]
+    if not interpret and pg % 128 != 0:
+        # Each page DMAs into lane offset p·pg of the VMEM slab, and
+        # Mosaic requires memref slices along the lane dim to be
+        # 128-aligned (measured fault: "Slice shape along dimension 3
+        # must be aligned to tiling (128)"). Production serving pages
+        # (256) satisfy this; tiny test pages cannot run compiled.
+        raise ValueError(
+            f"compiled paged flash-decoding kernel requires "
+            f"kv_page_size % 128 == 0 (VMEM lane tiling), got {pg}; "
+            f"use the XLA page-scan (flash_decode=False) for smaller "
+            f"pages")
     mp = page_table.shape[1]
     if pages_per_block is None:
         per_page = k_pool.shape[2] * pg * k_pool.dtype.itemsize

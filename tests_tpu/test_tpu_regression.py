@@ -792,10 +792,16 @@ def test_flash_decode_kernel_compiled(rng):
     hot paths that CPU interpret mode cannot validate."""
     import ku
 
-    b, t, dm = 2, 24, 32
-    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    b, dm = 2, 32
+    # The compiled paged kernel needs 128-aligned pages (VMEM lane
+    # tiling — smaller pages fall back to the XLA page-scan), so its
+    # confs decode 160 steps across a 2-page table (the boundary at
+    # step 128 exercises the multi-page DMA walk + tail masking).
+    xs = {t: jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+          for t in (24, 160)}
 
-    def run(**kw):
+    def run(t, **kw):
+        x = xs[t]
         layer = ku.MultiHeadAttention(4, dm, 0.0, causal=True,
                                       max_decode_len=t, num_kv_head=2,
                                       **kw)
@@ -809,12 +815,12 @@ def test_flash_decode_kernel_compiled(rng):
             steps.append(np.asarray(y))
         return np.concatenate(steps, axis=1)
 
-    for conf in (dict(),
-                 dict(kv_cache_dtype="int8"),
-                 dict(kv_page_size=8),
-                 dict(kv_page_size=8, kv_cache_dtype="int8"),
-                 dict(logit_softcap=30.0)):
+    for t, conf in ((24, dict()),
+                    (24, dict(kv_cache_dtype="int8")),
+                    (160, dict(kv_page_size=128)),
+                    (160, dict(kv_page_size=128, kv_cache_dtype="int8")),
+                    (24, dict(logit_softcap=30.0))):
         np.testing.assert_allclose(
-            run(flash_decode=True, **conf),
-            run(flash_decode=False, **conf),
+            run(t, flash_decode=True, **conf),
+            run(t, flash_decode=False, **conf),
             rtol=6e-2, atol=6e-3, err_msg=str(conf))
