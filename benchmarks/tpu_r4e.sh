@@ -39,4 +39,7 @@ timeout 2400 python benchmarks/profile_decode.py int8 big 2048 32 \
 echo "== profile decode dense big T=2048 =="
 timeout 2400 python benchmarks/profile_decode.py dense big 2048 32 \
   || echo "ROW FAILED: profile dense big"
+echo "== batcher chunk sweep BIG (retry — r4d flap casualty) =="
+timeout 5400 python benchmarks/batcher_bench.py big 256 8 32 128 \
+  || echo "ROW FAILED: batcher big"
 echo "== DONE r4e =="

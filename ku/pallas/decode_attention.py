@@ -14,13 +14,14 @@ whose grid streams the cache through VMEM exactly once:
   Mosaic's pipeliner skips the DMA — a short sequence in a long cache
   reads only its live prefix, where the XLA einsum always reads all S.
 - **int8** cache: the K/V slabs stream as int8 (HALF the HBM traffic of
-  bf16, a quarter of f32) and dequantize in VMEM — the XLA path cannot
-  avoid materializing a converted copy of the cache (measured 0.11×
-  roofline vs dense's 0.80× at toy T=8192 on the v5e even after
-  scale-folding), which the kernel avoids by construction. Per-token
-  scales multiply the tiny score/prob slabs:
+  bf16, a quarter of f32) and dequantize in VMEM. Per-token scales
+  multiply the tiny score/prob slabs:
   ``q·(k_int8·s_k) == (q·k_int8)·s_k`` exactly (f32 score
-  accumulation), matching the scale-folded XLA path.
+  accumulation), matching the scale-folded XLA path — which, after the
+  same scale-folding fix, also streams int8 straight into its matmul
+  and measures at parity with this kernel (toy T=8192 on the v5e:
+  20.1k tok/s XLA vs 18.3k kernel; the kernel's remaining edge is the
+  live-prefix clamp on ragged batches).
 - **paged** pool ``(NP, Hkv, D, pg)``: grid ``(B, Hkv)`` with MANUAL
   double-buffered DMA — a ``fori_loop`` walks each row's block table
   (scalar-prefetched) in chunks of several pages, issuing one sliced
