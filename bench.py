@@ -352,8 +352,12 @@ def main():
         # fraction of the v5e's ~819 GB/s HBM roofline are recorded
         # (the toy confs above are launch-bound and can't see
         # bandwidth regressions).
+        # w8 = weight-only int8 (ku/nn/quant.py): halves the params
+        # term, the dominant HBM read at T=2048.
         for mode, prefix in (("dense", "decode_big"),
-                             ("int8", "decode_big_int8")):
+                             ("int8", "decode_big_int8"),
+                             ("w8", "decode_big_w8"),
+                             ("w8kv8", "decode_big_w8kv8")):
             try:
                 r = decode_throughput(mode, t=2048, conf="big")
                 record[f"{prefix}_tokens_per_sec"] = \

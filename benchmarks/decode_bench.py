@@ -91,7 +91,7 @@ HBM_PEAK_GBPS = 819.0  # TPU v5e
 
 def build(max_len, conf, window=None, global_prefix=0,
           kv_cache_dtype=None, use_flash=False, kv_page_size=None,
-          flash_decode=None):
+          flash_decode=None, quant_weights=False):
     import flax.linen as nn
 
     class LM(nn.Module):
@@ -107,6 +107,7 @@ def build(max_len, conf, window=None, global_prefix=0,
                                 use_flash=use_flash,
                                 kv_page_size=kv_page_size,
                                 flash_decode=flash_decode,
+                                quant_weights=quant_weights,
                                 name=f"block{i}")([x], decode=decode,
                                                   prompt_lengths=prompt_lengths)
             return x
@@ -161,13 +162,18 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     # empty-cache-full-scan semantics (bench.py gate stability).
     steady = (t_tokens > 2048 and not ring
               and not mode.startswith("prefill") and mode != "ragged")
+    # "w8" = weight-only int8 (ku/nn/quant.py): int8 projections/FFN
+    # kernels + f32 column scales — halves the params term of the
+    # per-step HBM read. "w8kv8" composes it with the int8 KV cache.
+    wq = mode in ("w8", "w8kv8")
     model = build(t_tokens, c, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
-                  kv_cache_dtype="int8" if mode == "int8" else None,
+                  kv_cache_dtype=("int8" if mode in ("int8", "w8kv8")
+                                  else None),
                   use_flash=(mode == "prefill_flash"
                              or ((mode == "ragged" or steady) and on_tpu)),
                   kv_page_size=256 if mode == "paged" else None,
-                  flash_decode=flash_decode)
+                  flash_decode=flash_decode, quant_weights=wq)
     x0 = jnp.asarray(rng.normal(size=(batch, 1, d_model)), dtype)
     # MEMORY HYGIENE (the big conf at T=8192 OOMed the 16 GB v5e): init
     # WITHOUT decode so no f32 cache is ever allocated (init params are
@@ -181,6 +187,22 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     params = jax.tree.map(
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
         variables["params"])
+    if wq:
+        # params above is the quant TEMPLATE (int8 zeros + unit scales);
+        # quantize a float model's random weights into it so the timed
+        # matmuls see realistic operands. The cast above left int8
+        # leaves and f32 scales alone; copied-through leaves (biases,
+        # LayerNorm) arrive in the serve dtype from the float cast.
+        from ku.nn import quantize_weights
+
+        fmodel = build(t_tokens, c, flash_decode=flash_decode)
+        fvars = fmodel.init(jax.random.key(0), x0, decode=False)
+        fparams = jax.tree.map(
+            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+            fvars["params"])
+        del fvars
+        params = quantize_weights(fparams, params)
+        del fparams
     del variables
     # Allocate the cache in the compute dtype, then zero ONLY the data
     # leaves the throwaway token wrote: a blanket zeros_like would also

@@ -17,7 +17,10 @@ Reported per T: mean/p99/max |Δ logprob| of the true next token
 models' top-1 accuracy on the task (proof the model is functional at
 that context length — deltas on a broken model would be noise).
 
-Usage: python benchmarks/int8_kv_quality.py [T ...]   (default 512 2048)
+Usage: python benchmarks/int8_kv_quality.py [T ...] [kv8|w8|w8kv8 ...]
+(defaults: T 512 2048, variant kv8 = the int8 KV cache; "w8" measures
+weight-only int8 quantization — ku/nn/quant.py — against the float
+model, "w8kv8" both quantizations composed).
 CPU-safe (forced-CPU runs shrink nothing: the pass is one forward).
 """
 
@@ -32,6 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
+
+if os.environ.get("KU_BENCH_CPU"):
+    # Validation runs (e.g. while the TPU is busy with a sweep): the
+    # env var JAX_PLATFORMS alone is ignored when the axon plugin is on
+    # PYTHONPATH — the config update is required (decode_bench.py idem).
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,7 +61,7 @@ def make_dataset(n, seq_len, seed=0):
     return np.tile(pat, (1, reps))[:, :seq_len]
 
 
-def build_core(max_len, kv_cache_dtype=None):
+def build_core(max_len, kv_cache_dtype=None, quant_weights=False):
     import flax.linen as nn
 
     from ku.nn import Transformer
@@ -64,6 +74,7 @@ def build_core(max_len, kv_cache_dtype=None):
                 x = Transformer(HEADS, D_MODEL, 0.0, causal=True,
                                 rope=True, max_decode_len=max_len,
                                 kv_cache_dtype=kv_cache_dtype,
+                                quant_weights=quant_weights,
                                 name=f"block_{i}")(
                     [x], decode=decode, prompt_lengths=prompt_lengths)
             return x
@@ -109,24 +120,41 @@ def train_lm(epochs=15, n_train=8192, batch=128, lr=1e-3, seed=0):
     return params, acc
 
 
-def teacher_forced_logits(params, seqs, kv_cache_dtype):
+def teacher_forced_logits(params, seqs, kv_cache_dtype=None,
+                          quant_weights=False):
     """One ragged-free prefill pass: (B, T) tokens → (B, T, V) logits
-    through the decode cache path (dequantized reads for int8)."""
-    core = build_core(seqs.shape[1], kv_cache_dtype=kv_cache_dtype)
+    through the decode cache path (dequantized reads for int8; int8
+    weight-only projections/FFN for quant_weights)."""
+    core = build_core(seqs.shape[1], kv_cache_dtype=kv_cache_dtype,
+                      quant_weights=quant_weights)
     table = params["tok"]["embedding"]
     x = table[jnp.asarray(seqs, jnp.int32)]
-    y, _ = core.apply({"params": params["core"]}, [x], decode=True,
+    cparams = params["core"]
+    if quant_weights:
+        from ku.nn import quantize_weights
+
+        template = core.init(jax.random.key(0), [x[:, :2]])["params"]
+        cparams = quantize_weights(cparams, template)
+    y, _ = core.apply({"params": cparams}, [x], decode=True,
                       mutable=["cache"])
     return y @ table.T
 
 
-def measure(params, t, n_eval=32, seed=9):
+VARIANTS = {
+    "kv8": dict(kv_cache_dtype="int8"),
+    "w8": dict(quant_weights=True),
+    "w8kv8": dict(kv_cache_dtype="int8", quant_weights=True),
+}
+
+
+def measure(params, t, n_eval=32, seed=9, variant="kv8"):
     seqs = make_dataset(n_eval, t + 1, seed=seed)
     x, y_true = seqs[:, :-1], seqs[:, 1:]
     lg_f = np.asarray(jax.nn.log_softmax(
         teacher_forced_logits(params, x, None), -1), np.float64)
     lg_q = np.asarray(jax.nn.log_softmax(
-        teacher_forced_logits(params, x, "int8"), -1), np.float64)
+        teacher_forced_logits(params, x, **VARIANTS[variant]), -1),
+        np.float64)
     idx = np.arange(t)[None].repeat(n_eval, 0)
     rows = np.arange(n_eval)[:, None]
     lp_f = lg_f[rows, idx, y_true]
@@ -138,7 +166,7 @@ def measure(params, t, n_eval=32, seed=9):
     acc_f = float((lg_f.argmax(-1) == y_true)[mask.repeat(n_eval, 0)].mean())
     acc_q = float((lg_q.argmax(-1) == y_true)[mask.repeat(n_eval, 0)].mean())
     return {
-        "t": t,
+        "t": t, "variant": variant,
         "mean_abs_dlogprob": round(float(d.mean()), 6),
         "p99_abs_dlogprob": round(float(np.percentile(d, 99)), 6),
         "max_abs_dlogprob": round(float(d.max()), 6),
@@ -149,7 +177,10 @@ def measure(params, t, n_eval=32, seed=9):
 
 
 def main():
-    ts = [int(a) for a in sys.argv[1:]] or [512, 2048]
+    # Usage: int8_kv_quality.py [T ...] [kv8|w8|w8kv8 ...]
+    # (defaults: T 512 2048, variant kv8 — the historical record.)
+    ts = [int(a) for a in sys.argv[1:] if a.isdigit()] or [512, 2048]
+    variants = [a for a in sys.argv[1:] if a in VARIANTS] or ["kv8"]
     print(f"devices: {jax.devices()}", file=sys.stderr)
     t0 = time.time()
     params, train_acc = train_lm()
@@ -159,7 +190,8 @@ def main():
            "conf": dict(d_model=D_MODEL, heads=HEADS, blocks=BLOCKS,
                         vocab=VOCAB, period=PERIOD,
                         train_len=TRAIN_LEN, rope=True),
-           "rows": [measure(params, t) for t in ts]}
+           "rows": [measure(params, t, variant=v)
+                    for v in variants for t in ts]}
     print(json.dumps(out))
 
 

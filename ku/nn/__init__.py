@@ -36,3 +36,4 @@ from ku.nn.gnn import GraphConvolutionNetwork
 from ku.nn.decoding import (generate, greedy, make_sampler, beam_search,
                             speculative_generate, fork_cache, mask_after_eos)
 from ku.nn.serving import ContinuousBatcher
+from ku.nn.quant import QuantDense, quantize_weights

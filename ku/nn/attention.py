@@ -168,6 +168,14 @@ class MultiHeadAttention(nn.Module):
     # kernel (interpret mode off-TPU — tests); False forces the XLA
     # paths. Ring caches (window) always use XLA.
     flash_decode: Optional[bool] = None
+    # Weight-only int8 serving quantization: the four projection
+    # kernels become int8 params + per-output-channel f32 scales
+    # ("<name>_scale"), produced from trained float params by
+    # ku.nn.quant.quantize_weights(params, template). Halves the
+    # weight-read HBM traffic of bf16 decode (the params-dominant term
+    # at moderate cache lengths). Similarity-specific weights
+    # (W_gen_S/W_add_S_*) stay float.
+    quant_weights: bool = False
 
     def _cap(self, s):
         """cap·tanh(s/cap) when logit_softcap is set (identity otherwise);
@@ -276,18 +284,40 @@ class MultiHeadAttention(nn.Module):
         d_k_h, d_v_h = d_k // h, d_v // h
 
         init = nn.initializers.truncated_normal(stddev=0.02)
-        w_q = self.param("W_Q", init, (d_k, d_k))
-        w_k = self.param("W_K", init, (d_k, d_k_h * hkv))
-        w_v = self.param("W_V", init, (d_v, d_v_h * hkv))
-        w_o = self.param("W_multi_head", init, (d_v, self.d_output))
+        if self.quant_weights:
+            # Weight-only int8 serving quantization (per-output-channel
+            # symmetric; see ku/nn/quant.py): each projection holds an
+            # int8 kernel + f32 column scales produced from trained
+            # float params by quantize_weights. The int8 operand streams
+            # straight into the matmul (XLA fuses the convert into the
+            # dot's weight read — half the HBM traffic of bf16) and the
+            # scale multiplies the OUTPUT column, which is exact:
+            # x @ (Q·s) == (x @ Q) · s.
+            def wparam(name, shape):
+                wq8 = self.param(name, nn.initializers.zeros_init(),
+                                 shape, jnp.int8)
+                sc = self.param(name + "_scale",
+                                nn.initializers.ones_init(),
+                                (shape[-1],), jnp.float32)
+                return lambda x: (x @ wq8.astype(x.dtype)
+                                  ) * sc.astype(x.dtype)
+        else:
+            def wparam(name, shape):
+                w = self.param(name, init, shape)
+                return lambda x: x @ w
+
+        proj_q = wparam("W_Q", (d_k, d_k))
+        proj_k = wparam("W_K", (d_k, d_k_h * hkv))
+        proj_v = wparam("W_V", (d_v, d_v_h * hkv))
+        proj_o = wparam("W_multi_head", (d_v, self.d_output))
 
         def split_heads(x, dh, nh=h):
             b, n = x.shape[0], x.shape[1]
             return jnp.transpose(jnp.reshape(x, (b, n, nh, dh)), (0, 2, 1, 3))
 
-        q_h = split_heads(q @ w_q, d_k_h)
-        k_h = split_heads(k @ w_k, d_k_h, hkv)
-        v_h = split_heads(v @ w_v, d_v_h, hkv)
+        q_h = split_heads(proj_q(q), d_k_h)
+        k_h = split_heads(proj_k(k), d_k_h, hkv)
+        v_h = split_heads(proj_v(v), d_v_h, hkv)
 
         if self.rope:
             if d_k_h % 2:
@@ -938,4 +968,4 @@ class MultiHeadAttention(nn.Module):
 
         b, n = q.shape[0], q.shape[1]
         head = jnp.reshape(jnp.transpose(head, (0, 2, 1, 3)), (b, n, d_v))
-        return head @ w_o
+        return proj_o(head)

@@ -67,6 +67,11 @@ class Transformer(nn.Module):
     # Per-token decode reads through the flash-decoding Pallas kernel
     # (None = auto on TPU; see MultiHeadAttention.flash_decode).
     flash_decode: bool | None = None
+    # Weight-only int8 serving quantization: attention projections AND
+    # the two FFN kernels hold int8 weights + per-output-channel f32
+    # scales; convert trained float params with
+    # ku.nn.quant.quantize_weights (see MultiHeadAttention.quant_weights).
+    quant_weights: bool = False
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -92,6 +97,7 @@ class Transformer(nn.Module):
                 rope=self.rope, rope_base=self.rope_base,
                 logit_softcap=self.logit_softcap,
                 flash_decode=self.flash_decode,
+                quant_weights=self.quant_weights,
             )([y, y, y, m], deterministic=deterministic, decode=decode,
               segment_ids=segment_ids, block_mask=block_mask,
               prompt_lengths=prompt_lengths)
@@ -104,9 +110,20 @@ class Transformer(nn.Module):
         x2 = attn_block(x)
         x3 = attn_block(x2)
 
-        x4 = nn.Dense(int(self.d_output * 4))(x3)
+        if self.quant_weights:
+            # int8 FFN kernels; explicit names keep the param scopes
+            # identical to the float branch's auto-named nn.Dense, so
+            # quantize_weights aligns a float checkpoint structurally.
+            from ku.nn.quant import QuantDense
+
+            dense1 = QuantDense(int(self.d_output * 4), name="Dense_0")
+            dense2 = QuantDense(self.d_output, name="Dense_1")
+        else:
+            dense1 = nn.Dense(int(self.d_output * 4))
+            dense2 = nn.Dense(self.d_output)
+        x4 = dense1(x3)
         x4 = nn.swish(x4)
-        x4 = nn.Dense(self.d_output)(x4)
+        x4 = dense2(x4)
         x4 = nn.Dropout(self.dropout_rate)(x4, deterministic=deterministic)
         x4 = x3 + x4
         if self.layer_norm_f:
