@@ -1,0 +1,108 @@
+"""Paged flash-decoding kernel microbench: v2 (in-step fori double
+buffer) vs v3 (chunks in the grid, cross-step DMA pipelining) vs the
+dense kernel at the same shapes — no model around it.
+
+Motivation (BASELINE.md round 4): at the 0.87B T=8192 steady row the
+paged read managed 336 tok/s against the dense kernel's 803 — with
+~64 KB pages the per-page DMA issue latency dominates and v2 exposes
+every row's first chunk (often half the chunks at serving page sizes).
+v3 starts each grid step's copies from its predecessor, so only grid
+step 0 is exposed.
+
+Method: N chained kernel calls in ONE dispatch (each call's output
+perturbs the next q — true data dependency), per-call SLOPE between two
+chain lengths (amortizes the tunnel + per-dispatch constants). Reports
+GB/s over the LIVE cache bytes at several fills.
+
+Usage: python benchmarks/paged_kernel_micro.py [S] [D] [dtype] [pg]
+Defaults match the big-conf attention: S=8192 D=128 bf16 pg=256,
+B=8 Hkv=4 G=4.
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+
+if os.environ.get("KU_BENCH_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from ku.pallas.decode_attention import (decode_attention,
+                                        decode_attention_paged)
+
+B, HKV, G = 8, 4, 4
+
+
+def main():
+    s = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    dtype = jnp.dtype(sys.argv[3]) if len(sys.argv) > 3 else jnp.bfloat16
+    pg = int(sys.argv[4]) if len(sys.argv) > 4 else 256
+    mp = -(-s // pg)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, HKV, G, d)), dtype)
+    kd = jnp.asarray(rng.normal(size=(B, HKV, d, s)), dtype)
+    vd = jnp.asarray(rng.normal(size=(B, HKV, d, s)), dtype)
+    # Page pools: the dense cache cut into pages (identity tables), so
+    # every variant reads the same bytes.
+    kp = jnp.transpose(kd.reshape(B, HKV, d, mp, pg),
+                       (0, 3, 1, 2, 4)).reshape(B * mp, HKV, d, pg)
+    vp = jnp.transpose(vd.reshape(B, HKV, d, mp, pg),
+                       (0, 3, 1, 2, 4)).reshape(B * mp, HKV, d, pg)
+    table = jnp.arange(B * mp, dtype=jnp.int32).reshape(B, mp)
+    print(f"devices: {jax.devices()}  pool {2 * kp.nbytes / 1e6:.0f} MB "
+          f"pg={pg} mp={mp}", file=sys.stderr)
+
+    def make_chain(fn):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chain(q0, lengths, salt, n):
+            def step(qc, _):
+                o = fn(qc, lengths)
+                # feed output back into q (true dependency), keep scale
+                return (qc + 1e-6 * o * salt).astype(qc.dtype), ()
+
+            qn, _ = jax.lax.scan(step, q0, None, length=n)
+            return jnp.sum(qn.astype(jnp.float32))
+
+        return chain
+
+    variants = {
+        "dense": lambda qc, ln: decode_attention(qc, kd, vd, ln),
+        "paged_v2": lambda qc, ln: decode_attention_paged(
+            qc, kp, vp, table, ln, pipelined=False),
+        "paged_v3": lambda qc, ln: decode_attention_paged(
+            qc, kp, vp, table, ln, pipelined=True),
+    }
+    n_lo, n_hi = (4, 16) if jax.default_backend() == "tpu" else (1, 2)
+    for fill in (1.0, 0.5):
+        lengths = jnp.full((B,), max(1, int(s * fill)), jnp.int32)
+        live_gb = 2 * kp.nbytes * fill / 1e9
+        for name, fn in variants.items():
+            chain = make_chain(fn)
+            _ = np.asarray(chain(q, lengths, jnp.float32(1), n_lo))
+            _ = np.asarray(chain(q, lengths, jnp.float32(1), n_hi))
+            times = {}
+            for n in (n_lo, n_hi):
+                best = float("inf")
+                for i in range(3):
+                    t0 = time.perf_counter()
+                    _ = np.asarray(chain(q, lengths,
+                                         jnp.float32(1 + 1e-6 * (i + 1)),
+                                         n))
+                    best = min(best, time.perf_counter() - t0)
+                times[n] = best
+            per_call = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+            print(f"fill={fill:.2f} {name:9s} per-call "
+                  f"{per_call * 1e6:8.1f} us  "
+                  f"{live_gb / per_call:7.1f} GB/s live-read")
+
+
+if __name__ == "__main__":
+    main()

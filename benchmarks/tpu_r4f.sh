@@ -15,6 +15,12 @@ for row in "2048 w8 big" "2048 w8kv8 big" "8192 w8 big" "8192 w8kv8 big" \
   timeout 3600 python benchmarks/decode_bench.py $row \
     || echo "ROW FAILED: $row"
 done
+echo "== paged kernel micro: v2 vs v3 vs dense (big-conf shapes) =="
+timeout 3600 python benchmarks/paged_kernel_micro.py 8192 128 bfloat16 256 \
+  || echo "ROW FAILED: paged micro"
+echo "== paged kernel micro at pg=128 (finer pages = worse DMA issue ratio) =="
+timeout 2400 python benchmarks/paged_kernel_micro.py 8192 128 bfloat16 128 \
+  || echo "ROW FAILED: paged micro 128"
 echo "== int8 weight quality (hardware confirm) =="
 timeout 3600 python benchmarks/int8_kv_quality.py 512 2048 w8 w8kv8 \
   || echo "ROW FAILED: w8 quality"

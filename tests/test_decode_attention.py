@@ -98,7 +98,8 @@ def test_dense_kernel_int8(rng):
 
 
 @pytest.mark.parametrize("quant", [False, True])
-def test_paged_kernel_vs_oracle(rng, quant):
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_paged_kernel_vs_oracle(rng, quant, pipelined):
     """Permuted (non-identity) block table: kernel must resolve logical
     pages through the table; tail entries of short rows point at a
     poisoned page that must never be dereferenced (NaN would leak)."""
@@ -132,7 +133,7 @@ def test_paged_kernel_vs_oracle(rng, quant):
         jnp.asarray(table, jnp.int32), jnp.asarray(lengths),
         k_scale=None if ks is None else jnp.asarray(ks),
         v_scale=None if vs is None else jnp.asarray(vs),
-        interpret=True)
+        interpret=True, pipelined=pipelined)
     # Oracle on the gathered dense view (live pages only, then mask).
     gk = pool_k[table].transpose(0, 2, 1, 3, 4).reshape(b, hkv, mp * pg, d)
     gv = pool_v[table].transpose(0, 2, 1, 3, 4).reshape(b, hkv, mp * pg, d)
@@ -151,7 +152,8 @@ def test_paged_kernel_vs_oracle(rng, quant):
     np.testing.assert_allclose(out, want, rtol=2e-5, atol=1e-6)
 
 
-def test_paged_kernel_length_overrun(rng):
+@pytest.mark.parametrize("pipelined", [False, True])
+def test_paged_kernel_length_overrun(rng, pipelined):
     """A caller that keeps writing past the allocated window reports
     length > mp·pg (e.g. MultiHeadAttention init performs a real decode
     write before the caller's max_decode_len steps). The kernel must
@@ -168,7 +170,8 @@ def test_paged_kernel_length_overrun(rng):
     lengths = np.array([mp * pg + 1, mp * pg + 7], np.int32)
     got = decode_attention_paged(
         jnp.asarray(q), _t(pool_k), _t(pool_v),
-        jnp.asarray(table), jnp.asarray(lengths), interpret=True)
+        jnp.asarray(table), jnp.asarray(lengths), interpret=True,
+        pipelined=pipelined)
     gk = pool_k[table].transpose(0, 2, 1, 3, 4).reshape(b, hkv, mp * pg, d)
     gv = pool_v[table].transpose(0, 2, 1, 3, 4).reshape(b, hkv, mp * pg, d)
     want = _oracle(q, gk, gv, np.full((b,), mp * pg, np.int32))
@@ -237,3 +240,42 @@ def test_transformer_forwards_flash_decode(rng):
     np.testing.assert_allclose(np.asarray(run(mods[1])),
                                np.asarray(run(mods[0])),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_kernel_pipelined_ragged_chunks(rng, quant):
+    """v3 cross-step pipelining with RAGGED chunk counts: rows whose
+    live chunks differ (dead grid steps mid-chain must keep the
+    start/wait alternation intact — every step prefetches its
+    successor iff live, slot parity is positional). pages_per_block=2
+    over a 6-page table gives a 3-deep chunk grid with rows at 1 and 3
+    live chunks."""
+    b, hkv, g, d, pg, mp = 3, 2, 2, 8, 4, 6
+    np_pool = b * mp
+    q = rng.normal(size=(b, hkv, g, d)).astype(np.float32)
+    pool_k = rng.normal(size=(np_pool, hkv, pg, d)).astype(np.float32)
+    pool_v = rng.normal(size=(np_pool, hkv, pg, d)).astype(np.float32)
+    table = rng.permutation(np_pool).reshape(b, mp).astype(np.int32)
+    lengths = np.array([3, 24, 9], np.int32)  # 1, 3, 2 live chunks
+    ks = vs = None
+    if quant:
+        pool_k = rng.integers(-127, 128, size=pool_k.shape).astype(np.int8)
+        pool_v = rng.integers(-127, 128, size=pool_v.shape).astype(np.int8)
+        ks = rng.uniform(0.01, 0.05,
+                         size=(np_pool, hkv, pg)).astype(np.float32)
+        vs = rng.uniform(0.01, 0.05,
+                         size=(np_pool, hkv, pg)).astype(np.float32)
+    got = decode_attention_paged(
+        jnp.asarray(q), _t(pool_k), _t(pool_v), jnp.asarray(table),
+        jnp.asarray(lengths),
+        k_scale=None if ks is None else jnp.asarray(ks),
+        v_scale=None if vs is None else jnp.asarray(vs),
+        pages_per_block=2, interpret=True, pipelined=True)
+    want = decode_attention_paged(
+        jnp.asarray(q), _t(pool_k), _t(pool_v), jnp.asarray(table),
+        jnp.asarray(lengths),
+        k_scale=None if ks is None else jnp.asarray(ks),
+        v_scale=None if vs is None else jnp.asarray(vs),
+        pages_per_block=2, interpret=True, pipelined=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
