@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-$HOME/.jax_cache}"
 
 for row in "2048 w8 big" "2048 w8kv8 big" "8192 w8 big" "8192 w8kv8 big" \
-           "512 w8 toy" "8192 w8kv8 toy"; do
+           "512 w8 toy" "8192 w8kv8 toy" "2048 int8_xla big"; do
   echo "== decode $row =="
   timeout 3600 python benchmarks/decode_bench.py $row \
     || echo "ROW FAILED: $row"
