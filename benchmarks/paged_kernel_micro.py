@@ -79,6 +79,18 @@ def main():
             qc, kp, vp, table, ln, pipelined=False),
         "paged_v3": lambda qc, ln: decode_attention_paged(
             qc, kp, vp, table, ln, pipelined=True),
+        # v4: one strided descriptor per chunk when the chunk's pages
+        # are consecutive in the pool (this bench's identity layout is;
+        # fragmented tables fall back to v3-style per-page copies).
+        "paged_v4": lambda qc, ln: decode_attention_paged(
+            qc, kp, vp, table, ln, pipelined="v4"),
+        # Fully-fragmented table (timing row: same bytes, permuted page
+        # order defeats the contiguity fast path everywhere).
+        "paged_v4_frag": lambda qc, ln: decode_attention_paged(
+            qc, kp, vp,
+            jnp.asarray(np.random.default_rng(1).permutation(B * mp),
+                        jnp.int32).reshape(B, mp),
+            ln, pipelined="v4"),
     }
     n_lo, n_hi = (4, 16) if jax.default_backend() == "tpu" else (1, 2)
     for fill in (1.0, 0.5):

@@ -448,13 +448,206 @@ def _paged_kernel_v3(packed_ref, *refs, scale, pg, ppb, softcap, quant):
             o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
+def _paged_kernel_v4(packed_ref, *refs, scale, pg, ppb, softcap, quant):
+    """One (b, h, c) grid step: fused-slab page DMA, pipelined like v3.
+
+    v3 still issues ONE descriptor per page (2·ppb per chunk, 4·ppb
+    quantized). At serving page sizes that is the bottleneck at scale:
+    the big-conf (0.87B) T=8192 step makes 32 attention calls × 64 grid
+    steps × 32 page copies ≈ 65k DMA issues per decoded token — the
+    measured 336 tok/s vs the dense kernel's 803 works out to ~25 ns of
+    issue cost per descriptor, pure overhead against 64 KB transfers.
+    v4 collapses a chunk to ONE strided descriptor per pool when the
+    chunk's live table entries are physically consecutive
+    (``pool[pid0 : pid0+ppb, h]`` — the identity default and fresh
+    free-list allocations are consecutive; recycled fragments fall back
+    to v3's per-page copies, chosen per chunk at run time from the
+    scalar-prefetched table). The VMEM slab is (ppb, D, pg) — pages
+    stacked on a leading dim, matching the strided source — so QK/PV
+    run as ppb small per-page matmuls around one shared online-softmax
+    fold over the (G, ppb·pg) score scratch. Dead in-chunk entries on
+    the fast path read in-bounds-but-stale pages (masked by position);
+    the fast path is disabled when ``pid0 + ppb`` would overrun the
+    pool.
+    """
+    if quant:
+        q_ref, k_ref, v_ref, ksc_ref, vsc_ref, o_ref = refs[:6]
+        (kbuf, vbuf, ksbuf, vsbuf, sems, ssems,
+         m_scr, l_scr, acc_scr, s_scr) = refs[6:]
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs[:4]
+        kbuf, vbuf, sems, m_scr, l_scr, acc_scr, s_scr = refs[4:]
+    b, h, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nb_, nh_, nc_ = (pl.num_programs(0), pl.num_programs(1),
+                     pl.num_programs(2))
+    mp = packed_ref.shape[1] - 1
+    np_total = k_ref.shape[0]
+
+    def nchunks_of(bi):
+        length = packed_ref[bi, 0]
+        npages = jnp.clip((length + pg - 1) // pg, 1, mp)
+        return (npages + ppb - 1) // ppb
+
+    def _plan(bi, hi, ci, slot):
+        """(contig, fast_copies, slow_copies) for chunk ``ci`` of row
+        (bi, hi). ``contig`` is a pure function of the SMEM table, so
+        the prefetching step and the waiting step always agree on which
+        descriptor set was issued."""
+        length = packed_ref[bi, 0]
+        npages = jnp.clip((length + pg - 1) // pg, 1, mp)
+        pid0 = packed_ref[bi, 1 + jnp.minimum(ci * ppb, mp - 1)]
+        contig = pid0 + ppb <= np_total
+        for p in range(1, ppb):
+            j = ci * ppb + p
+            pid = packed_ref[bi, 1 + jnp.minimum(j, mp - 1)]
+            # Dead entries (j >= npages) don't constrain the fast path:
+            # it reads whatever lives at pid0+p (in bounds, masked).
+            contig = contig & ((j >= npages) | (pid == pid0 + p))
+        fast = [
+            pltpu.make_async_copy(k_ref.at[pl.ds(pid0, ppb), hi],
+                                  kbuf.at[slot], sems.at[slot, 0, 0]),
+            pltpu.make_async_copy(v_ref.at[pl.ds(pid0, ppb), hi],
+                                  vbuf.at[slot], sems.at[slot, 1, 0]),
+        ]
+        slow = []
+        for p in range(ppb):
+            j = jnp.minimum(ci * ppb + p, npages - 1)
+            pid = packed_ref[bi, 1 + j]
+            slow.append(pltpu.make_async_copy(
+                k_ref.at[pid, hi], kbuf.at[slot, p], sems.at[slot, 0, p]))
+            slow.append(pltpu.make_async_copy(
+                v_ref.at[pid, hi], vbuf.at[slot, p], sems.at[slot, 1, p]))
+        if quant:
+            fast.append(pltpu.make_async_copy(
+                ksc_ref.at[pl.ds(pid0, ppb), hi], ksbuf.at[slot],
+                ssems.at[slot, 0, 0]))
+            fast.append(pltpu.make_async_copy(
+                vsc_ref.at[pl.ds(pid0, ppb), hi], vsbuf.at[slot],
+                ssems.at[slot, 1, 0]))
+            for p in range(ppb):
+                j = jnp.minimum(ci * ppb + p, npages - 1)
+                pid = packed_ref[bi, 1 + j]
+                slow.append(pltpu.make_async_copy(
+                    ksc_ref.at[pid, hi], ksbuf.at[slot, p],
+                    ssems.at[slot, 0, p]))
+                slow.append(pltpu.make_async_copy(
+                    vsc_ref.at[pid, hi], vsbuf.at[slot, p],
+                    ssems.at[slot, 1, p]))
+        return contig, fast, slow
+
+    def _start(bi, hi, ci, slot, gate):
+        contig, fast, slow = _plan(bi, hi, ci, slot)
+
+        @pl.when(gate & contig)
+        def _():
+            for dma in fast:
+                dma.start()
+
+        @pl.when(gate & jnp.logical_not(contig))
+        def _():
+            for dma in slow:
+                dma.start()
+
+    def _wait(bi, hi, ci, slot):
+        contig, fast, slow = _plan(bi, hi, ci, slot)
+
+        @pl.when(contig)
+        def _():
+            for dma in fast:
+                dma.wait()
+
+        @pl.when(jnp.logical_not(contig))
+        def _():
+            for dma in slow:
+                dma.wait()
+
+    flat = (b * nh_ + h) * nc_ + c
+    slot = jax.lax.rem(flat, 2)
+    nch = nchunks_of(b)
+    live = c < nch
+
+    @pl.when(flat == 0)
+    def _first():  # nobody preceded grid step 0 — start its own copies
+        _start(b, h, c, slot, live)
+
+    # Start the immediate successor's copies iff that step is live (its
+    # own wait happens there; dead steps neither start nor wait their
+    # own, and the positional slot parity keeps the alternation intact).
+    nf = flat + 1
+    sc_ = jax.lax.rem(nf, nc_)
+    sh = jax.lax.rem(nf // nc_, nh_)
+    sb = jnp.minimum(nf // (nc_ * nh_), nb_ - 1)
+    _start(sb, sh, sc_, 1 - slot,
+           (nf // (nc_ * nh_) < nb_) & (sc_ < nchunks_of(sb)))
+
+    @pl.when(live)
+    def _step():
+        _wait(b, h, c, slot)
+
+        @pl.when(c == 0)
+        def _init():
+            m_scr[:] = jnp.full_like(m_scr, _NEG)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        length = packed_ref[b, 0]
+        q = q_ref[0, 0]  # (G, D)
+        # Per-page QK into one (G, ppb·pg) f32 score scratch (the slab
+        # is page-stacked, so the chunk matmul runs as ppb small ones).
+        for p in range(ppb):
+            k = kbuf[slot, p]  # (D, pg) — int8 when quant
+            if quant:
+                k = k.astype(q.dtype)
+            sp = jax.lax.dot_general(q, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if quant:
+                sp = sp * ksbuf[slot, p]  # (1, pg) per-token k scales
+            s_scr[:, p * pg:(p + 1) * pg] = sp
+        s = s_scr[:] * scale
+        if softcap is not None:
+            s = softcap * jnp.tanh(s / softcap)
+        kpos = c * (ppb * pg) + jax.lax.broadcasted_iota(
+            jnp.int32, (1, ppb * pg), 1)
+        s = jnp.where(kpos < length, s, _NEG)
+        m = m_scr[:]
+        m2 = jnp.maximum(m, s.max(axis=1, keepdims=True))
+        p_ = jnp.exp(s - m2)
+        r = jnp.exp(m - m2)
+        m_scr[:] = m2
+        l_scr[:] = l_scr[:] * r + p_.sum(axis=1, keepdims=True)
+        pv = jnp.zeros_like(acc_scr)
+        for p in range(ppb):
+            # Unlike v2/v3 (dead entries clamp to the last LIVE page),
+            # the fast path fills dead slab pages with whatever lives
+            # at pid0+p — possibly non-finite garbage that 0-probability
+            # alone can't kill (0·NaN = NaN), so zero dead columns of
+            # BOTH operands by position.
+            livec = (c * (ppb * pg) + p * pg + jax.lax.broadcasted_iota(
+                jnp.int32, (1, pg), 1)) < length
+            v = vbuf[slot, p]  # (Dv, pg)
+            pp = p_[:, p * pg:(p + 1) * pg]
+            if quant:
+                pp = pp * vsbuf[slot, p]  # fold v scales per page
+                v = v.astype(q.dtype)
+            pp = jnp.where(livec, pp, 0.0)
+            v = jnp.where(livec, v, jnp.zeros_like(v))
+            pv = pv + jax.lax.dot_general(
+                pp.astype(v.dtype), v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (G, Dv) += P·Vᵀ
+        acc_scr[:] = acc_scr[:] * r + pv
+
+        @pl.when(c == nch - 1)
+        def _done():
+            o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
 def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
                            k_scale=None, v_scale=None,
                            softmax_scale: Optional[float] = None,
                            logit_softcap: Optional[float] = None,
                            pages_per_block: Optional[int] = None,
                            interpret: Optional[bool] = None,
-                           pipelined: bool = False):
+                           pipelined=False):
     """Single-token attention over a paged TRANSPOSED decode cache.
 
     q: (B, Hkv, G, D); pools: (NP, Hkv, D, pg) / (NP, Hkv, Dv, pg)
@@ -521,6 +714,49 @@ def decode_attention_paged(q, k_pool, v_pool, page_table, lengths, *,
         # _paged_kernel unpacks (kbuf, vbuf, ksbuf, vsbuf, sems, ssems).
         scratch = [scratch[0], scratch[1], scratch[3], scratch[4],
                    scratch[2], scratch[5]]
+
+    if pipelined == "v4":
+        # v4: v3's cross-step pipelining + fused-slab DMA (one strided
+        # descriptor per pool when the chunk's pages are consecutive in
+        # the pool; per-page copies otherwise — see _paged_kernel_v4).
+        nc = -(-mp // ppb)
+        scratch = [
+            pltpu.VMEM((2, ppb, d, pg), k_pool.dtype),
+            pltpu.VMEM((2, ppb, dv, pg), v_pool.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, ppb)),
+        ]
+        if quant:
+            scratch = scratch[:2] + [
+                pltpu.VMEM((2, ppb, 1, pg), jnp.float32),
+                pltpu.VMEM((2, ppb, 1, pg), jnp.float32),
+                scratch[2],
+                pltpu.SemaphoreType.DMA((2, 2, ppb)),
+            ]
+        scratch += [
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, 1), jnp.float32),
+            pltpu.VMEM((g, dv), jnp.float32),
+            pltpu.VMEM((g, ppb * pg), jnp.float32),
+        ]
+        return pl.pallas_call(
+            functools.partial(_paged_kernel_v4, scale=softmax_scale,
+                              pg=pg, ppb=ppb, softcap=logit_softcap,
+                              quant=quant),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(bsz, hkv, nc),
+                in_specs=[pl.BlockSpec((1, 1, g, d),
+                                       lambda b, h, c, lens: (b, h, 0, 0))]
+                + in_specs[1:],
+                out_specs=pl.BlockSpec((1, 1, g, dv),
+                                       lambda b, h, c, lens: (b, h, 0, 0)),
+                scratch_shapes=scratch),
+            out_shape=jax.ShapeDtypeStruct((bsz, hkv, g, dv), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary",
+                                     "arbitrary")),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(packed, *args)
 
     if pipelined:
         # v3: chunks in the grid, cross-step DMA pipelining (see

@@ -98,7 +98,7 @@ def test_dense_kernel_int8(rng):
 
 
 @pytest.mark.parametrize("quant", [False, True])
-@pytest.mark.parametrize("pipelined", [False, True])
+@pytest.mark.parametrize("pipelined", [False, True, "v4"])
 def test_paged_kernel_vs_oracle(rng, quant, pipelined):
     """Permuted (non-identity) block table: kernel must resolve logical
     pages through the table; tail entries of short rows point at a
@@ -152,7 +152,7 @@ def test_paged_kernel_vs_oracle(rng, quant, pipelined):
     np.testing.assert_allclose(out, want, rtol=2e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("pipelined", [False, True])
+@pytest.mark.parametrize("pipelined", [False, True, "v4"])
 def test_paged_kernel_length_overrun(rng, pipelined):
     """A caller that keeps writing past the allocated window reports
     length > mp·pg (e.g. MultiHeadAttention init performs a real decode
@@ -243,7 +243,8 @@ def test_transformer_forwards_flash_decode(rng):
 
 
 @pytest.mark.parametrize("quant", [False, True])
-def test_paged_kernel_pipelined_ragged_chunks(rng, quant):
+@pytest.mark.parametrize("pipelined", [True, "v4"])
+def test_paged_kernel_pipelined_ragged_chunks(rng, quant, pipelined):
     """v3 cross-step pipelining with RAGGED chunk counts: rows whose
     live chunks differ (dead grid steps mid-chain must keep the
     start/wait alternation intact — every step prefetches its
@@ -270,12 +271,51 @@ def test_paged_kernel_pipelined_ragged_chunks(rng, quant):
         jnp.asarray(lengths),
         k_scale=None if ks is None else jnp.asarray(ks),
         v_scale=None if vs is None else jnp.asarray(vs),
-        pages_per_block=2, interpret=True, pipelined=True)
+        pages_per_block=2, interpret=True, pipelined=pipelined)
     want = decode_attention_paged(
         jnp.asarray(q), _t(pool_k), _t(pool_v), jnp.asarray(table),
         jnp.asarray(lengths),
         k_scale=None if ks is None else jnp.asarray(ks),
         v_scale=None if vs is None else jnp.asarray(vs),
         pages_per_block=2, interpret=True, pipelined=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_kernel_v4_mixed_contiguity(rng, quant):
+    """v4's per-chunk path choice: row 0's table is a consecutive pool
+    run (fused-slab fast path), row 1's is permuted (per-page fallback),
+    row 2's is consecutive but ends at the pool's last page, so its
+    final chunk would overrun the pool and must fall back. All three in
+    ONE kernel launch — the prefetch/wait pair must agree on the path
+    per chunk."""
+    b, hkv, g, d, pg, mp = 3, 2, 2, 8, 4, 4
+    np_pool = b * mp
+    q = rng.normal(size=(b, hkv, g, d)).astype(np.float32)
+    pool_k = rng.normal(size=(np_pool, hkv, pg, d)).astype(np.float32)
+    pool_v = rng.normal(size=(np_pool, hkv, pg, d)).astype(np.float32)
+    table = np.stack([
+        np.arange(0, mp),                      # contiguous run
+        np.array([7, 5, 6, 4]),                # fragmented
+        np.arange(np_pool - mp, np_pool),      # run at the pool's end
+    ]).astype(np.int32)
+    lengths = np.array([mp * pg, 14, mp * pg - 1], np.int32)
+    ks = vs = None
+    if quant:
+        pool_k = rng.integers(-127, 128, size=pool_k.shape).astype(np.int8)
+        pool_v = rng.integers(-127, 128, size=pool_v.shape).astype(np.int8)
+        ks = rng.uniform(0.01, 0.05,
+                         size=(np_pool, hkv, pg)).astype(np.float32)
+        vs = rng.uniform(0.01, 0.05,
+                         size=(np_pool, hkv, pg)).astype(np.float32)
+    kw = dict(k_scale=None if ks is None else jnp.asarray(ks),
+              v_scale=None if vs is None else jnp.asarray(vs),
+              pages_per_block=2, interpret=True)
+    got = decode_attention_paged(
+        jnp.asarray(q), _t(pool_k), _t(pool_v), jnp.asarray(table),
+        jnp.asarray(lengths), pipelined="v4", **kw)
+    want = decode_attention_paged(
+        jnp.asarray(q), _t(pool_k), _t(pool_v), jnp.asarray(table),
+        jnp.asarray(lengths), pipelined=False, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-6)
