@@ -71,7 +71,7 @@ CONFS = {
                     epochs=3, lr=1e-3, optimizer="adafactor",
                     train_batch=32),
         draft=dict(blocks=2, d_model=512, heads=8, kv=2,
-                   epochs=15, lr=3e-3),
+                   epochs=15, lr=1e-3),
         serve_dtype="bfloat16",
     ),
 }
@@ -133,21 +133,33 @@ def train(mc, seed):
         return (ce * mask).sum(1) / mask.sum()
 
     model = LM()
-    if mc.get("optimizer") == "adafactor":
-        opt = optax.adafactor(mc["lr"])
-    else:
-        opt = optax.adam(mc["lr"])
-    tr = Trainer(model, masked_xent, optimizer=opt, seed=seed)
-    tr.fit(x_train, y_train, batch_size=mc.get("train_batch", 64),
-           epochs=mc["epochs"], verbose=0)
-    p = tr.state["params"]
-    # Post-warmup next-token accuracy on a held-out slice — acceptance is
-    # meaningless if either model failed to learn the task, so make a
-    # weak fit visible in the bench log.
-    logits = jax.jit(model.apply)({"params": p}, x_train[:256])
-    pred = np.asarray(jnp.argmax(logits[:, PERIOD - 1:], -1))
-    acc = float((pred == y_train[:256, PERIOD - 1:]).mean())
-    print(f"train acc (post-warmup positions): {acc:.4f}", file=sys.stderr)
+    # Self-healing lr: adam 3e-3 converges at d_model 32-64 but DIVERGES
+    # at d512 (r4e measured train acc 0.0586 ≈ random — the spec rows
+    # with that draft only measured the free bonus token). Train, check
+    # accuracy, and retry at lr/3 until the model actually learned the
+    # task; acceptance is meaningless otherwise.
+    lr, acc, p = mc["lr"], 0.0, None
+    for attempt in range(3):
+        if mc.get("optimizer") == "adafactor":
+            opt = optax.adafactor(lr)
+        else:
+            opt = optax.adam(lr)
+        tr = Trainer(model, masked_xent, optimizer=opt, seed=seed)
+        tr.fit(x_train, y_train, batch_size=mc.get("train_batch", 64),
+               epochs=mc["epochs"], verbose=0)
+        p = tr.state["params"]
+        # Post-warmup next-token accuracy on a held-out slice — make a
+        # weak fit visible in the bench log.
+        logits = jax.jit(model.apply)({"params": p}, x_train[:256])
+        pred = np.asarray(jnp.argmax(logits[:, PERIOD - 1:], -1))
+        acc = float((pred == y_train[:256, PERIOD - 1:]).mean())
+        print(f"train acc (post-warmup positions): {acc:.4f} "
+              f"(lr {lr:g})", file=sys.stderr)
+        if acc >= 0.9:
+            break
+        lr /= 3.0
+        print(f"model failed to learn — retrying at lr {lr:g}",
+              file=sys.stderr)
     # Repack: core blocks under a 'core'-shaped dict for the Core module.
     core_params = {f"block_{i}": p[f"core_block_{i}"]
                    for i in range(mc["blocks"])}
