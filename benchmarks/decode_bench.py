@@ -165,10 +165,14 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     # "w8" = weight-only int8 (ku/nn/quant.py): int8 projections/FFN
     # kernels + f32 column scales — halves the params term of the
     # per-step HBM read. "w8kv8" composes it with the int8 KV cache.
-    wq = mode in ("w8", "w8kv8")
+    # "w8a8" = W8A8 dynamic (int8 activations too — int8 MXU matmuls,
+    # no weight convert on the hot path; lossy, quality-gated).
+    wq = mode in ("w8", "w8kv8") or (
+        "w8a8" if mode in ("w8a8", "w8a8kv8") else False)
     model = build(t_tokens, c, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
-                  kv_cache_dtype=("int8" if mode in ("int8", "w8kv8")
+                  kv_cache_dtype=("int8"
+                                  if mode in ("int8", "w8kv8", "w8a8kv8")
                                   else None),
                   use_flash=(mode == "prefill_flash"
                              or ((mode == "ragged" or steady) and on_tpu)),

@@ -17,7 +17,8 @@ Reported per T: mean/p99/max |Δ logprob| of the true next token
 models' top-1 accuracy on the task (proof the model is functional at
 that context length — deltas on a broken model would be noise).
 
-Usage: python benchmarks/int8_kv_quality.py [T ...] [kv8|w8|w8kv8 ...]
+Usage: python benchmarks/int8_kv_quality.py [T ...]
+    [kv8|w8|w8kv8|w8a8|w8a8kv8 ...]
 (defaults: T 512 2048, variant kv8 = the int8 KV cache; "w8" measures
 weight-only int8 quantization — ku/nn/quant.py — against the float
 model, "w8kv8" both quantizations composed).
@@ -144,6 +145,11 @@ VARIANTS = {
     "kv8": dict(kv_cache_dtype="int8"),
     "w8": dict(quant_weights=True),
     "w8kv8": dict(kv_cache_dtype="int8", quant_weights=True),
+    # W8A8 dynamic: int8 activations too (the only LOSSY matmul path —
+    # this row is the quality gate that decides whether the int8-MXU
+    # speed is worth it).
+    "w8a8": dict(quant_weights="w8a8"),
+    "w8a8kv8": dict(kv_cache_dtype="int8", quant_weights="w8a8"),
 }
 
 

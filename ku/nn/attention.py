@@ -24,7 +24,7 @@ chain; a Pallas flash-attention kernel for long sequences lives in
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Union
 
 import flax.linen as nn
 import jax
@@ -174,8 +174,11 @@ class MultiHeadAttention(nn.Module):
     # ku.nn.quant.quantize_weights(params, template). Halves the
     # weight-read HBM traffic of bf16 decode (the params-dominant term
     # at moderate cache lengths). Similarity-specific weights
-    # (W_gen_S/W_add_S_*) stay float.
-    quant_weights: bool = False
+    # (W_gen_S/W_add_S_*) stay float. "w8a8" additionally quantizes
+    # activations per token at run time (dynamic symmetric int8) so
+    # projections run as int8×int8 MXU matmuls — lossy; gate quality
+    # before serving with it (ku/nn/quant.py::int8_act_matmul).
+    quant_weights: Union[bool, str] = False  # False | True | "w8a8"
 
     def _cap(self, s):
         """cap·tanh(s/cap) when logit_softcap is set (identity otherwise);
@@ -299,6 +302,12 @@ class MultiHeadAttention(nn.Module):
                 sc = self.param(name + "_scale",
                                 nn.initializers.ones_init(),
                                 (shape[-1],), jnp.float32)
+                if self.quant_weights == "w8a8":
+                    # W8A8: per-token dynamic int8 activations feed an
+                    # int8×int8→int32 MXU dot (no weight convert on the
+                    # hot path; lossy — see ku/nn/quant.py).
+                    from ku.nn.quant import int8_act_matmul
+                    return lambda x: int8_act_matmul(x, wq8, sc)
                 return lambda x: (x @ wq8.astype(x.dtype)
                                   ) * sc.astype(x.dtype)
         else:

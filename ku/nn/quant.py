@@ -37,9 +37,38 @@ names matching.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-__all__ = ["QuantDense", "quantize_weights"]
+__all__ = ["QuantDense", "quantize_weights", "int8_act_matmul"]
+
+
+def int8_act_matmul(x, wq8, col_scale):
+    """W8A8 dynamic matmul: per-token int8 activations × int8 weights.
+
+    Motivation (v5e, BASELINE.md round 4 session 5): the weight-only
+    path streams int8 weights but converts them to bf16 tile-by-tile
+    inside the dot fusion — measured ~20% bandwidth-efficiency loss vs
+    the pure-bf16 stream (399 vs 506 GB/s achieved on the 0.87B decode
+    step). Quantizing the ACTIVATIONS per token (symmetric, dynamic —
+    no calibration) turns each projection into an int8×int8→int32 MXU
+    matmul: no weight convert on the hot path and twice the MXU
+    throughput; the f32 rescale is a per-row × per-column outer factor
+    on the (tiny) output tile: ``y ≈ (xq @ wq) · (a_s · s_col)``.
+
+    Lossy (unlike weight-only): the activation rounding adds ≤ 1/254
+    relative error per element in row-max units — gate quality with
+    ``benchmarks/int8_kv_quality.py`` variants before serving with it.
+    """
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                   keepdims=True)
+    a_s = jnp.maximum(amax, 1e-20) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s),
+                  -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(xq, wq8, (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * a_s
+            * col_scale.astype(jnp.float32)).astype(x.dtype)
 
 
 class QuantDense(nn.Module):
@@ -49,10 +78,13 @@ class QuantDense(nn.Module):
     (f32, (features,)), ``bias`` (f32, (features,)) — the ``kernel`` /
     ``bias`` names match ``nn.Dense`` so ``quantize_weights`` aligns a
     float checkpoint with this module's template structurally.
+    ``act_quant`` switches the forward from weight-only (exact given
+    the quantized weights) to the W8A8 dynamic path (lossy, int8 MXU).
     """
 
     features: int
     use_bias: bool = True
+    act_quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -60,7 +92,10 @@ class QuantDense(nn.Module):
                         (x.shape[-1], self.features), jnp.int8)
         sc = self.param("kernel_scale", nn.initializers.ones_init(),
                         (self.features,), jnp.float32)
-        y = (x @ wq.astype(x.dtype)) * sc.astype(x.dtype)
+        if self.act_quant:
+            y = int8_act_matmul(x, wq, sc)
+        else:
+            y = (x @ wq.astype(x.dtype)) * sc.astype(x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros_init(),
                            (self.features,), jnp.float32)

@@ -16,6 +16,8 @@ Reference: ku/composite_layer/transformer.py —
 
 from __future__ import annotations
 
+import typing
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -71,7 +73,8 @@ class Transformer(nn.Module):
     # the two FFN kernels hold int8 weights + per-output-channel f32
     # scales; convert trained float params with
     # ku.nn.quant.quantize_weights (see MultiHeadAttention.quant_weights).
-    quant_weights: bool = False
+    # "w8a8" adds dynamic per-token int8 activations (int8 MXU matmuls).
+    quant_weights: typing.Union[bool, str] = False  # False|True|"w8a8"
 
     @nn.compact
     def __call__(self, inputs, deterministic: bool = True,
@@ -116,8 +119,11 @@ class Transformer(nn.Module):
             # quantize_weights aligns a float checkpoint structurally.
             from ku.nn.quant import QuantDense
 
-            dense1 = QuantDense(int(self.d_output * 4), name="Dense_0")
-            dense2 = QuantDense(self.d_output, name="Dense_1")
+            aq = self.quant_weights == "w8a8"
+            dense1 = QuantDense(int(self.d_output * 4), name="Dense_0",
+                                act_quant=aq)
+            dense2 = QuantDense(self.d_output, name="Dense_1",
+                                act_quant=aq)
         else:
             dense1 = nn.Dense(int(self.d_output * 4))
             dense2 = nn.Dense(self.d_output)

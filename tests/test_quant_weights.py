@@ -187,3 +187,80 @@ def test_quantize_weights_validates(rng):
     with pytest.raises(ValueError, match="shape"):
         quantize_weights({"kernel": jnp.zeros((4, 8)),
                           "bias": jnp.zeros((8,))}, template)
+
+def test_int8_act_matmul_matches_numpy_oracle(rng):
+    """The W8A8 dynamic path computes exactly the quantize-matmul-rescale
+    it documents (implementation exactness; the APPROXIMATION error vs
+    float is bounded separately below)."""
+    from ku.nn.quant import int8_act_matmul
+
+    x = rng.normal(size=(3, 5, 16)).astype(np.float32)
+    wq = rng.integers(-127, 128, size=(16, 24)).astype(np.int8)
+    sc = rng.uniform(0.01, 0.05, size=(24,)).astype(np.float32)
+    got = np.asarray(int8_act_matmul(jnp.asarray(x), jnp.asarray(wq),
+                                     jnp.asarray(sc)))
+    a_s = np.maximum(np.abs(x).max(-1, keepdims=True), 1e-20) / 127.0
+    xq = np.clip(np.round(x / a_s), -127, 127).astype(np.int8)
+    want = (xq.astype(np.int32) @ wq.astype(np.int32)
+            ).astype(np.float32) * a_s * sc
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_quant_dense_w8a8_error_bound(rng):
+    """W8A8 is lossy but bounded: per-element activation rounding error
+    is <= amax/254, so the output of a random-normal layer stays within
+    a few percent of the weight-only (exact) path."""
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32))
+    template = QuantDense(32, use_bias=False).init(
+        jax.random.key(0), x)["params"]
+    qp = quantize_weights({"kernel": w}, template)
+    y_w8 = QuantDense(32, use_bias=False).apply({"params": qp}, x)
+    y_a8 = QuantDense(32, use_bias=False, act_quant=True).apply(
+        {"params": qp}, x)
+    err = np.linalg.norm(np.asarray(y_a8 - y_w8))
+    ref = np.linalg.norm(np.asarray(y_w8))
+    assert np.isfinite(np.asarray(y_a8)).all()
+    assert err / ref < 0.02, err / ref
+
+
+def test_transformer_w8a8_forward_and_decode(rng):
+    """quant_weights="w8a8" threads through attention projections AND
+    the FFN; forward and per-token decode stay finite and within a few
+    percent of the weight-only path."""
+    b, t, dm = 2, 8, 32
+    x = jnp.asarray(rng.normal(size=(b, t, dm)).astype(np.float32))
+    mods = {
+        q: Transformer(4, dm, 0.0, causal=True, max_decode_len=t,
+                       quant_weights=q)
+        for q in (True, "w8a8")
+    }
+    float_mod = Transformer(4, dm, 0.0, causal=True, max_decode_len=t)
+    fp = float_mod.init(jax.random.key(0), [x])["params"]
+    template = mods[True].init(jax.random.key(0), [x])["params"]
+    qp = quantize_weights(fp, template)
+
+    outs = {}
+    for q, mod in mods.items():
+        y = mod.apply({"params": qp}, [x])
+        assert np.isfinite(np.asarray(y)).all(), q
+        outs[q] = np.asarray(y)
+    rel = (np.linalg.norm(outs["w8a8"] - outs[True])
+           / np.linalg.norm(outs[True]))
+    assert rel < 0.05, rel
+
+    # Per-token decode through the cache path.
+    cache = mods["w8a8"].init(jax.random.key(0), [x[:, :1]],
+                              decode=True)["cache"]
+    ys = []
+    for i in range(t):
+        y, mut = mods["w8a8"].apply(
+            {"params": qp, "cache": cache}, [x[:, i:i + 1]],
+            decode=True, mutable=["cache"])
+        cache = mut["cache"]
+        ys.append(np.asarray(y))
+    dec = np.concatenate(ys, axis=1)
+    assert np.isfinite(dec).all()
+    rel = (np.linalg.norm(dec - outs["w8a8"])
+           / np.linalg.norm(outs["w8a8"]))
+    assert rel < 0.05, rel
