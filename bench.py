@@ -1,26 +1,40 @@
-"""Benchmark: MNIST-scale RBM CD-1 epoch throughput on TPU.
+"""Benchmark gate: ku's headline numbers, emitted INCREMENTALLY.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the cumulative record as one JSON line after EVERY gate family,
+so a timeout / tunnel flap / kill at ANY point still leaves the latest
+complete record as the last JSON line on stdout (and in
+``BENCH_partial.json``). The driver's parse of the final line therefore
+can never come back null once the first family (RBM) lands —
+round 4's BENCH_r04.json was ``rc: 124, parsed: null`` because the old
+bench printed nothing until the very end (VERDICT r4 item 1).
 
-Target (BASELINE.json north star): the reference's CD-1 hot loop
-(ku/ebm/rbm.py:163-234 — 5 host→device K.function dispatches per batch)
-rebuilt as a single fused Pallas epoch kernel, ≥20× the reference CPU
-epoch throughput. ``vs_baseline`` = TPU samples/sec ÷ reference CPU
-samples/sec, where the baseline is, in preference order:
+Structure:
+  1. RBM CD-1 gate (the original metric; alone already a valid record).
+  2. StyleGAN / flash / sparse gates (in-process, fast, proven).
+  3. Toy decode family (dense/int8/ring/paged, T=512) — each row a
+     SUBPROCESS with a hard timeout (a hung tunnel dispatch cannot be
+     interrupted in-process).
+  4. Big-conf (0.87B bf16) rows LAST, riskiest (w8kv8 once hung a
+     session 25+ min) at the very end, each subprocess-bounded.
 
-1. THE REFERENCE ITSELF: benchmarks/reference_tf2_baseline.py runs the
-   reference's own rbm.py on this image's TF 2.21 CPU (graph mode, its
-   intended 5-dispatch-per-batch loop; three fatal reference bugs patched
-   in memory — see that file's docstring). Run in a subprocess so TF's
-   global graph-mode switch never touches this process.
-2. Fallback (no TF / subprocess failure): a faithful numpy
-   re-implementation of the same per-batch CD-1 loop.
+Budgets: ``KU_BENCH_BUDGET_S`` (default 2400 s) is the global
+wall-clock budget; families that would not fit record
+``"<key>_skipped": "budget"`` instead of running.
+
+The TF2-CPU reference baseline (a 7-min subprocess) is CACHED in
+``benchmarks/results/tf2_baseline_cache.json``; set
+``KU_BENCH_REFRESH_BASELINE=1`` to re-measure.
+
+Reference hot loop being beaten: ku/ebm/rbm.py:163-234 of
+tonandr/keras_unsupervised (5 host->device dispatches per batch),
+rebuilt as a single fused Pallas multi-epoch kernel.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -32,6 +46,35 @@ N, V_DIM, H_DIM = 60032, 784, 128  # MNIST-scale (60000 rounded to batch)
 BATCH = 128
 EPOCHS_TIMED = 50  # one fused dispatch; amortizes fixed dispatch latency
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_BASELINE_CACHE = os.path.join(_REPO, "benchmarks", "results",
+                               "tf2_baseline_cache.json")
+_PARTIAL_PATH = os.path.join(_REPO, "BENCH_partial.json")
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("KU_BENCH_BUDGET_S", "2400"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _emit(record: dict) -> None:
+    """Print the cumulative record (the driver parses the LAST JSON
+    line) and mirror it to disk for post-mortems."""
+    line = json.dumps(record)
+    print(line, flush=True)
+    try:
+        with open(_PARTIAL_PATH, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def _log(msg: str) -> None:
+    print(f"bench[{time.monotonic() - _T0:7.1f}s]: {msg}",
+          file=sys.stderr, flush=True)
+
 
 def _data():
     rng = np.random.default_rng(0)
@@ -42,7 +85,7 @@ def _data():
 def numpy_reference_throughput(V, max_batches: int = 20) -> float:
     """The reference's CD-1 math (rbm.py:121-134) in numpy, per batch —
     the same 5-pass structure (weight update, 2 bias updates, free-energy
-    scoring ×2) it dispatches per step."""
+    scoring x2) it dispatches per step."""
     rng = np.random.default_rng(1)
     w = rng.uniform(-0.05, 0.05, (V_DIM, H_DIM)).astype(np.float32)
     bh = rng.uniform(-0.05, 0.05, H_DIM).astype(np.float32)
@@ -76,10 +119,7 @@ def numpy_reference_throughput(V, max_batches: int = 20) -> float:
 def reference_tf2_throughput() -> float | None:
     """Measure the actual reference on TF2 CPU (subprocess; None on any
     failure — missing TF, timeout, etc.)."""
-    import subprocess
-
-    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "benchmarks", "reference_tf2_baseline.py")
+    script = os.path.join(_REPO, "benchmarks", "reference_tf2_baseline.py")
     try:
         out = subprocess.run(
             [sys.executable, script, "12800"],
@@ -89,6 +129,34 @@ def reference_tf2_throughput() -> float | None:
         return float(json.loads(line)["value"])
     except Exception:
         return None
+
+
+def baseline_throughput(V) -> tuple[float, str]:
+    """TF2-CPU reference samples/sec, from the cache unless refreshing
+    (VERDICT r4 item 1: a 7-min subprocess per bench run was a major
+    contributor to the driver-gate timeout). Returns (value, source)."""
+    refresh = bool(os.environ.get("KU_BENCH_REFRESH_BASELINE"))
+    cached = None
+    try:
+        with open(_BASELINE_CACHE) as f:
+            cached = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if cached is not None and not refresh:
+        return float(cached["value"]), str(cached["source"])
+    if _remaining() > 480:
+        v = reference_tf2_throughput()
+        if v is not None:
+            try:
+                with open(_BASELINE_CACHE, "w") as f:
+                    json.dump({"value": v, "source": "reference_tf2_cpu",
+                               "measured_unix": int(time.time())}, f)
+            except OSError:
+                pass
+            return v, "reference_tf2_cpu"
+    if cached is not None:  # stale cache beats the numpy proxy
+        return float(cached["value"]), str(cached["source"])
+    return numpy_reference_throughput(V), "numpy_proxy"
 
 
 def stylegan_throughput(s_steps: int = 32, n_best: int = 4):
@@ -103,8 +171,7 @@ def stylegan_throughput(s_steps: int = 32, n_best: int = 4):
     # Remove by VALUE: the imported bench module inserts the repo
     # root at sys.path[0] during import, so pop(0) would evict
     # that instead and leave benchmarks/ importable forever.
-    _bdir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    _bdir = os.path.join(_REPO, "benchmarks")
     sys.path.insert(0, _bdir)
     try:
         import stylegan_lane_packing as slp
@@ -125,11 +192,7 @@ def flash_throughput():
     Returns (per_call_ms, tflops)."""
     import jax.numpy as jnp
 
-    # Remove by VALUE: the imported bench module inserts the repo
-    # root at sys.path[0] during import, so pop(0) would evict
-    # that instead and leave benchmarks/ importable forever.
-    _bdir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    _bdir = os.path.join(_REPO, "benchmarks")
     sys.path.insert(0, _bdir)
     try:
         import flash_amortized as fam
@@ -157,11 +220,7 @@ def sparse_throughput():
     forward per-call ms (see benchmarks/sparse_bench.py)."""
     import jax.numpy as jnp
 
-    # Remove by VALUE: the imported bench module inserts the repo
-    # root at sys.path[0] during import, so pop(0) would evict
-    # that instead and leave benchmarks/ importable forever.
-    _bdir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+    _bdir = os.path.join(_REPO, "benchmarks")
     sys.path.insert(0, _bdir)
     try:
         import flash_amortized as fam
@@ -184,53 +243,52 @@ def sparse_throughput():
         q, k, v, s_hi=16)
 
 
-def decode_throughput(mode: str = "dense", t: int = 512,
-                      conf: str = "toy"):
-    """Serving gate: KV-cache decode tokens/sec on a
-    benchmarks/decode_bench.py conf (whole loop one lax.scan dispatch,
-    best-of-4). ``mode``: dense / int8 / ring / paged (the serving
-    cache family); ``conf``: 'toy' (2 blocks × d512, the fast
-    launch-bound gate) or 'big' (16 blocks × d2048 GQA 16/4 bf16,
-    ~0.9B params — bandwidth-bound; the record then carries the HBM
-    roofline keys). Returns the full record dict."""
-    # Remove by VALUE: the imported bench module inserts the repo
-    # root at sys.path[0] during import, so pop(0) would evict
-    # that instead and leave benchmarks/ importable forever.
-    _bdir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "benchmarks")
-    sys.path.insert(0, _bdir)
-    try:
-        import decode_bench
-    finally:
-        sys.path.remove(_bdir)
-    return decode_bench.run(t, mode, conf)
+def decode_row(mode: str, t: int, conf: str, timeout_s: float) -> dict:
+    """One decode_bench row in a SUBPROCESS with a hard timeout — a hung
+    tunnel dispatch cannot be interrupted in-process (the w8kv8 big row
+    once hung 25+ min; VERDICT r4 item 1). Returns the row's record."""
+    script = os.path.join(_REPO, "benchmarks", "decode_bench.py")
+    r = subprocess.run(
+        [sys.executable, script, str(t), mode, conf],
+        capture_output=True, text=True, timeout=timeout_s,
+        cwd=_REPO,
+    )
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    raise RuntimeError(
+        f"decode_bench {mode} t={t} {conf}: no JSON (rc={r.returncode}): "
+        f"{(r.stderr or '')[-300:]}")
 
 
-def _await_tpu(attempts: int = 3, wait_s: int = 60) -> bool:
+def _await_tpu(attempts: int = 2, wait_s: int = 30) -> bool:
     """Probe TPU init in a SUBPROCESS (an in-process failed backend init
     is cached by jax) with retries — the axon tunnel flaps; a transient
     outage at bench time shouldn't forfeit the round's record."""
-    import subprocess
-    import time as _t
-
     for i in range(attempts):
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=240)
+                capture_output=True, timeout=180)
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        print(f"bench: TPU probe {i + 1}/{attempts} failed", file=sys.stderr)
+        _log(f"TPU probe {i + 1}/{attempts} failed")
         if i + 1 < attempts:
-            _t.sleep(wait_s)
+            time.sleep(wait_s)
     return False
 
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-    tpu_ok = _await_tpu()
+    # KU_BENCH_CPU=1: validation runs on the CPU path without burning
+    # TPU probes (the env var JAX_PLATFORMS alone is ignored when the
+    # axon plugin is on PYTHONPATH — the config update below is what
+    # forces CPU).
+    tpu_ok = False if os.environ.get("KU_BENCH_CPU") else _await_tpu()
     import jax
 
     if not tpu_ok:
@@ -258,10 +316,7 @@ def main():
     epochs_timed = EPOCHS_TIMED if on_tpu else 2  # keep CPU fallback quick
 
     V = _data()
-    ref_sps = reference_tf2_throughput()
-    cpu_sps = ref_sps if ref_sps is not None else numpy_reference_throughput(V)
-    baseline_source = ("reference_tf2_cpu" if ref_sps is not None
-                       else "numpy_proxy")
+    cpu_sps, baseline_source = baseline_throughput(V)
 
     params = init_rbm_params(jax.random.key(0), V_DIM, H_DIM)
     v_all = jnp.asarray(V)
@@ -269,7 +324,7 @@ def main():
 
     if on_tpu:
         # Production path: the ENTIRE multi-epoch run is one fused Pallas
-        # dispatch (grid = epochs × steps, params VMEM-resident).
+        # dispatch (grid = epochs x steps, params VMEM-resident).
         from ku.pallas.cd_gibbs import cd_train_pallas
 
         def run(p, key):
@@ -314,60 +369,97 @@ def main():
         "baseline_source": baseline_source,
         "baseline_samples_per_sec": round(cpu_sps, 1),
     }
-    if on_tpu:
-        # Flagship gate (VERDICT r2 item 4): the reference-conf StyleGAN
-        # step at exact semantics, so a regression shows in BENCH_r{N}.
+    if not on_tpu:
+        record["backend"] = "cpu_fallback_tpu_unavailable"
+        _emit(record)
+        return
+    record["backend"] = "tpu"
+    _emit(record)  # family 1 landed: already a valid record
+    _log("RBM gate done")
+
+    # Flagship gate (VERDICT r2 item 4): the reference-conf StyleGAN
+    # step at exact semantics, so a regression shows in BENCH_r{N}.
+    if _remaining() > 300:
         try:
             sg_ips, sg_ms = stylegan_throughput()
             record["stylegan_imgs_per_sec"] = round(sg_ips, 1)
             record["stylegan_ms_per_step"] = round(sg_ms, 2)
-        except Exception as e:  # never lose the RBM number to a SG failure
+        except Exception as e:  # never lose prior gates to a SG failure
             record["stylegan_error"] = repr(e)[:200]
-        # Flash kernel gate (round-3): D=128 causal fwd, amortized.
+    else:
+        record["stylegan_skipped"] = "budget"
+    _emit(record)
+    _log("StyleGAN gate done")
+
+    # Flash kernel gate (round-3): D=128 causal fwd, amortized.
+    if _remaining() > 180:
         try:
             fl_ms, fl_tf = flash_throughput()
             record["flash_d128_fwd_ms"] = round(fl_ms, 2)
             record["flash_d128_fwd_tflops"] = round(fl_tf, 1)
         except Exception as e:
             record["flash_error"] = repr(e)[:200]
-        # Block-sparse gate (round-3): 64k sink+window fwd, amortized.
+    else:
+        record["flash_skipped"] = "budget"
+    _emit(record)
+    _log("flash gate done")
+
+    # Block-sparse gate (round-3): 64k sink+window fwd, amortized.
+    if _remaining() > 180:
         try:
             record["sparse_64k_sink_fwd_ms"] = round(sparse_throughput(), 2)
         except Exception as e:
             record["sparse_error"] = repr(e)[:200]
-        # Serving gates (round-3): the KV-cache decode family, each a
-        # one-scan dispatch at T=512 (dense baseline + int8-quantized +
-        # StreamingLLM ring + paged page-scan caches).
-        for mode, key_name in (("dense", "decode_tokens_per_sec"),
-                               ("int8", "decode_int8_tokens_per_sec"),
-                               ("ring", "decode_ring_tokens_per_sec"),
-                               ("paged", "decode_paged_tokens_per_sec")):
-            try:
-                record[key_name] = decode_throughput(
-                    mode)["decode_tokens_per_sec"]
-            except Exception as e:
-                record[f"decode_{mode}_error"] = repr(e)[:200]
-        # Real-sized serving gate (round-4): ~0.9B-param bf16 decode at
-        # T=2048 — bandwidth-bound, so tokens/sec AND the achieved
-        # fraction of the v5e's ~819 GB/s HBM roofline are recorded
-        # (the toy confs above are launch-bound and can't see
-        # bandwidth regressions).
-        # w8 = weight-only int8 (ku/nn/quant.py): halves the params
-        # term, the dominant HBM read at T=2048.
-        for mode, prefix in (("dense", "decode_big"),
-                             ("int8", "decode_big_int8"),
-                             ("w8", "decode_big_w8"),
-                             ("w8kv8", "decode_big_w8kv8")):
-            try:
-                r = decode_throughput(mode, t=2048, conf="big")
-                record[f"{prefix}_tokens_per_sec"] = \
-                    r["decode_tokens_per_sec"]
-                record[f"{prefix}_hbm_frac"] = r["hbm_frac"]
-            except Exception as e:
-                record[f"{prefix}_error"] = repr(e)[:200]
-    if not on_tpu:
-        record["backend"] = "cpu_fallback_tpu_unavailable"
-    print(json.dumps(record))
+    else:
+        record["sparse_skipped"] = "budget"
+    _emit(record)
+    _log("sparse gate done")
+
+    # Serving gates (round-3): the KV-cache decode family, each a
+    # one-scan dispatch at T=512 (dense baseline + int8-quantized +
+    # StreamingLLM ring + paged page-scan caches). Subprocess per row.
+    for mode, key_name in (("dense", "decode_tokens_per_sec"),
+                           ("int8", "decode_int8_tokens_per_sec"),
+                           ("ring", "decode_ring_tokens_per_sec"),
+                           ("paged", "decode_paged_tokens_per_sec")):
+        if _remaining() < 150:
+            record[f"decode_{mode}_skipped"] = "budget"
+            _emit(record)
+            continue
+        try:
+            row = decode_row(mode, 512, "toy",
+                             timeout_s=min(420.0, _remaining() - 20))
+            record[key_name] = row["decode_tokens_per_sec"]
+        except Exception as e:
+            record[f"decode_{mode}_error"] = repr(e)[:200]
+        _emit(record)
+        _log(f"toy decode {mode} done")
+
+    # Real-sized serving gates LAST (round-4): ~0.9B-param bf16 decode
+    # at T=2048 — bandwidth-bound, so tokens/sec AND the achieved
+    # fraction of the v5e's ~819 GB/s HBM roofline are recorded (the toy
+    # confs above are launch-bound and can't see bandwidth regressions).
+    # w8 = weight-only int8, w8a8 = int8 weights AND activations
+    # (int8 MXU matmuls — ku/nn/quant.py); w8kv8 (the row that once hung
+    # a session 25+ min) runs at the very end, subprocess-bounded.
+    for mode, prefix in (("dense", "decode_big"),
+                         ("int8", "decode_big_int8"),
+                         ("w8", "decode_big_w8"),
+                         ("w8a8", "decode_big_w8a8"),
+                         ("w8kv8", "decode_big_w8kv8")):
+        if _remaining() < 200:
+            record[f"{prefix}_skipped"] = "budget"
+            _emit(record)
+            continue
+        try:
+            row = decode_row(mode, 2048, "big",
+                             timeout_s=min(600.0, _remaining() - 20))
+            record[f"{prefix}_tokens_per_sec"] = row["decode_tokens_per_sec"]
+            record[f"{prefix}_hbm_frac"] = row["hbm_frac"]
+        except Exception as e:
+            record[f"{prefix}_error"] = repr(e)[:200]
+        _emit(record)
+        _log(f"big decode {mode} done")
 
 
 if __name__ == "__main__":

@@ -167,8 +167,13 @@ def run(t_tokens: int, mode: str = "dense", conf: str = "toy") -> dict:
     # per-step HBM read. "w8kv8" composes it with the int8 KV cache.
     # "w8a8" = W8A8 dynamic (int8 activations too — int8 MXU matmuls,
     # no weight convert on the hot path; lossy, quality-gated).
-    wq = mode in ("w8", "w8kv8") or (
-        "w8a8" if mode in ("w8a8", "w8a8kv8") else False)
+    known = {"dense", "int8", "ring", "paged", "ragged", "prefill",
+             "prefill_flash", "w8", "w8kv8", "w8a8", "w8a8kv8"}
+    if mode not in known:
+        raise ValueError(f"unknown decode_bench mode {mode!r}; "
+                         f"known: {sorted(known)} (+ optional _xla suffix)")
+    wq = {"w8": True, "w8kv8": True,
+          "w8a8": "w8a8", "w8a8kv8": "w8a8"}.get(mode, False)
     model = build(t_tokens, c, window=512 if ring else None,
                   global_prefix=32 if ring else 0,
                   kv_cache_dtype=("int8"
