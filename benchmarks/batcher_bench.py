@@ -19,6 +19,14 @@ expected to lose: chunk 8 = 8 slots x 8 tokens per dispatch round trip.
 
 Usage: python benchmarks/batcher_bench.py [conf] [budget] [chunks...]
        (defaults: big 256 8 32 128; 'toy' for a CPU-speed smoke)
+
+FLAP RESILIENCE (VERDICT r4 weak-5: this bench died on hardware four
+times, losing everything each time): every row is flushed as it
+completes AND checkpointed to
+``results/batcher_bench_ckpt_<conf>_<budget>.json``; a re-run resumes
+from the completed rows (delete the file or set KU_BENCH_FRESH=1 for a
+cold run). A row that crashes records an error row and the bench moves
+on to the next chunk size.
 """
 
 from __future__ import annotations
@@ -59,6 +67,31 @@ def build_lm(conf, max_len):
             return x
 
     return LM()
+
+
+def _ckpt_path(conf_name, budget):
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results",
+                        f"batcher_bench_ckpt_{conf_name}_{budget}.json")
+
+
+def _ckpt_load(path):
+    if os.environ.get("KU_BENCH_FRESH"):
+        return {}
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _ckpt_save(path, ckpt):
+    try:
+        with open(path + ".tmp", "w") as f:
+            json.dump(ckpt, f)
+        os.replace(path + ".tmp", path)
+    except OSError:
+        pass
 
 
 def main():
@@ -120,74 +153,98 @@ def main():
     if budget < 4:
         raise SystemExit("budget must be >= 4 (the two-budget slope "
                          "needs distinct, non-trivial step counts)")
-    t_gen = make_gen(budget)
-    t_half = make_gen(budget // 2)
-    gen_tps = slots * budget / t_gen
-    # max(0): on fast/noisy hosts (CPU smoke, flapping tunnel) the two
-    # best-of-3 timings are independent and the difference can come out
-    # negative — clamp rather than archive nonsense overhead splits.
-    per_token_ms = max(
-        ((t_gen - t_half) * 1e3) / (budget - budget // 2), 0.0)
-    print(json.dumps({"baseline": "generate", "conf": conf_name,
-                      "slots": slots, "budget": budget,
-                      "tokens_per_sec": round(gen_tps, 1),
-                      "ms_per_token_batch": round(per_token_ms, 3)}))
+    ckpt_file = _ckpt_path(conf_name, budget)
+    ckpt = _ckpt_load(ckpt_file)
+    if "baseline" in ckpt:
+        gen_tps = ckpt["baseline"]["tokens_per_sec"]
+        per_token_ms = ckpt["baseline"]["ms_per_token_batch"]
+        print(json.dumps(dict(ckpt["baseline"], resumed=True)), flush=True)
+    else:
+        t_gen = make_gen(budget)
+        t_half = make_gen(budget // 2)
+        gen_tps = slots * budget / t_gen
+        # max(0): on fast/noisy hosts (CPU smoke, flapping tunnel) the
+        # two best-of-3 timings are independent and the difference can
+        # come out negative — clamp rather than archive nonsense
+        # overhead splits.
+        per_token_ms = max(
+            ((t_gen - t_half) * 1e3) / (budget - budget // 2), 0.0)
+        ckpt["baseline"] = {"baseline": "generate", "conf": conf_name,
+                            "slots": slots, "budget": budget,
+                            "tokens_per_sec": round(gen_tps, 1),
+                            "ms_per_token_batch": round(per_token_ms, 3)}
+        _ckpt_save(ckpt_file, ckpt)
+        print(json.dumps(ckpt["baseline"]), flush=True)
 
     rows = []
+    done = ckpt.setdefault("rows", {})
     for chunk in chunks + [tuple(chunks)]:  # fixed sizes + adaptive
-        cb = ContinuousBatcher(model, params, embed=embed,
-                               readout=readout, num_slots=slots,
-                               prompt_len=prompt_len,
-                               max_decode_len=max_len, chunk=chunk,
-                               rng=jax.random.key(7))
-        # Closed-loop: 2x slots requests so every slot recycles once.
-        reqs = [rng.integers(0, VOCAB, size=(prompt_len,))
-                .astype(np.int32) for _ in range(2 * slots)]
+        chunk_key = str(chunk if isinstance(chunk, int) else list(chunk))
+        if chunk_key in done and "error" not in done[chunk_key]:
+            rows.append(done[chunk_key])
+            print(json.dumps(dict(done[chunk_key], resumed=True)),
+                  flush=True)
+            continue
+        try:
+            cb = ContinuousBatcher(model, params, embed=embed,
+                                   readout=readout, num_slots=slots,
+                                   prompt_len=prompt_len,
+                                   max_decode_len=max_len, chunk=chunk,
+                                   rng=jax.random.key(7))
+            # Closed-loop: 2x slots requests so every slot recycles once.
+            reqs = [rng.integers(0, VOCAB, size=(prompt_len,))
+                    .astype(np.int32) for _ in range(2 * slots)]
 
-        def run_once():
-            cb.reset(force=True)
-            for r in reqs:
-                cb.submit(r, budget)
-            walls = []
-            t0_all = time.perf_counter()
-            while not cb.idle:
-                t0 = time.perf_counter()
-                cb.step()
-                walls.append(time.perf_counter() - t0)
-            return walls, time.perf_counter() - t0_all
+            def run_once():
+                cb.reset(force=True)
+                for r in reqs:
+                    cb.submit(r, budget)
+                walls = []
+                t0_all = time.perf_counter()
+                while not cb.idle:
+                    t0 = time.perf_counter()
+                    cb.step()
+                    walls.append(time.perf_counter() - t0)
+                return walls, time.perf_counter() - t0_all
 
-        # Pass 1 warms EVERY compiled shape this config can reach
-        # (adaptive chunking compiles one scan per size, and sizes
-        # first appear mid-run — timing pass 1 would charge compiles
-        # to steady state); pass 2 is the measurement.
-        run_once()
-        step_walls, wall = run_once()
-        steady = cb.last_stats["decoded_tokens"] / wall
-        st = cb.last_stats
-        mean_step_ms = float(np.mean(step_walls)) * 1e3
-        # Mean realized chunk (adaptive varies per round): every scanned
-        # slot-step is either a decoded or a wasted token.
-        mean_chunk = ((st["decoded_tokens"] + st["wasted_slot_steps"])
-                      / (st["chunks"] * slots))
-        device_ms = mean_chunk * per_token_ms  # what the tokens cost raw
-        rows.append({
-            "chunk": chunk if isinstance(chunk, int) else list(chunk),
-            "mean_realized_chunk": round(mean_chunk, 1),
-            "steady_tokens_per_sec": round(steady, 1),
-            "efficiency_vs_generate": round(steady / gen_tps, 3),
-            "mean_step_ms": round(mean_step_ms, 2),
-            "device_equiv_ms": round(device_ms, 2),
-            "sched_overhead_ms_per_step": round(
-                mean_step_ms - device_ms, 2),
-            "chunks": st["chunks"],
-            "wasted_slot_steps": st["wasted_slot_steps"],
-        })
-        print(json.dumps(rows[-1]))
+            # Pass 1 warms EVERY compiled shape this config can reach
+            # (adaptive chunking compiles one scan per size, and sizes
+            # first appear mid-run — timing pass 1 would charge compiles
+            # to steady state); pass 2 is the measurement.
+            run_once()
+            step_walls, wall = run_once()
+            steady = cb.last_stats["decoded_tokens"] / wall
+            st = cb.last_stats
+            mean_step_ms = float(np.mean(step_walls)) * 1e3
+            # Mean realized chunk (adaptive varies per round): every
+            # scanned slot-step is either a decoded or a wasted token.
+            mean_chunk = ((st["decoded_tokens"] + st["wasted_slot_steps"])
+                          / (st["chunks"] * slots))
+            device_ms = mean_chunk * per_token_ms  # raw token cost
+            row = {
+                "chunk": chunk if isinstance(chunk, int) else list(chunk),
+                "mean_realized_chunk": round(mean_chunk, 1),
+                "steady_tokens_per_sec": round(steady, 1),
+                "efficiency_vs_generate": round(steady / gen_tps, 3),
+                "mean_step_ms": round(mean_step_ms, 2),
+                "device_equiv_ms": round(device_ms, 2),
+                "sched_overhead_ms_per_step": round(
+                    mean_step_ms - device_ms, 2),
+                "chunks": st["chunks"],
+                "wasted_slot_steps": st["wasted_slot_steps"],
+            }
+        except Exception as e:  # record and move on — never lose rows
+            row = {"chunk": chunk if isinstance(chunk, int)
+                   else list(chunk), "error": repr(e)[:300]}
+        rows.append(row)
+        done[chunk_key] = row
+        _ckpt_save(ckpt_file, ckpt)
+        print(json.dumps(row), flush=True)
 
     print(json.dumps({"conf": conf_name, "slots": slots,
                       "budget": budget,
                       "generate_tokens_per_sec": round(gen_tps, 1),
-                      "rows": rows}))
+                      "rows": rows}), flush=True)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,20 @@ def measure(name, call, *arrays, s_hi=8, out=None):
     t1 = timed(chain(call, 1), *arrays)
     th = timed(chain(call, s_hi), *arrays)
     per_call = (th - t1) / (s_hi - 1)
+    # Negative-slope guard (VERDICT r4: tunnel variance once flipped a
+    # two-point slope's sign in paged_kernel_micro): accumulate best-of
+    # across retry rounds; if still non-positive, report the chain-mean
+    # upper bound rather than a nonsense negative.
+    for _ in range(2):
+        if per_call > 0:
+            break
+        t1 = min(t1, timed(chain(call, 1), *arrays))
+        th = min(th, timed(chain(call, s_hi), *arrays))
+        per_call = (th - t1) / (s_hi - 1)
+    if per_call <= 0:
+        per_call = th / s_hi
+        print(f"{name}: slope non-positive after retries; reporting "
+              f"chain-mean UPPER BOUND", file=sys.stderr, flush=True)
     overhead = t1 - per_call
     print(f"{name}: S=1 {t1:.2f} ms, S={s_hi} {th:.2f} ms -> "
           f"per-call {per_call:.2f} ms, dispatch overhead {overhead:.2f} ms",

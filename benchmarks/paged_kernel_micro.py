@@ -93,6 +93,33 @@ def main():
             ln, pipelined="v4"),
     }
     n_lo, n_hi = (4, 16) if jax.default_backend() == "tpu" else (1, 2)
+    salt_ctr = [0]
+
+    def timed_best(chain, lengths, n, reps):
+        best = float("inf")
+        for _ in range(reps):
+            salt_ctr[0] += 1  # every dispatch byte-unique (tunnel dedup)
+            t0 = time.perf_counter()
+            _ = np.asarray(chain(q, lengths,
+                                 jnp.float32(1 + 1e-6 * salt_ctr[0]), n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def slope(chain, lengths):
+        """Per-call time from the two-point chain slope, guarded against
+        tunnel variance flipping its sign (VERDICT r4: this harness once
+        recorded -74 us/call). Accumulates best-of across retry rounds;
+        if the slope is still non-positive after 3 rounds, returns the
+        chain-total upper bound with a flag."""
+        best = {n_lo: float("inf"), n_hi: float("inf")}
+        for _ in range(3):
+            for n in (n_lo, n_hi):
+                best[n] = min(best[n], timed_best(chain, lengths, n, 3))
+            per_call = (best[n_hi] - best[n_lo]) / (n_hi - n_lo)
+            if per_call > 0:
+                return per_call, False
+        return best[n_hi] / n_hi, True
+
     for fill in (1.0, 0.5):
         lengths = jnp.full((B,), max(1, int(s * fill)), jnp.int32)
         live_gb = 2 * kp.nbytes * fill / 1e9
@@ -100,20 +127,13 @@ def main():
             chain = make_chain(fn)
             _ = np.asarray(chain(q, lengths, jnp.float32(1), n_lo))
             _ = np.asarray(chain(q, lengths, jnp.float32(1), n_hi))
-            times = {}
-            for n in (n_lo, n_hi):
-                best = float("inf")
-                for i in range(3):
-                    t0 = time.perf_counter()
-                    _ = np.asarray(chain(q, lengths,
-                                         jnp.float32(1 + 1e-6 * (i + 1)),
-                                         n))
-                    best = min(best, time.perf_counter() - t0)
-                times[n] = best
-            per_call = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+            per_call, is_bound = slope(chain, lengths)
+            tag = ("  UPPER-BOUND (slope non-positive after retries; "
+                   "chain-total/n)" if is_bound else "")
             print(f"fill={fill:.2f} {name:9s} per-call "
                   f"{per_call * 1e6:8.1f} us  "
-                  f"{live_gb / per_call:7.1f} GB/s live-read")
+                  f"{live_gb / per_call:7.1f} GB/s live-read{tag}",
+                  flush=True)
 
 
 if __name__ == "__main__":

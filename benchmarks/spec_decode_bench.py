@@ -33,6 +33,19 @@ trip amortizes; timing is best-of-N wall-clock with full host readback,
 fresh rng/prompt salts per run so the tunnel cannot dedupe.
 
 Usage: python benchmarks/spec_decode_bench.py [steps] [batch] [toy|big]
+       python benchmarks/spec_decode_bench.py [steps] [batch] big curve
+
+``curve`` (VERDICT r4 item 5): the standard rows measure acceptance at
+SATURATION (the induction task is deterministic and both models learn
+it to acc 1.0, so the draft never misses — an upper bound, not a
+serving claim). The curve mode instead sweeps DEGRADED drafts —
+params interpolated toward a random init (theta_mix = alpha*trained +
+(1-alpha)*random) — and records measured acceptance vs speedup at
+gamma=3/7, greedy. Speculative decoding's output is target-exact
+regardless of draft quality, so every point is also a correctness
+check; the draft only controls how many proposals survive. The rows
+(streamed as they complete) give the speedup-vs-acceptance curve and
+its break-even point.
 """
 
 from __future__ import annotations
@@ -46,6 +59,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
+
+if os.environ.get("KU_BENCH_CPU"):
+    # Validation runs: the env var JAX_PLATFORMS alone is ignored when
+    # the axon plugin is on PYTHONPATH — the config update is required.
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -165,7 +184,7 @@ def train(mc, seed):
                    for i in range(mc["blocks"])}
     emb = p["tok"]["embedding"]
     tr.state = None  # free the adam moments before the next model trains
-    return emb, core_params
+    return emb, core_params, acc
 
 
 def timed(fn, n=3):
@@ -182,6 +201,7 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     conf = sys.argv[3] if len(sys.argv) > 3 else "toy"
+    curve = len(sys.argv) > 4 and sys.argv[4] == "curve"
     c = CONFS[conf]
     serve_dt = jnp.dtype(c["serve_dtype"])
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -194,12 +214,12 @@ def main():
             tree)
 
     t0 = time.perf_counter()
-    table, tparams = train(c["target"], seed=0)
+    table, tparams, target_acc = train(c["target"], seed=0)
     table, tparams = cast(table), cast(tparams)
     print(f"target trained in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
-    dtable, dparams = train(c["draft"], seed=1)
+    dtable, dparams, draft_acc = train(c["draft"], seed=1)
     dtable, dparams = cast(dtable), cast(dparams)
     print(f"draft trained in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
@@ -222,6 +242,75 @@ def main():
                       (1, 1))
 
     rows = []
+    if curve:
+        # Degraded-draft sweep (see module docstring): a random init of
+        # the SAME tree structure is the alpha=0 endpoint.
+        x0d = jnp.zeros((1, 2, c["draft"]["d_model"]), serve_dt)
+        rnd = cast(draft.init(jax.random.key(4242), [x0d])["params"])
+        rnd_table = cast(
+            jax.random.normal(jax.random.key(4243), dtable.shape,
+                              jnp.float32)
+            * float(jnp.std(dtable.astype(jnp.float32))))
+
+        def mixed(al, a, b):
+            return (al * a.astype(jnp.float32)
+                    + (1 - al) * b.astype(jnp.float32)).astype(a.dtype)
+
+        dense_jit = jax.jit(lambda tp, ids, key: generate(
+            target, tp, ids, steps, embed=t_emb, readout=t_read, rng=key))
+        t_dense = timed(lambda s: np.asarray(dense_jit(
+            tparams, jnp.asarray(prompts, jnp.int32),
+            jax.random.key(100 + s))))
+        out_d = np.asarray(dense_jit(tparams,
+                                     jnp.asarray(prompts, jnp.int32),
+                                     jax.random.key(100)))
+        dense_tps = batch * steps / t_dense
+        for gamma in (3, 7):
+            # dtable/dparams are ARGUMENTS: the alpha sweep reuses ONE
+            # compiled program per gamma (and no closure arrays in the
+            # HLO — the tunnel-upload gotcha).
+            spec_jit = jax.jit(
+                lambda tp, dtab, dp, ids, key, gamma=gamma:
+                speculative_generate(
+                    target, tp, draft, dp, ids, steps, gamma=gamma,
+                    temperature=None, embed=t_emb, readout=t_read,
+                    draft_embed=emb(dtab),
+                    draft_readout=lambda y: y @ dtab.T, rng=key))
+            for al in (1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.3, 0.0):
+                dmix = jax.tree.map(lambda a, b: mixed(al, a, b),
+                                    dparams, rnd)
+                tabmix = mixed(al, dtable, rnd_table)
+
+                def run_spec(s):
+                    out, acc = spec_jit(tparams, tabmix, dmix,
+                                        jnp.asarray(prompts, jnp.int32),
+                                        jax.random.key(100 + s))
+                    return np.asarray(out), np.asarray(acc)
+
+                t_spec = timed(lambda s: run_spec(s)[0])
+                out_s, acc = run_spec(0)
+                seq_eq = (out_s == out_d).all(axis=-1)
+                rows.append({
+                    "alpha": al, "gamma": gamma,
+                    "accepted_per_round": round(float(acc.mean()), 3),
+                    "acceptance_rate": round(float(acc.mean()) / gamma, 3),
+                    "spec_tokens_per_sec": round(batch * steps / t_spec, 1),
+                    "dense_tokens_per_sec": round(dense_tps, 1),
+                    "speedup": round(t_dense / t_spec, 3),
+                    "greedy_exact_frac": round(float(seq_eq.mean()), 3),
+                })
+                print(json.dumps(rows[-1]), flush=True)
+        print(json.dumps({
+            "steps": steps, "batch": batch, "conf_name": conf,
+            "mode": "acceptance_curve",
+            "target_train_acc": round(target_acc, 4),
+            "draft_train_acc": round(draft_acc, 4),
+            "conf": dict(vocab=VOCAB, period=PERIOD,
+                         serve_dtype=c["serve_dtype"],
+                         target=c["target"], draft=c["draft"]),
+            "rows": rows}), flush=True)
+        return
+
     for gamma in (3, 7):
         for temp in (None, 0.7):
             label = f"gamma{gamma}_" + ("greedy" if temp is None
@@ -274,6 +363,8 @@ def main():
                     first_div = int(div.min())
             rows.append({
                 "mode": label, "gamma": gamma, "temperature": temp,
+                "target_train_acc": round(target_acc, 4),
+                "draft_train_acc": round(draft_acc, 4),
                 "accepted_per_round": round(float(acc.mean()), 3),
                 "spec_tokens_per_sec": round(batch * steps / t_spec, 1),
                 "dense_tokens_per_sec": round(batch * steps / t_dense, 1),
@@ -285,10 +376,12 @@ def main():
             print(json.dumps(rows[-1]), file=sys.stderr)
 
     print(json.dumps({"steps": steps, "batch": batch, "conf_name": conf,
+                      "target_train_acc": round(target_acc, 4),
+                      "draft_train_acc": round(draft_acc, 4),
                       "conf": dict(vocab=VOCAB, period=PERIOD,
                                    serve_dtype=c["serve_dtype"],
                                    target=c["target"], draft=c["draft"]),
-                      "rows": rows}))
+                      "rows": rows}), flush=True)
 
 
 if __name__ == "__main__":

@@ -285,10 +285,12 @@ def test_paged_kernel_pipelined_ragged_chunks(rng, quant, pipelined):
 def test_paged_kernel_v4_mixed_contiguity(rng, quant):
     """v4's per-chunk path choice: row 0's table is a consecutive pool
     run (fused-slab fast path), row 1's is permuted (per-page fallback),
-    row 2's is consecutive but ends at the pool's last page, so its
-    final chunk would overrun the pool and must fall back. All three in
+    row 2's is consecutive ending exactly at the pool's last page — its
+    final full chunk has pid0 + ppb == np_total, the boundary case the
+    overrun guard must still ADMIT (fast path, in-bounds). All three in
     ONE kernel launch — the prefetch/wait pair must agree on the path
-    per chunk."""
+    per chunk. (The chunk that genuinely overruns the pool is covered
+    by test_paged_kernel_v4_pool_end_fallback.)"""
     b, hkv, g, d, pg, mp = 3, 2, 2, 8, 4, 4
     np_pool = b * mp
     q = rng.normal(size=(b, hkv, g, d)).astype(np.float32)
@@ -319,3 +321,68 @@ def test_paged_kernel_v4_mixed_contiguity(rng, quant):
         jnp.asarray(lengths), pipelined=False, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_kernel_v4_pool_end_fallback(rng, quant):
+    """The two riskiest v4 arms, deterministically (ADVICE r4):
+
+    - Row 0's LAST chunk has a single live entry sitting on the pool's
+      FINAL page: pid0 + ppb > np_total fails the overrun guard, so v4
+      must take the per-page fallback for that chunk (the fused slab
+      would read past the pool). The mixed-contiguity test never
+      reaches this arm — its boundary row keeps pid0 + ppb == np_total
+      inside the guard.
+    - Row 1 has a DEAD in-chunk entry whose stale neighbour page is
+      poisoned (NaN data, or NaN scales when quant): dead entries do
+      not constrain contiguity, so the fast path DOES read the stale
+      page into its slab and must mask it out by position.
+
+    Output must be finite and bit-match the non-pipelined kernel (which
+    clamps dead entries to live pages and never touches the poison).
+    """
+    b, hkv, g, d, pg, mp = 2, 2, 2, 8, 4, 3
+    np_pool = 8
+    ppb = 2  # pages_per_block below
+    q = rng.normal(size=(b, hkv, g, d)).astype(np.float32)
+    pool_k = rng.normal(size=(np_pool, hkv, pg, d)).astype(np.float32)
+    pool_v = rng.normal(size=(np_pool, hkv, pg, d)).astype(np.float32)
+    table = np.stack([
+        # chunk0 = {4,5}: contiguous fast path; chunk1 = {7, dead}:
+        # pid0 = 7, 7 + ppb = 9 > np_pool -> fallback forced.
+        np.array([4, 5, np_pool - 1]),
+        # length 3 -> npages = 1 -> one chunk {0, dead}; contiguity
+        # unconstrained by the dead entry -> fast path reads stale
+        # page 1 (poisoned) and must position-mask it.
+        np.array([0, 1, 2]),
+    ]).astype(np.int32)
+    lengths = np.array([mp * pg, 3], np.int32)
+    ks = vs = None
+    if quant:
+        pool_k = rng.integers(-127, 128, size=pool_k.shape).astype(np.int8)
+        pool_v = rng.integers(-127, 128, size=pool_v.shape).astype(np.int8)
+        ks = rng.uniform(0.01, 0.05,
+                         size=(np_pool, hkv, pg)).astype(np.float32)
+        vs = rng.uniform(0.01, 0.05,
+                         size=(np_pool, hkv, pg)).astype(np.float32)
+        # int8 cannot hold NaN: poison the stale page's SCALES instead.
+        for poisoned in (1, 2, 3, 6):
+            ks[poisoned] = np.nan
+            vs[poisoned] = np.nan
+    else:
+        for poisoned in (1, 2, 3, 6):  # every page no row may read
+            pool_k[poisoned] = np.nan
+            pool_v[poisoned] = np.nan
+    kw = dict(k_scale=None if ks is None else jnp.asarray(ks),
+              v_scale=None if vs is None else jnp.asarray(vs),
+              pages_per_block=ppb, interpret=True)
+    got = decode_attention_paged(
+        jnp.asarray(q), _t(pool_k), _t(pool_v), jnp.asarray(table),
+        jnp.asarray(lengths), pipelined="v4", **kw)
+    want = decode_attention_paged(
+        jnp.asarray(q), _t(pool_k), _t(pool_v), jnp.asarray(table),
+        jnp.asarray(lengths), pipelined=False, **kw)
+    out = np.asarray(got)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, np.asarray(want), rtol=2e-5,
+                               atol=1e-6)
