@@ -20,6 +20,14 @@ expected to lose: chunk 8 = 8 slots x 8 tokens per dispatch round trip.
 Usage: python benchmarks/batcher_bench.py [conf] [budget] [chunks...]
        (defaults: big 256 8 32 128; 'toy' for a CPU-speed smoke)
 
+KU_BENCH_MESH="data,model" (e.g. "2,4"): place the serving replica on a
+2-D jax mesh via ContinuousBatcher(mesh=...) — request-DP x head-TP,
+exactly the dryrun's continuous-batching leg but measured. Degrades
+gracefully: if the host has fewer devices than data*model, the flag is
+ignored with a warning (single-chip numbers stay comparable). The day
+real multi-chip hardware exists the measurement is one env var
+(VERDICT r4 item 9).
+
 FLAP RESILIENCE (VERDICT r4 weak-5: this bench died on hardware four
 times, losing everything each time): every row is flushed as it
 completes AND checkpointed to
@@ -105,6 +113,20 @@ def main():
     max_len = prompt_len + budget + max(chunks)
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
+    mesh = None
+    mesh_spec = os.environ.get("KU_BENCH_MESH")
+    if mesh_spec:
+        d_sz, m_sz = (int(x) for x in mesh_spec.split(","))
+        devs = jax.devices()
+        if len(devs) >= d_sz * m_sz:
+            mesh = jax.sharding.Mesh(
+                np.asarray(devs[:d_sz * m_sz]).reshape(d_sz, m_sz),
+                ("data", "model"))
+            print(f"mesh: data={d_sz} x model={m_sz}", file=sys.stderr)
+        else:
+            print(f"KU_BENCH_MESH={mesh_spec} ignored: only "
+                  f"{len(devs)} device(s)", file=sys.stderr)
+
     from ku.nn import ContinuousBatcher, generate
 
     rng = np.random.default_rng(0)
@@ -153,7 +175,9 @@ def main():
     if budget < 4:
         raise SystemExit("budget must be >= 4 (the two-budget slope "
                          "needs distinct, non-trivial step counts)")
-    ckpt_file = _ckpt_path(conf_name, budget)
+    ckpt_file = _ckpt_path(
+        conf_name + (f"_mesh{mesh_spec.replace(',', 'x')}" if mesh is not None
+                     else ""), budget)
     ckpt = _ckpt_load(ckpt_file)
     if "baseline" in ckpt:
         gen_tps = ckpt["baseline"]["tokens_per_sec"]
@@ -190,6 +214,11 @@ def main():
                                    readout=readout, num_slots=slots,
                                    prompt_len=prompt_len,
                                    max_decode_len=max_len, chunk=chunk,
+                                   mesh=mesh,
+                                   data_axis="data" if mesh is not None
+                                   else None,
+                                   num_head=conf["heads"],
+                                   num_kv_head=conf["kv_heads"],
                                    rng=jax.random.key(7))
             # Closed-loop: 2x slots requests so every slot recycles once.
             reqs = [rng.integers(0, VOCAB, size=(prompt_len,))
