@@ -39,7 +39,11 @@ import numpy as np  # noqa: E402
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 DATA_DIR = os.path.join(_HERE, "digits_data")
-RUN_DIR = os.path.join(_HERE, "digits_run")
+# KU_DIGITS_RUN_DIR: separate artifact lineages per backend (the
+# committed digits_run/ holds the round-4 CPU run; a TPU run must not
+# resume from — or overwrite — its history/checkpoints).
+RUN_DIR = os.environ.get("KU_DIGITS_RUN_DIR",
+                         os.path.join(_HERE, "digits_run"))
 
 CONF = {
     "mode": "train",
