@@ -41,10 +41,17 @@ def main():
     c = db.CONFS[conf]
     dtype = jnp.dtype(c["dtype"])
     rng = np.random.default_rng(0)
+    # Quant modes mirror decode_bench. The profile runs on the init
+    # TEMPLATE weights (int8 zeros + unit scales) — device timing is
+    # value-independent, so no quantize_weights pass is needed here.
+    wq = {"w8": True, "w8kv8": True,
+          "w8a8": "w8a8", "w8a8kv8": "w8a8"}.get(m, False)
     model = db.build(t_alloc, c,
-                     kv_cache_dtype="int8" if m == "int8" else None,
+                     kv_cache_dtype=("int8"
+                                     if m in ("int8", "w8kv8", "w8a8kv8")
+                                     else None),
                      kv_page_size=256 if m == "paged" else None,
-                     flash_decode=flash_decode)
+                     flash_decode=flash_decode, quant_weights=wq)
     x0 = jnp.asarray(rng.normal(size=(c["batch"], 1, c["d_model"])), dtype)
     variables = model.init(jax.random.key(0), x0, decode=False)
     params = jax.tree.map(
