@@ -765,9 +765,18 @@ class MultiHeadAttention(nn.Module):
                         softmax_scale=1.0 / math.sqrt(d_k),
                         logit_softcap=self.logit_softcap)
                     if paged:
+                        # pipelined="v4": fused-slab DMA with per-chunk
+                        # contiguity fast path + v3-style pipelined
+                        # per-page fallback. Hardware A/B (round 5,
+                        # results/tpu_r5b.log micro + paged_v4_check):
+                        # v2 (the old default) loses 1.5-8x to v3/v4 at
+                        # the 0.87B serving shapes (183->428 us/call as
+                        # fill drops); v4 >= v3 everywhere, equals it on
+                        # fully-fragmented tables, and is bit-exact vs
+                        # v2 on compiled Mosaic at fill 0.5/1.0.
                         res = decode_attention_paged(
                             qg[:, :, :, 0], ck.value, cv.value,
-                            tbl.value, idx + 1, **kw)
+                            tbl.value, idx + 1, pipelined="v4", **kw)
                     else:
                         res = decode_attention(
                             qg[:, :, :, 0], ck.value, cv.value,
