@@ -293,7 +293,11 @@ def main():
                 rows.append({
                     "alpha": al, "gamma": gamma,
                     "accepted_per_round": round(float(acc.mean()), 3),
-                    "acceptance_rate": round(float(acc.mean()) / gamma, 3),
+                    # accepted_per_round INCLUDES the free bonus token
+                    # (verify emits gamma+1 on full acceptance), so the
+                    # draft's true hit rate excludes it.
+                    "acceptance_rate": round(
+                        max(0.0, float(acc.mean()) - 1.0) / gamma, 3),
                     "spec_tokens_per_sec": round(batch * steps / t_spec, 1),
                     "dense_tokens_per_sec": round(dense_tps, 1),
                     "speedup": round(t_dense / t_spec, 3),
