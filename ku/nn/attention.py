@@ -581,6 +581,35 @@ class MultiHeadAttention(nn.Module):
                                               axis=1)
                     return scales.at[pid, :, posn % pg].set(
                         jnp.transpose(upd, (0, 2, 1)))
+
+                # DECODE-STEP writes (L == 1): B unrolled
+                # dynamic_update_slices instead of the general scatter
+                # above. The (axes 0, 3) advanced-index scatter on the
+                # pool goes through XLA's slow scatter path inside the
+                # decode scan — round-5 measurement: the paged step ran
+                # ~12.6 ms/step over dense at identical bytes while the
+                # micro-benched read kernel matched dense, i.e. the
+                # WRITE was re-materializing the multi-GB pool. DUS into
+                # the scan carry stays in place. Prefill (L > 1) keeps
+                # the scatter: one-time cost, many positions per row.
+                def _store1(pool, upd, posn):  # upd (B, hkv, 1, d)
+                    pid = jnp.take_along_axis(
+                        tbl.value, (posn // pg)[:, None], axis=1)[:, 0]
+                    off = posn % pg
+                    for b in range(bsz):
+                        blk = jnp.transpose(upd[b:b + 1], (0, 1, 3, 2))
+                        pool = jax.lax.dynamic_update_slice(
+                            pool, blk, (pid[b], 0, 0, off[b]))
+                    return pool
+
+                def _store1_s(scales, upd, posn):  # upd (B, hkv, 1)
+                    pid = jnp.take_along_axis(
+                        tbl.value, (posn // pg)[:, None], axis=1)[:, 0]
+                    off = posn % pg
+                    for b in range(bsz):
+                        scales = jax.lax.dynamic_update_slice(
+                            scales, upd[b:b + 1], (pid[b], 0, off[b]))
+                    return scales
             if ring:
                 cpos = self.variable(
                     "cache", "cache_pos",
@@ -712,11 +741,11 @@ class MultiHeadAttention(nn.Module):
                     # NB the paged read builds its own per-page liveness
                     # mask (kpos <= idx) inside page_step below — there
                     # is deliberately no slot/pos/keep in this branch.
-                    ck.value = _store(ck.value, k_st, idx[:, None])
-                    cv.value = _store(cv.value, v_st, idx[:, None])
+                    ck.value = _store1(ck.value, k_st, idx)
+                    cv.value = _store1(cv.value, v_st, idx)
                     if qdt:
-                        ksc.value = _store_s(ksc.value, k_s, idx[:, None])
-                        vsc.value = _store_s(vsc.value, v_s, idx[:, None])
+                        ksc.value = _store1_s(ksc.value, k_s, idx)
+                        vsc.value = _store1_s(vsc.value, v_s, idx)
                 else:
                     ck.value = upd4(ck.value, k_st, slot)
                     cv.value = upd4(cv.value, v_st, slot)
