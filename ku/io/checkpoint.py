@@ -32,6 +32,20 @@ class CheckpointManager:
         ocp = _ocp()
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # Discard incomplete atomic writes BEFORE the manager scans the
+        # directory: a process killed mid-save leaves
+        # `<step>.orbax-checkpoint-tmp...` dirs, and orbax's item-name
+        # inference can read one as a multi-item checkpoint — every
+        # later restore then fails with "Must provide `args` of type
+        # `Composite`" (hit by the round-5 kill-mid-save resume test on
+        # the flagship run). Tmp dirs are garbage by orbax's atomicity
+        # contract; the last COMPLETE step is the resume point.
+        import shutil
+
+        for entry in os.listdir(self.directory):
+            if ".orbax-checkpoint-tmp" in entry:
+                shutil.rmtree(os.path.join(self.directory, entry),
+                              ignore_errors=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(

@@ -617,3 +617,41 @@ def test_continuous_batcher_on_mesh(rng):
              if str(getattr(path[-1], "key", path[-1]))
              in ("cached_key", "cached_value")]
     assert specs and all("model" in s for s in specs), specs
+
+
+def test_checkpoint_resume_survives_kill_mid_save(rng, tmp_path):
+    """A process killed MID-SAVE leaves a `<step>.orbax-checkpoint-tmp*`
+    dir; orbax's item-name inference can read it as a multi-item
+    checkpoint and every later restore dies with "Must provide `args`
+    of type `Composite`" (hit live by the round-5 flagship kill/resume
+    on the v5e). The manager must discard tmp dirs at init and resume
+    from the last COMPLETE step."""
+    import os
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    engine = GAN(_conf(epochs=3), ToyGen(), ToyDisc())
+    engine.compose_gan_with_mode().compile()
+    cb = CheckpointCallback(ckpt_dir, every=1)
+    engine.fit_generator(_iter(rng), verbose=0, callbacks=[cb])
+    assert cb.mgr.latest_step() == 2
+
+    # Fabricate the kill-mid-save debris: a partially-written step dir
+    # with nested item-like subdirs (what a real interrupted write
+    # leaves behind).
+    tmp = os.path.join(ckpt_dir, "3.orbax-checkpoint-tmp-12345678")
+    os.makedirs(os.path.join(tmp, "state", "partial_leaf"))
+    os.makedirs(os.path.join(tmp, "not_an_item"))
+    with open(os.path.join(tmp, "state", "junk.bin"), "wb") as f:
+        f.write(b"\x00" * 64)
+
+    engine2 = GAN(_conf(epochs=3), ToyGen(), ToyDisc())
+    engine2.compose_gan_with_mode().compile()
+    engine2.fit_generator(_iter(np.random.default_rng(1)), verbose=0)
+    cb2 = CheckpointCallback(ckpt_dir, every=1)
+    step = cb2.maybe_restore(engine2)
+    assert step == 2  # last COMPLETE step, tmp debris discarded
+    assert not os.path.exists(tmp)
+    np.testing.assert_allclose(
+        np.asarray(engine2.state["gen_params"]["map_dense_0"]["kernel"]),
+        np.asarray(engine.state["gen_params"]["map_dense_0"]["kernel"]),
+    )
