@@ -169,18 +169,29 @@ class ContinuousBatcher:
         # from prefix+prompt, then updated device-side as tokens emit.
         needs_seen = getattr(sampler, "needs_seen", False)
         self._needs_seen = needs_seen
-        apply_step = _stepper(model, params, model_kwargs or {})
+        # Params are an ARGUMENT of every jitted program, never a
+        # closure: closure arrays embed as HLO constants, so a 0.9B
+        # model's prefill/chunk compiles shipped ~2 GB per
+        # remote_compile over a TPU tunnel — measured killing the
+        # connection ("Broken pipe" ~30 min in) on three consecutive
+        # hardware sweeps (round 5) while the same-size generate(),
+        # which takes params as args, compiled in ~2 min.
+        self._p = params
+        _kw = model_kwargs or {}
+
+        def apply_step(p, cache, x, **extra):
+            return _stepper(model, p, _kw)(cache, x, **extra)
 
         def chosen_lp(logits, tok):
             if not return_logprobs:
                 return jnp.zeros(tok.shape, jnp.float32)
             return chosen_logprob(logits, tok)
 
-        def _prefill(cache_in, prompts, lengths, key, pos0, seen):
+        def _prefill(p, cache_in, prompts, lengths, key, pos0, seen):
             # pos0: global position of the chunk's first token (0, or
             # the shared-prefix length when prompts continue a prefix).
             cache, y = apply_step(
-                cache_in,
+                p, cache_in,
                 embed(prompts, pos0 + jnp.arange(prompts.shape[1])),
                 prompt_lengths=lengths)
             y_last = jnp.take_along_axis(y, (lengths - 1)[:, None, None],
@@ -259,11 +270,11 @@ class ContinuousBatcher:
 
             return jax.tree_util.tree_map_with_path(fix, cache)
 
-        def _chunk_fn(cache, pending, pending_lp, lengths, keys, seen):
+        def _chunk_fn(p, cache, pending, pending_lp, lengths, keys, seen):
             def step(carry, key):
                 cache, tok, lp, lens, seen = carry
-                cache, y = apply_step(cache, embed(tok[:, None],
-                                                   lens[:, None]))
+                cache, y = apply_step(p, cache, embed(tok[:, None],
+                                                      lens[:, None]))
                 logits = readout(y)[:, 0]
                 if needs_seen:
                     # The fed token is now part of the sequence.
@@ -304,7 +315,7 @@ class ContinuousBatcher:
             # before real use.
             warnings.filterwarnings("ignore", message=".*ALIASES.*")
             cache, _, _, seen = self._prefill(
-                {}, jnp.zeros((B, P), jnp.int32),
+                self._p, {}, jnp.zeros((B, P), jnp.int32),
                 jnp.ones((B,), jnp.int32), jax.random.key(0), 0, None)
         self._template = jax.tree.map(jnp.zeros_like, cache)
         # Discovered vocab width for the repetition-penalty seen mask.
@@ -434,6 +445,7 @@ class ContinuousBatcher:
             self._key, kp = jax.random.split(self._key)
             self._cache, self._pending, self._pending_lp, _ = \
                 self._prefill(
+                    self._p,
                     self._set_tables(self._template,
                                      jnp.asarray(self._tables)),
                     jnp.asarray(pr0), jnp.asarray(ln0), kp, 0,
@@ -629,8 +641,8 @@ class ContinuousBatcher:
             self._key, kp = jax.random.split(self._key)
             fresh_cache, fresh_pending, fresh_lp, fresh_seen = \
                 self._prefill(
-                    cache_in, jnp.asarray(sub), jnp.asarray(sub_ln), kp,
-                    pos0, self._seen)
+                    self._p, cache_in, jnp.asarray(sub),
+                    jnp.asarray(sub_ln), kp, pos0, self._seen)
             if self._needs_seen:
                 self._seen = jnp.where(jnp.asarray(write)[:, None],
                                        fresh_seen, self._seen)
@@ -692,7 +704,7 @@ class ContinuousBatcher:
         self._key, kc = jax.random.split(self._key)
         (self._cache, self._pending, self._pending_lp, toks,
          lps, self._seen) = self._chunk(
-            self._cache, self._pending, self._pending_lp,
+            self._p, self._cache, self._pending, self._pending_lp,
             jnp.asarray(self._lengths, jnp.int32),
             jax.random.split(kc, chunk), self._seen)
         toks = np.asarray(toks)
