@@ -443,6 +443,7 @@ def main():
     # (int8 MXU matmuls — ku/nn/quant.py); w8kv8 (the row that once hung
     # a session 25+ min) runs at the very end, subprocess-bounded.
     for mode, prefix in (("dense", "decode_big"),
+                         ("paged", "decode_big_paged"),
                          ("int8", "decode_big_int8"),
                          ("w8", "decode_big_w8"),
                          ("w8a8", "decode_big_w8a8"),
