@@ -96,7 +96,7 @@ CONFS = {
 }
 
 
-def _core(mc, max_len):
+def _core(mc, max_len, quant=False):
     import flax.linen as nn
 
     from ku.nn import Transformer
@@ -110,6 +110,7 @@ def _core(mc, max_len):
                                 causal=True, rope=True,
                                 num_kv_head=mc["kv"],
                                 max_decode_len=max_len,
+                                quant_weights=quant,
                                 name=f"block_{i}")(
                     [x], decode=decode,
                     prompt_lengths=prompt_lengths)
@@ -224,8 +225,21 @@ def main():
     print(f"draft trained in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     max_len = PERIOD + steps + 8  # prompt + steps + gamma+1 overshoot
-    target = _core(c["target"], max_len)
+    # KU_SPEC_W8=1: serve the TARGET weight-only int8 (ku/nn/quant.py) —
+    # the spec x quant compose row. The verify pass and the dense
+    # baseline both read int8 weights, so the reported speedup is spec's
+    # contribution ON TOP of w8 serving. The draft stays float (its
+    # weight traffic is ~1/130 of the target's — nothing to save).
+    w8 = bool(os.environ.get("KU_SPEC_W8"))
+    target = _core(c["target"], max_len, quant=w8)
     draft = _core(c["draft"], max_len)
+    if w8:
+        from ku.nn import quantize_weights
+
+        x0q = jnp.zeros((1, 2, c["target"]["d_model"]), serve_dt)
+        template = target.init(jax.random.key(1), [x0q])["params"]
+        tparams = quantize_weights(tparams, template)
+        print("target quantized to w8", file=sys.stderr)
 
     def emb(tab):
         def f(i, p):
@@ -380,6 +394,7 @@ def main():
             print(json.dumps(rows[-1]), file=sys.stderr)
 
     print(json.dumps({"steps": steps, "batch": batch, "conf_name": conf,
+                      "target_w8": w8,
                       "target_train_acc": round(target_acc, 4),
                       "draft_train_acc": round(draft_acc, 4),
                       "conf": dict(vocab=VOCAB, period=PERIOD,
