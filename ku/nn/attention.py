@@ -741,11 +741,28 @@ class MultiHeadAttention(nn.Module):
                     # NB the paged read builds its own per-page liveness
                     # mask (kpos <= idx) inside page_step below — there
                     # is deliberately no slot/pos/keep in this branch.
-                    ck.value = _store1(ck.value, k_st, idx)
-                    cv.value = _store1(cv.value, v_st, idx)
-                    if qdt:
-                        ksc.value = _store1_s(ksc.value, k_s, idx)
-                        vsc.value = _store1_s(vsc.value, v_s, idx)
+                    # Static write-path choice by pool size (round-5
+                    # hardware A/B, BASELINE.md): the scatter's
+                    # re-materialization costs one pool copy per step —
+                    # ruinous at multi-GB pools (0.87B conf: 355 -> 818
+                    # tok/s switching to DUS) but FREE at small ones,
+                    # where the unrolled per-row DUS chain instead adds
+                    # serial launch latency (toy conf: scatter 65.5k vs
+                    # DUS 38.6k tok/s). Both paths are exactness-tested.
+                    if ck.value.nbytes > 8 * 2 ** 20:
+                        ck.value = _store1(ck.value, k_st, idx)
+                        cv.value = _store1(cv.value, v_st, idx)
+                        if qdt:
+                            ksc.value = _store1_s(ksc.value, k_s, idx)
+                            vsc.value = _store1_s(vsc.value, v_s, idx)
+                    else:
+                        ck.value = _store(ck.value, k_st, idx[:, None])
+                        cv.value = _store(cv.value, v_st, idx[:, None])
+                        if qdt:
+                            ksc.value = _store_s(ksc.value, k_s,
+                                                 idx[:, None])
+                            vsc.value = _store_s(vsc.value, v_s,
+                                                 idx[:, None])
                 else:
                     ck.value = upd4(ck.value, k_st, slot)
                     cv.value = upd4(cv.value, v_st, slot)
